@@ -1,0 +1,207 @@
+"""PBW — the partially-binarized-weights artifact format.
+
+The reference has no packed format at all: GPTQ-PB writes reconstructed
+fake-quant floats back into the dense layer (`gptq_pb/gptq.py:180-184`) and
+inference is a dense fp matmul.  PBW is the TPU-native artifact this
+framework is organized around; calibrator produces it, engine consumes it.
+
+Per linear layer (logical weight ``W [oc, ic]``, stored transposed for the
+``x @ W^T`` TPU matmul as planes over ``[ic, oc]``):
+
+  sign_packed  uint32 [ic//32, oc]  sign bitplane of the binary side
+                                    (bit=1 ⇔ sign=+1), strided layout
+                                    (see core/packing.py)
+  mask_packed  uint32 [ic//32, oc]  salient bitplane (bit=1 ⇔ 8-bit weight)
+  sidecar      uint8  [ic, oc]      8-bit codes (value arbitrary = 0 where
+                                    not salient)
+  low_scale    f32 [n_groups, oc]   binary-side scale  (xnor: mean|w−mean|)
+  low_mean     f32 [n_groups, oc]   binary-side mean added back after sign
+  high_scale   f32 [oc]             8-bit side per-row scale
+  high_zero    f32 [oc]             8-bit side per-row zero point
+  bias         f32 [oc] | None
+
+Dequantization (the numerics contract, = reference fake-quant values):
+  w[i, o] = mask ? high_scale[o] * (sidecar[i,o] − high_zero[o])
+                 : low_mean[g(i), o] + (2·bit − 1) · low_scale[g(i), o]
+
+Binary methods whose value set is {0, s} (``sign``, ``rtn``, ``prune``;
+`gptq_pb/low_quant.py:84-95`) are re-expressed at pack time in the same
+two-point form via mean' = scale' = s/2, so one kernel serves all of them.
+2-bit/4-bit low methods are not 1-bit representable and use the dense "sim"
+format instead.
+
+Effective bits/weight of this v1 ("bp2") layout = 1 (sign) + 1 (mask) + 8
+(dense sidecar) = 10, vs 16 for bf16.  The mask is elementwise-exact, so
+numerics match the reference bit-for-bit (up to the measure-zero
+``sign(0)=0`` ternary case, which pack() reports as a diagnostic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import packing
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedLinear:
+    """One partially-binarized linear layer, bit-packed. All planes [*, oc]."""
+
+    sign_packed: jnp.ndarray  # uint32 [ic//32, oc]
+    mask_packed: jnp.ndarray  # uint32 [ic//32, oc]
+    sidecar: jnp.ndarray      # uint8  [ic, oc]
+    low_scale: jnp.ndarray    # f32 [n_groups, oc]
+    low_mean: jnp.ndarray     # f32 [n_groups, oc]
+    high_scale: jnp.ndarray   # f32 [oc]
+    high_zero: jnp.ndarray    # f32 [oc]
+    bias: Optional[jnp.ndarray]  # f32 [oc] or None
+    ic: int = dataclasses.field(metadata=dict(static=True))
+    oc: int = dataclasses.field(metadata=dict(static=True))
+    groupsize: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_groups(self) -> int:
+        return self.low_scale.shape[0]
+
+    def effective_bits(self) -> float:
+        """HBM bits per logical weight of this layout."""
+        n = self.ic * self.oc
+        plane_bits = self.sign_packed.size * 32 + self.mask_packed.size * 32
+        sidecar_bits = self.sidecar.size * 8
+        scales = (self.low_scale.size + self.low_mean.size + self.high_scale.size + self.high_zero.size) * 32
+        return (plane_bits + sidecar_bits + scales) / n
+
+
+PACKABLE_METHODS = ("xnor", "sign", "rtn", "prune")
+
+
+def pack_linear(
+    w_q: jnp.ndarray,
+    mask: jnp.ndarray,
+    low_state: Dict[str, jnp.ndarray],
+    high_state: Dict[str, jnp.ndarray],
+    method: str,
+    groupsize: int = -1,
+    bias: Optional[jnp.ndarray] = None,
+) -> Tuple[PackedLinear, Dict[str, float]]:
+    """Pack a solver output into PBW planes.
+
+    ``w_q`` [oc, ic]: the fake-quantized weight (reference semantics — every
+    entry equals either the low or the high quantizer's value).
+    ``mask`` [oc, ic] bool: True ⇔ binarized (the GPTQ-PB convention,
+    `gptq_pb/gptq.py:92`); the PBW salient plane stores the inverse.
+
+    Returns the packed layer and diagnostics {pack_mismatch: fraction of
+    entries whose dequantization differs from w_q}.
+    """
+    if method not in PACKABLE_METHODS:
+        raise ValueError(f"method {method!r} is not 1-bit packable; use the 'sim' format")
+    oc, ic = w_q.shape
+    gs = ic if groupsize == -1 else groupsize
+    if ic % 32:
+        raise ValueError("pack_linear requires ic % 32 == 0 (pad upstream)")
+
+    w_q = jnp.asarray(w_q, jnp.float32)
+    mask = jnp.asarray(mask, bool)
+    salient = ~mask
+
+    if method == "xnor":
+        low_mean = low_state["mean"].astype(jnp.float32)    # [n_groups, oc]
+        low_scale = low_state["scale"].astype(jnp.float32)
+    else:
+        # {0, s} two-point value sets -> mean' = scale' = s/2 (prune: s=0).
+        s = low_state["scale"].astype(jnp.float32)
+        if method == "prune":
+            s = jnp.zeros_like(s)
+        low_mean = s / 2.0
+        low_scale = s / 2.0
+
+    mean_rows = jnp.repeat(low_mean, gs, axis=0)[:ic]  # [ic, oc]
+    # sign bit from the quantized value itself: q = mean + s*scale, s = sign(q - mean)
+    bits = (w_q.T - mean_rows) >= 0
+
+    hs = high_state["scale"].astype(jnp.float32)
+    hz = high_state["zero"].astype(jnp.float32)
+    codes = jnp.clip(jnp.round(w_q / hs[:, None] + hz[:, None]), 0, 255)
+    sidecar = jnp.where(salient, codes, 0).astype(jnp.uint8).T  # [ic, oc]
+
+    packed = PackedLinear(
+        sign_packed=packing.pack_bits(bits.astype(jnp.uint32)),
+        mask_packed=packing.pack_bits(salient.T.astype(jnp.uint32)),
+        sidecar=sidecar,
+        low_scale=low_scale,
+        low_mean=low_mean,
+        high_scale=hs,
+        high_zero=hz,
+        bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+        ic=ic,
+        oc=oc,
+        groupsize=gs,
+    )
+    w_rt = dequantize(packed).T  # [oc, ic]
+    diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6))}
+    return packed, diag
+
+
+def dequantize(p: PackedLinear) -> jnp.ndarray:
+    """Pure-XLA dequantization to dense f32 [ic, oc] (kernel oracle)."""
+    bits = packing.unpack_bits(p.sign_packed, p.ic).astype(jnp.float32)
+    m = packing.unpack_bits(p.mask_packed, p.ic).astype(bool)
+    mean_rows = jnp.repeat(p.low_mean, p.groupsize, axis=0)[: p.ic]
+    scale_rows = jnp.repeat(p.low_scale, p.groupsize, axis=0)[: p.ic]
+    w_bin = mean_rows + (2.0 * bits - 1.0) * scale_rows
+    w_hi = p.high_scale[None, :] * (p.sidecar.astype(jnp.float32) - p.high_zero[None, :])
+    return jnp.where(m, w_hi, w_bin)
+
+
+def matmul_reference(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
+    """y = x @ W (+bias) via XLA dequant — the semantics the Pallas kernel must match."""
+    y = x.astype(jnp.float32) @ dequantize(p)
+    if p.bias is not None:
+        y = y + p.bias
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Serialization: one .npz of planes + a json manifest of static meta.
+# (The reference's closest analogues are the mask pickles `gptq_pb/gptq.py:108-114`
+# and the {meta.json, weights.pth} format of `utils.py:87-124`.)
+# ---------------------------------------------------------------------------
+
+_FIELDS = ("sign_packed", "mask_packed", "sidecar", "low_scale", "low_mean", "high_scale", "high_zero", "bias")
+
+
+def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    arrays = {}
+    meta = {"layers": {}, "extra": extra_meta or {}}
+    for name, p in layers.items():
+        meta["layers"][name] = {"ic": p.ic, "oc": p.oc, "groupsize": p.groupsize, "has_bias": p.bias is not None}
+        for f in _FIELDS:
+            v = getattr(p, f)
+            if v is not None:
+                arrays[f"{name}::{f}"] = np.asarray(v)
+    np.savez(os.path.join(path, "planes.npz"), **arrays)
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+
+
+def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
+    with open(os.path.join(path, "manifest.json")) as fh:
+        meta = json.load(fh)
+    z = np.load(os.path.join(path, "planes.npz"))
+    layers = {}
+    for name, lm in meta["layers"].items():
+        kw = {f: jnp.asarray(z[f"{name}::{f}"]) for f in _FIELDS if f"{name}::{f}" in z}
+        if "bias" not in kw:
+            kw["bias"] = None
+        layers[name] = PackedLinear(ic=lm["ic"], oc=lm["oc"], groupsize=lm["groupsize"], **kw)
+    return layers, meta["extra"]
