@@ -49,8 +49,8 @@ def test_xnor_matches_oracle():
     st = low_calibrate(jnp.asarray(w), "xnor")
     q = low_quantize(jnp.asarray(w), st, "xnor")
     q_ref, mu_ref, sc_ref = torch_xnor(w)
-    np.testing.assert_allclose(np.asarray(st["mean"])[0], mu_ref[:, 0], rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(st["scale"])[0], sc_ref[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["mean"])[0], mu_ref[:, 0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["scale"])[0], sc_ref[:, 0], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(q), q_ref, rtol=1e-5, atol=1e-6)
 
 
