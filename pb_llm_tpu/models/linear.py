@@ -1,0 +1,62 @@
+"""Linear-layer abstraction: dense or PBW-packed, one call site.
+
+The reference swaps `nn.Linear` modules in and out of HF models
+(`qat/run_qat.py:45-80`, `gptq_pb/run.py:119-144`).  Here a "linear" is just
+a pytree leaf bundle — either
+
+  dense:  {"w": [ic, oc] , "b": [oc] | None}
+  packed: core.pbw.PackedLinear
+
+and `apply_linear` dispatches on the type.  Model forwards thread a
+``linear_fn(name, lin, x)`` callback so calibration can observe every
+linear's input activations without PyTorch-style hooks (the functional
+equivalent of `gptq_pb/run.py:146-158`'s forward hooks).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from ..core.pbw import PackedLinear
+
+# set by ops.binary_matmul at import time to avoid a circular import
+_packed_matmul: Optional[Callable] = None
+
+
+def register_packed_matmul(fn: Callable) -> None:
+    global _packed_matmul
+    _packed_matmul = fn
+
+
+def dense(w, b=None):
+    return {"w": jnp.asarray(w), "b": None if b is None else jnp.asarray(b)}
+
+
+def apply_linear(lin, x: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ W (+ b) for dense dicts or PackedLinear. x: [..., ic]."""
+    if isinstance(lin, PackedLinear):
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if _packed_matmul is None:
+            from ..core.pbw import matmul_reference
+            y = matmul_reference(x2, lin)
+        else:
+            y = _packed_matmul(x2, lin)
+        return y.reshape(*lead, -1).astype(x.dtype)
+    y = x @ lin["w"].astype(x.dtype)
+    if lin.get("b") is not None:
+        y = y + lin["b"].astype(x.dtype)
+    return y
+
+
+def named_linear_fn(lin, x, name=None):  # pragma: no cover - convenience alias
+    return apply_linear(lin, x)
+
+
+def linear_shape(lin) -> tuple[int, int]:
+    """(ic, oc) of either representation."""
+    if isinstance(lin, PackedLinear):
+        return lin.ic, lin.oc
+    return lin["w"].shape
