@@ -1,0 +1,162 @@
+"""Layer-by-layer PTQ driver: calibrate → GPTQ-PB → write back → propagate.
+
+Functional re-architecture of the reference's `quant_sequential`
+(`gptq_pb/run.py:34-189`):
+
+  1. embed all calibration sequences → layer-0 inputs (the reference does
+     this with a Catcher module that aborts the forward, `run.py:72-89`;
+     here the model is functional so the embedding is just called directly)
+  2. per decoder layer:
+     a. one capture pass per sample with the layer's *original* weights,
+        accumulating each linear's input Hessian H = (2/n)·Σ XᵀX
+        (`gptq.py:35-52` via forward hooks; here a jitted capture forward)
+     b. per linear: GPTQ-PB solve → fake-quant weight + salient mask +
+        quantizer states (`run.py:160-168`)
+     c. write back as "sim" (dense fake-quant floats — the reference's only
+        mode) or "packed" (real PBW bitplanes)
+     d. recompute the layer's outputs with the quantized weights → next
+        layer's inputs (`run.py:170-178`)
+
+Masks are collected per linear for the QAT-Hessian handoff (the reference's
+mask pickles, `gptq.py:108-114`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import pbw
+from ..models.linear import apply_linear, linear_shape
+from ..models.registry import Family
+from .hessian import hessian_update
+from .solver import SolverConfig, gptq_pb
+
+
+@dataclasses.dataclass
+class PTQReport:
+    errors: Dict[str, float]          # per "layer_i/name" GPTQ reconstruction error
+    masks: Dict[str, np.ndarray]      # per "layer_i/name" binarized-mask (True ⇔ binary)
+    seconds: float
+    format: str
+
+
+def _capture_forward(fam: Family, cfg, names):
+    """Jitted layer forward that also returns each linear's input activations."""
+
+    def run(lp, x):
+        captured = {}
+
+        def lf(name, lin, h):
+            if name in names:
+                captured[name] = h.reshape(-1, h.shape[-1]).astype(jnp.float32)
+            return apply_linear(lin, h)
+
+        y, _ = fam.decoder_layer(lp, x, cfg, linear_fn=lf)
+        return y, captured
+
+    return jax.jit(run)
+
+
+def _quant_forward(fam: Family, cfg):
+    def run(lp, x):
+        y, _ = fam.decoder_layer(lp, x, cfg)
+        return y
+
+    return jax.jit(run)
+
+
+def quantize_model_ptq(
+    params: Dict[str, Any],
+    cfg: Any,
+    fam: Family,
+    calib_ids: np.ndarray,           # [nsamples, seqlen] int
+    solver_cfg: SolverConfig,
+    fmt: str = "sim",                # "sim" | "packed"
+    minlayer: int = -1,
+    maxlayer: int = 100000,
+    quant_only: str = "",
+    invert: bool = False,
+    log: Optional[Callable[[str], None]] = print,
+) -> tuple[Dict[str, Any], PTQReport]:
+    """Quantize every decoder linear in place (functionally). Returns (params, report)."""
+    t0 = time.time()
+    calib_ids = np.asarray(calib_ids)
+    nsamples = calib_ids.shape[0]
+    names = fam.linear_names
+
+    embed = jax.jit(lambda ids: fam.embed(params, ids, cfg))
+    inps = [np.asarray(embed(jnp.asarray(calib_ids[j : j + 1]))) for j in range(nsamples)]
+
+    capture = _capture_forward(fam, cfg, names)
+    qforward = _quant_forward(fam, cfg)
+
+    errors: Dict[str, float] = {}
+    masks: Dict[str, np.ndarray] = {}
+    layers: List[Dict[str, Any]] = params["layers"]
+
+    for i, lp in enumerate(layers):
+        # selection semantics match `gptq_pb/run.py:122-125`
+        selected = {n for n in names if (minlayer <= i < maxlayer and quant_only in n) != invert}
+        if not selected:
+            for j in range(nsamples):
+                inps[j] = np.asarray(qforward(lp, jnp.asarray(inps[j])))
+            continue
+
+        hs = {n: jnp.zeros((linear_shape(lp[n])[0],) * 2, jnp.float32) for n in selected}
+        counts = {n: 0 for n in selected}
+        for j in range(nsamples):
+            _, captured = capture(lp, jnp.asarray(inps[j]))
+            for n in selected:
+                hs[n], counts[n] = hessian_update(hs[n], counts[n], captured[n])
+
+        for n in sorted(selected):
+            lin = lp[n]
+            w = lin["w"].T.astype(jnp.float32)  # [ic, oc] -> reference [oc, ic]
+            out = gptq_pb(w, hs[n], solver_cfg)
+            key = f"layer_{i}/{n}"
+            errors[key] = float(out["error"])
+            masks[key] = np.asarray(out["mask"])
+            if log:
+                log(f"{key}: error {errors[key]:.4f}")
+            if fmt == "packed":
+                packed, diag = pbw.pack_linear(
+                    out["w_q"], out["mask"], out["low_state"], out["high_state"],
+                    solver_cfg.low_method, solver_cfg.groupsize,
+                    bias=lin.get("b"),
+                )
+                if diag["pack_mismatch"] > 0 and log:
+                    log(f"{key}: pack mismatch fraction {diag['pack_mismatch']:.2e}")
+                lp[n] = packed
+            else:
+                lp[n] = {"w": out["w_q"].T.astype(lin["w"].dtype), "b": lin.get("b")}
+            del out
+
+        for j in range(nsamples):
+            inps[j] = np.asarray(qforward(lp, jnp.asarray(inps[j])))
+
+    report = PTQReport(errors=errors, masks=masks, seconds=time.time() - t0, format=fmt)
+    return params, report
+
+
+def save_masks(path: str, masks: Dict[str, np.ndarray], low_frac: float) -> None:
+    """Persist salient masks for the QAT-Hessian handoff.
+
+    Same role as the reference's `outputs/mask/mask_{low_frac}_{name}.pkl`
+    (`gptq_pb/gptq.py:108-114`), as one npz instead of per-layer pickles.
+    """
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, __low_frac__=np.float64(low_frac), **{k: v for k, v in masks.items()})
+
+
+def load_masks(path: str) -> tuple[Dict[str, np.ndarray], float]:
+    z = np.load(path)
+    masks = {k: z[k] for k in z.files if k != "__low_frac__"}
+    return masks, float(z["__low_frac__"])
