@@ -4,17 +4,19 @@ The reference (hahnyuan/PB-LLM) never packs bits: it simulates quantization in
 float (`gptq_pb/low_quant.py:71-96`) and runs dense fp matmuls. Here bits are
 stored for real, in a layout chosen for the TPU unpack kernel:
 
-**Bit-plane-major ("strided") layout.** A bit matrix ``bits[ic, oc]`` packs
-along the *ic* (contraction) axis into ``words[G, oc]`` uint32 with
-``G = ic // 32``, such that bit ``b`` of ``words[g, :]`` holds row
-``b * G + g``.  Unpacking is then a pure broadcast + shift:
+**Block-local bit-plane-major layout.** Rows are grouped into *pack blocks*
+of ``PACK_BLOCK = 256`` rows (the last block may be shorter, any multiple of
+32).  Within a block of ``r`` rows (``g = r // 32`` words), bit ``b`` of
+``words[gi, :]`` holds block-row ``b * g + gi``.  Unpacking a block is then a
+pure broadcast + shift + row-major reshape:
 
-    rows = ((words[None, :, :] >> iota_b[:, None, None]) & 1)   # [32, G, oc]
-    bits = rows.reshape(32 * G, oc)                             # natural order
+    rows = ((words[None, :, :] >> iota_b[:, None, None]) & 1)   # [32, g, oc]
+    bits = rows.reshape(32 * g, oc)                             # natural order
 
-i.e. the reshape that restores natural row order is a contiguous row-major
-collapse — no interleaving gather, which matters inside a Pallas kernel where
-lane-crossing shuffles are expensive.  The last axis (oc) stays on vector
+— no interleaving gather, which matters inside a Pallas kernel where
+lane-crossing shuffles are expensive.  The block-local structure means a
+kernel tile whose rows are a whole number of pack blocks can unpack
+independently of the rest of the matrix.  The last axis (oc) stays on vector
 lanes untouched.
 
 ic must be a multiple of 32; callers pad (padded x-rows are zero so padded
@@ -27,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 WORD_BITS = 32
+PACK_BLOCK = 256  # rows per independently-packed block (8 words)
 
 
 def _check_rows(ic: int) -> int:
@@ -35,41 +38,71 @@ def _check_rows(ic: int) -> int:
     return ic // WORD_BITS
 
 
+def _block_sizes(ic: int):
+    sizes = []
+    while ic > 0:
+        sizes.append(min(ic, PACK_BLOCK))
+        ic -= sizes[-1]
+    return sizes
+
+
 def pack_bits(bits) -> jnp.ndarray:
-    """Pack a {0,1} matrix [ic, oc] into uint32 words [ic//32, oc] (strided layout)."""
+    """Pack a {0,1} matrix [ic, oc] into uint32 words [ic//32, oc] (block-local layout)."""
     ic, oc = bits.shape
-    g = _check_rows(ic)
-    b3 = jnp.asarray(bits, jnp.uint32).reshape(WORD_BITS, g, oc)
-    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32).reshape(WORD_BITS, 1, 1)
-    return jnp.sum(b3 << shifts, axis=0, dtype=jnp.uint32)
+    _check_rows(ic)
+    bits = jnp.asarray(bits, jnp.uint32)
+    chunks, st = [], 0
+    for r in _block_sizes(ic):
+        g = r // WORD_BITS
+        b3 = bits[st : st + r].reshape(WORD_BITS, g, oc)
+        shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32).reshape(WORD_BITS, 1, 1)
+        chunks.append(jnp.sum(b3 << shifts, axis=0, dtype=jnp.uint32))
+        st += r
+    return jnp.concatenate(chunks, axis=0)
 
 
 def unpack_bits(words, ic: int) -> jnp.ndarray:
     """Inverse of :func:`pack_bits` → uint32 {0,1} matrix [ic, oc]."""
-    g, oc = words.shape
-    if g * WORD_BITS != ic:
-        raise ValueError(f"word rows {g} inconsistent with ic={ic}")
-    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32).reshape(WORD_BITS, 1, 1)
-    rows = (words[None, :, :] >> shifts) & jnp.uint32(1)
-    return rows.reshape(ic, oc)
+    gtot, oc = words.shape
+    if gtot * WORD_BITS != ic:
+        raise ValueError(f"word rows {gtot} inconsistent with ic={ic}")
+    chunks, st = [], 0
+    for r in _block_sizes(ic):
+        g = r // WORD_BITS
+        shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32).reshape(WORD_BITS, 1, 1)
+        rows = (words[st : st + g][None, :, :] >> shifts) & jnp.uint32(1)
+        chunks.append(rows.reshape(r, oc))
+        st += g
+    return jnp.concatenate(chunks, axis=0)
 
 
 def pack_bits_np(bits: np.ndarray) -> np.ndarray:
     """Numpy twin of :func:`pack_bits` (host-side checkpoint conversion)."""
     ic, oc = bits.shape
-    g = _check_rows(ic)
-    b3 = bits.astype(np.uint32).reshape(WORD_BITS, g, oc)
-    shifts = np.arange(WORD_BITS, dtype=np.uint32).reshape(WORD_BITS, 1, 1)
-    return np.bitwise_or.reduce(b3 << shifts, axis=0).astype(np.uint32)
+    _check_rows(ic)
+    bits = bits.astype(np.uint32)
+    chunks, st = [], 0
+    for r in _block_sizes(ic):
+        g = r // WORD_BITS
+        b3 = bits[st : st + r].reshape(WORD_BITS, g, oc)
+        shifts = np.arange(WORD_BITS, dtype=np.uint32).reshape(WORD_BITS, 1, 1)
+        chunks.append(np.bitwise_or.reduce(b3 << shifts, axis=0).astype(np.uint32))
+        st += r
+    return np.concatenate(chunks, axis=0)
 
 
 def unpack_bits_np(words: np.ndarray, ic: int) -> np.ndarray:
-    g, oc = words.shape
-    if g * WORD_BITS != ic:
-        raise ValueError(f"word rows {g} inconsistent with ic={ic}")
-    shifts = np.arange(WORD_BITS, dtype=np.uint32).reshape(WORD_BITS, 1, 1)
-    rows = (words[None, :, :] >> shifts) & np.uint32(1)
-    return rows.reshape(ic, oc)
+    gtot, oc = words.shape
+    if gtot * WORD_BITS != ic:
+        raise ValueError(f"word rows {gtot} inconsistent with ic={ic}")
+    chunks, st = [], 0
+    for r in _block_sizes(ic):
+        g = r // WORD_BITS
+        shifts = np.arange(WORD_BITS, dtype=np.uint32).reshape(WORD_BITS, 1, 1)
+        rows = (words[st : st + g][None, :, :] >> shifts) & np.uint32(1)
+        chunks.append(rows.reshape(r, oc))
+        st += g
+    return np.concatenate(chunks, axis=0)
 
 
 def pad_rows(x, multiple: int):

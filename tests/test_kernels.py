@@ -1,0 +1,73 @@
+"""Pallas fused kernel vs the XLA dequant reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pb_llm_tpu.core import pbw
+from pb_llm_tpu.ops import binary_matmul, pallas_pb
+from pb_llm_tpu.quant.high_quant import high_calibrate, high_quantize
+from pb_llm_tpu.quant.low_quant import low_calibrate, low_quantize
+
+
+def _packed(oc, ic, groupsize=-1, frac_binary=0.8, seed=0, bias=False):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    thresh = np.quantile(np.abs(w), frac_binary)
+    mask = np.abs(w) <= thresh
+    low_state = low_calibrate(jnp.asarray(w * mask), "xnor", groupsize)
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    q_low = np.asarray(low_quantize(jnp.asarray(w), low_state, "xnor", groupsize))
+    q_high = np.asarray(high_quantize(jnp.asarray(w), high_state))
+    w_q = np.where(mask, q_low, q_high)
+    b = jnp.asarray(rng.standard_normal(oc).astype(np.float32)) if bias else None
+    p, diag = pbw.pack_linear(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state, "xnor", groupsize, bias=b)
+    assert diag["pack_mismatch"] == 0.0
+    return p
+
+
+@pytest.mark.parametrize(
+    "oc,ic,gs",
+    [
+        (128, 256, -1),      # single ic tile
+        (256, 512, -1),      # multi oc + ic tiles
+        (128, 512, 256),     # groupsize == ic tile
+        (128, 512, 128),     # two groups per ic tile
+        (128, 64, -1),       # short ic (< one pack block)
+    ],
+)
+def test_pallas_matches_xla_reference(oc, ic, gs):
+    p = _packed(oc, ic, groupsize=gs, bias=True)
+    assert pallas_pb.pallas_supported(p)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((5, ic)).astype(np.float32))
+    y_ref = pbw.matmul_reference(x, p)
+    y_pal = pallas_pb.pb_matmul_pallas(x, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_no_bias_and_tall_x():
+    p = _packed(128, 256, bias=False)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((64, 256)).astype(np.float32))
+    y_ref = pbw.matmul_reference(x, p)
+    y_pal = pallas_pb.pb_matmul_pallas(x, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_dispatch_backend_control():
+    p = _packed(128, 256)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((3, 256)).astype(np.float32))
+    binary_matmul.set_backend("xla")
+    y_x = binary_matmul.pb_matmul(x, p)
+    binary_matmul.set_backend("pallas_interpret")
+    y_p = binary_matmul.pb_matmul(x, p)
+    binary_matmul.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-4)
+
+
+def test_unsupported_shapes_fall_back():
+    p = _packed(48, 32)  # oc not a lane multiple
+    assert not pallas_pb.pallas_supported(p)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 32)).astype(np.float32))
+    binary_matmul.set_backend("auto")
+    y = binary_matmul.pb_matmul(x, p)  # must not crash; uses XLA path
+    np.testing.assert_allclose(np.asarray(y), np.asarray(pbw.matmul_reference(x, p)), rtol=1e-5)

@@ -25,7 +25,7 @@ def test_pack_unpack_roundtrip_np_matches_jnp():
 
 
 def test_strided_layout_definition():
-    # bit b of word g holds row b*G + g
+    # within one pack block: bit b of word g holds row b*G + g
     ic, oc = 64, 3
     g_count = ic // 32
     bits = np.zeros((ic, oc), np.uint32)
@@ -33,6 +33,26 @@ def test_strided_layout_definition():
     words = np.asarray(packing.pack_bits(jnp.asarray(bits)))
     assert words[1, 2] == 2
     assert words.sum() == 2
+
+
+def test_multiblock_roundtrip():
+    # ic spanning several 256-row pack blocks plus a short tail block
+    rng = np.random.default_rng(7)
+    ic = 256 * 2 + 96
+    bits = rng.integers(0, 2, size=(ic, 8)).astype(np.uint32)
+    words = packing.pack_bits(jnp.asarray(bits))
+    assert words.shape == (ic // 32, 8)
+    np.testing.assert_array_equal(np.asarray(packing.unpack_bits(words, ic)), bits)
+    np.testing.assert_array_equal(packing.pack_bits_np(bits), np.asarray(words))
+
+
+def test_block_locality():
+    # block k's words depend only on block k's rows
+    rng = np.random.default_rng(8)
+    bits = rng.integers(0, 2, size=(512, 4)).astype(np.uint32)
+    w_all = np.asarray(packing.pack_bits(jnp.asarray(bits)))
+    w_blk1 = np.asarray(packing.pack_bits(jnp.asarray(bits[256:])))
+    np.testing.assert_array_equal(w_all[8:], w_blk1)
 
 
 def test_pad_rows():
