@@ -1,0 +1,149 @@
+"""Benchmark: fused packed matmul vs dense bf16 on llama-7b decode shapes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Methodology (the axon TPU tunnel has ~8ms dispatch and ~30ms host-fetch
+latency, and block_until_ready does not actually block, so naive timing is
+meaningless):
+  * iterate the matmul inside one jitted `lax.scan`, cycling through K
+    DISTINCT weight tensors so weights actually stream from HBM each
+    iteration (a single weight would become VMEM-resident);
+  * time two loop lengths and take the slope, syncing by fetching a scalar
+    reduction to host;
+  * min over repetitions.
+
+vs_baseline = dense_bf16_time / packed_time for the same logical matmul
+(>1 means the packed path is faster than the framework's own dense bf16;
+the reference itself runs dense fp16 torch on GPU and publishes no speed
+numbers — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+M = 8               # decode token batch per step
+IC, OC = 4096, 11008  # llama-7b MLP up-projection
+K = 8               # distinct weight tensors per loop (forces HBM streaming)
+L_SHORT, L_LONG = 16, 144
+FRAC_BINARY = 0.9   # BASELINE.json north-star config: low_frac=0.9
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_planes(seed):
+    from pb_llm_tpu.core import packing
+
+    r = np.random.default_rng(seed)
+    w = r.standard_normal((OC, IC)).astype(np.float32)
+    thresh = np.quantile(np.abs(w), FRAC_BINARY)
+    mask = np.abs(w) <= thresh
+    wm = (w * mask).astype(np.float32)
+    mean = wm.mean(-1)
+    scale = np.abs(wm - mean[:, None]).mean(-1)
+    xmin = np.minimum(w.min(1), 0)
+    xmax = np.maximum(w.max(1), 0)
+    hs = ((xmax - xmin) / 255).astype(np.float32)
+    hz = np.round(-xmin / hs).astype(np.float32)
+    codes = np.clip(np.round(w / hs[:, None]) + hz[:, None], 0, 255)
+    bits = ((w - mean[:, None]) >= 0).T
+    salient = (~mask).T
+    return (
+        packing.pack_bits_np(bits.astype(np.uint32)),
+        packing.pack_bits_np(salient.astype(np.uint32)),
+        np.where(salient, codes.T, 0).astype(np.uint8),
+        scale[None, :].astype(np.float32),
+        mean[None, :].astype(np.float32),
+        hs,
+        hz,
+    )
+
+
+def slope_time(loop_maker, args, reps=4):
+    """Per-iteration seconds via two-length slope, min over reps."""
+    xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32)) for i in range(reps + 2)]
+    res = {}
+    for L in (L_SHORT, L_LONG):
+        f = loop_maker(L)
+        float(f(xs[0], *args))  # compile + warm
+        ts = []
+        for i in range(1, reps + 1):
+            t0 = time.perf_counter()
+            float(f(xs[i], *args))
+            ts.append(time.perf_counter() - t0)
+        res[L] = min(ts)
+    return (res[L_LONG] - res[L_SHORT]) / (L_LONG - L_SHORT)
+
+
+def bench_dense():
+    W = jnp.asarray(np.random.default_rng(1).standard_normal((K, IC, OC)), jnp.bfloat16)
+
+    def mk(L):
+        @jax.jit
+        def loop(x, W):
+            def body(c, k):
+                y = (c.astype(jnp.bfloat16) @ W[k]).astype(jnp.float32)
+                return c + y[:, :IC] * 1e-8, ()
+            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+            return jnp.sum(c)
+        return loop
+
+    return slope_time(mk, (W,))
+
+
+def bench_packed():
+    from pb_llm_tpu.core import pbw
+    from pb_llm_tpu.ops import pallas_pb
+
+    planes = [make_planes(s) for s in range(K)]
+    stk = tuple(jnp.asarray(np.stack([p[i] for p in planes])) for i in range(7))
+
+    def mk(L):
+        @jax.jit
+        def loop(x, s0, s1, s2, s3, s4, s5, s6):
+            def body(c, k):
+                p = pbw.PackedLinear(
+                    sign_packed=s0[k], mask_packed=s1[k], sidecar=s2[k],
+                    low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
+                    bias=None, ic=IC, oc=OC, groupsize=IC,
+                )
+                y = pallas_pb.pb_matmul_pallas(c, p)
+                return c + y[:, :IC] * 1e-8, ()
+            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+            return jnp.sum(c)
+        return loop
+
+    return slope_time(mk, stk)
+
+
+def main():
+    backend = jax.default_backend()
+    log(f"backend: {backend}")
+    t_dense = bench_dense()
+    log(f"dense bf16: {t_dense*1e6:.1f} us/matmul ({IC*OC*2/t_dense/1e9:.0f} GB/s weight stream)")
+    t_packed = bench_packed()
+    pbits = IC * OC * 10 / 8
+    log(f"packed pb: {t_packed*1e6:.1f} us/matmul ({pbits/t_packed/1e9:.0f} GB/s packed stream)")
+    print(
+        json.dumps(
+            {
+                "metric": f"fused PB-matmul decode throughput, llama-7b MLP shape {IC}x{OC}, m={M}, low_frac={FRAC_BINARY} (bf16-equivalent GB/s)",
+                "value": round(IC * OC * 2 / t_packed / 1e9, 1),
+                "unit": "GB/s",
+                "vs_baseline": round(t_dense / t_packed, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Shared attention helpers: causal masking and KV-cache updates that accept
+a scalar position (prefill/eval) OR a per-batch position vector [B]
+(continuous-batching decode, where every slot is at a different length).
+
+The reference has no inference engine at all (SURVEY.md §3.5) — its "decode"
+is a full dense forward.  These helpers are the building blocks of the
+engine the TPU build adds.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Pos = Union[int, jnp.ndarray]
+
+
+def causal_allowed(pos: Pos, t: int, s: int, kv_len_valid: Optional[Pos]) -> jnp.ndarray:
+    """Boolean [*, 1, t, s] mask of allowed attention (broadcasts over heads).
+
+    Query i sits at absolute position pos(+i); keys are cache rows 0..s-1;
+    rows at or before the query and inside the valid cache length attend.
+    """
+    p = jnp.asarray(pos)
+    kpos = jnp.arange(s)
+    if p.ndim == 0:
+        qpos = p + jnp.arange(t)
+        allowed = kpos[None, :] <= qpos[:, None]              # [t, s]
+        if kv_len_valid is not None:
+            allowed = allowed & (kpos[None, :] < jnp.asarray(kv_len_valid))
+        return allowed[None, None]                            # [1, 1, t, s]
+    qpos = p[:, None] + jnp.arange(t)[None, :]                # [B, t]
+    allowed = kpos[None, None, :] <= qpos[:, :, None]         # [B, t, s]
+    if kv_len_valid is not None:
+        kl = jnp.asarray(kv_len_valid)
+        allowed = allowed & (kpos[None, None, :] < kl[:, None, None])
+    return allowed[:, None]                                   # [B, 1, t, s]
+
+
+def masked_softmax_attention(q, k, v, allowed, scale) -> jnp.ndarray:
+    """q:[B,t,Hq,d] k,v:[B,s,H,d] allowed:[*,1,t,s] → [B,t,Hq,d].
+
+    Softmax in float32 (parity with the reference models' fp behavior)."""
+    hq, hkv = q.shape[2], k.shape[2]
+    if hq != hkv:
+        k = jnp.repeat(k, hq // hkv, axis=2)
+        v = jnp.repeat(v, hq // hkv, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q * scale, k)
+    scores = jnp.where(allowed, scores.astype(jnp.float32), -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, pos: Pos) -> Dict[str, jnp.ndarray]:
+    """Write k/v [B, t, H, d] into cache [B, S, H, d] at position(s) ``pos``."""
+    p = jnp.asarray(pos)
+    ck, cv = cache["k"], cache["v"]
+    if p.ndim == 0:
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, p, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, p, 0, 0))
+    else:
+        b, t = k.shape[:2]
+        rows = jnp.arange(b)[:, None]                        # [B, 1]
+        cols = p[:, None] + jnp.arange(t)[None, :]           # [B, t]
+        ck = ck.at[rows, cols].set(k.astype(ck.dtype))
+        cv = cv.at[rows, cols].set(v.astype(cv.dtype))
+    return {"k": ck, "v": cv}

@@ -116,22 +116,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return x * cos + rotated * sin
 
 
-def _attention(q, k, v, causal_offset: int = 0, kv_len_valid=None):
-    """q:[B,T,Hq,d] k,v:[B,S,Hkv,d] → [B,T,Hq,d]; causal over absolute positions."""
-    b, t, hq, d = q.shape
-    s, hkv = k.shape[1], k.shape[2]
-    if hq != hkv:
-        k = jnp.repeat(k, hq // hkv, axis=2)
-        v = jnp.repeat(v, hq // hkv, axis=2)
-    scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(jnp.float32(d)).astype(q.dtype)
-    qpos = causal_offset + jnp.arange(t)[:, None]
-    kpos = jnp.arange(s)[None, :]
-    allowed = kpos <= qpos
-    if kv_len_valid is not None:
-        allowed = allowed & (kpos < kv_len_valid)
-    scores = jnp.where(allowed[None, None], scores.astype(jnp.float32), -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhts,bshd->bthd", probs, v)
+from .attention import cache_update, causal_allowed, masked_softmax_attention  # noqa: E402
 
 
 def decoder_layer(
@@ -156,13 +141,14 @@ def decoder_layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    scale = jnp.asarray(1.0 / jnp.sqrt(jnp.float32(hd)), x.dtype)
     if kv_cache is not None:
-        ck = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, pos, 0, 0))
-        kv_cache = {"k": ck, "v": cv}
-        attn = _attention(q, ck.astype(q.dtype), cv.astype(q.dtype), causal_offset=pos, kv_len_valid=pos + t)
+        kv_cache = cache_update(kv_cache, k, v, pos)
+        s = kv_cache["k"].shape[1]
+        allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
+        attn = masked_softmax_attention(q, kv_cache["k"].astype(q.dtype), kv_cache["v"].astype(q.dtype), allowed, scale)
     else:
-        attn = _attention(q, k, v)
+        attn = masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
     attn = attn.reshape(b, t, cfg.num_attention_heads * hd)
     x = x + lf("o_proj", lp["o_proj"], attn)
 
@@ -183,7 +169,8 @@ def forward(
 ) -> Tuple[jnp.ndarray, Optional[List[Dict[str, jnp.ndarray]]]]:
     """input_ids [B, T] → logits [B, T, V] (and updated caches if given)."""
     x = params["embed_tokens"][input_ids]
-    positions = pos + jnp.arange(input_ids.shape[1])
+    p = jnp.asarray(pos)
+    positions = (p[..., None] if p.ndim else p) + jnp.arange(input_ids.shape[1])
     cos, sin = rope_tables(cfg, positions)
     cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
     new_caches = [] if kv_caches is not None else None

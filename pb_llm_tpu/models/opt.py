@@ -111,18 +111,7 @@ def layer_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], eps: float) -> jnp.nda
     return y.astype(x.dtype) * p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
-def _attention(q, k, v, scaling, causal_offset=0, kv_len_valid=None):
-    b, t, hq, d = q.shape
-    s = k.shape[1]
-    scores = jnp.einsum("bthd,bshd->bhts", q * scaling, k)
-    qpos = causal_offset + jnp.arange(t)[:, None]
-    kpos = jnp.arange(s)[None, :]
-    allowed = kpos <= qpos
-    if kv_len_valid is not None:
-        allowed = allowed & (kpos < kv_len_valid)
-    scores = jnp.where(allowed[None, None], scores.astype(jnp.float32), -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhts,bshd->bthd", probs, v)
+from .attention import cache_update, causal_allowed, masked_softmax_attention  # noqa: E402
 
 
 def decoder_layer(
@@ -142,13 +131,14 @@ def decoder_layer(
     q = lf("q_proj", lp["q_proj"], h).reshape(b, t, nh, hd)
     k = lf("k_proj", lp["k_proj"], h).reshape(b, t, nh, hd)
     v = lf("v_proj", lp["v_proj"], h).reshape(b, t, nh, hd)
+    scale = jnp.asarray(hd**-0.5, x.dtype)
     if kv_cache is not None:
-        ck = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, pos, 0, 0))
-        kv_cache = {"k": ck, "v": cv}
-        attn = _attention(q, ck.astype(q.dtype), cv.astype(q.dtype), hd**-0.5, causal_offset=pos, kv_len_valid=pos + t)
+        kv_cache = cache_update(kv_cache, k, v, pos)
+        s = kv_cache["k"].shape[1]
+        allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
+        attn = masked_softmax_attention(q, kv_cache["k"].astype(q.dtype), kv_cache["v"].astype(q.dtype), allowed, scale)
     else:
-        attn = _attention(q, k, v, hd**-0.5)
+        attn = masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
     attn = attn.reshape(b, t, hsz)
     x = residual + lf("out_proj", lp["out_proj"], attn)
     if not cfg.do_layer_norm_before:
@@ -168,8 +158,10 @@ def embed(params: Dict[str, Any], input_ids: jnp.ndarray, cfg: OPTConfig, pos: i
     x = params["embed_tokens"][input_ids]
     if params.get("project_in") is not None:
         x = apply_linear(params["project_in"], x)
-    positions = pos + jnp.arange(input_ids.shape[1]) + POS_OFFSET
-    return x + params["embed_positions"][positions][None, :, :]
+    p = jnp.asarray(pos)
+    positions = (p[..., None] if p.ndim else p) + jnp.arange(input_ids.shape[1]) + POS_OFFSET
+    pe = params["embed_positions"][positions]
+    return x + (pe if pe.ndim == 3 else pe[None, :, :])
 
 
 def head(params: Dict[str, Any], x: jnp.ndarray, cfg: OPTConfig) -> jnp.ndarray:

@@ -32,7 +32,8 @@ def _llama_embed(params, ids, cfg, pos=0):
 def _llama_layer(lp, x, cfg, linear_fn=None, kv_cache=None, pos=0):
     import jax.numpy as jnp
 
-    positions = pos + jnp.arange(x.shape[1])
+    p = jnp.asarray(pos)
+    positions = (p[..., None] if p.ndim else p) + jnp.arange(x.shape[1])
     cos, sin = _llama.rope_tables(cfg, positions)
     return _llama.decoder_layer(lp, x, cfg, cos.astype(x.dtype), sin.astype(x.dtype), linear_fn, kv_cache, pos)
 

@@ -1,0 +1,97 @@
+"""Continuous batching scheduler on top of `runtime.engine.Engine`.
+
+Host-side loop: admit queued requests into free slots (prefill), then run
+batched decode steps over the full pool; requests retire on EOS or their
+token budget, freeing their slot for the next queued request mid-stream —
+no "wait for the whole batch" barrier.  This is the serving layer the
+reference lacks entirely (BASELINE.json north star: continuous batching
+across hosts; the multi-host variant broadcasts admissions from host 0 over
+DCN — see `parallel.mesh.multihost_initialize`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+from .engine import Engine
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt_ids: List[int]
+    max_new_tokens: int = 64
+    eos_token_id: Optional[int] = None
+    # filled during serving
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@dataclasses.dataclass
+class BatcherStats:
+    generated_tokens: int = 0
+    decode_steps: int = 0
+    prefills: int = 0
+    wall_seconds: float = 0.0
+
+    @property
+    def tokens_per_second(self) -> float:
+        return self.generated_tokens / self.wall_seconds if self.wall_seconds else 0.0
+
+
+class ContinuousBatcher:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.queue: deque[Request] = deque()
+        self.slot_to_request: Dict[int, Request] = {}
+        self.stats = BatcherStats()
+
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        for slot in self.engine.free_slots():
+            if not self.queue:
+                break
+            req = self.queue.popleft()
+            first = self.engine.prefill(slot, req.prompt_ids)
+            self.stats.prefills += 1
+            req.output_ids.append(first)
+            self.stats.generated_tokens += 1
+            self.slot_to_request[slot] = req
+            self._maybe_retire(slot, first)
+
+    def _maybe_retire(self, slot: int, token: int) -> None:
+        req = self.slot_to_request[slot]
+        hit_eos = req.eos_token_id is not None and token == req.eos_token_id
+        out_of_budget = len(req.output_ids) >= req.max_new_tokens
+        out_of_cache = self.engine.lengths[slot] + 1 >= self.engine.ecfg.max_seq
+        if hit_eos or out_of_budget or out_of_cache:
+            req.done = True
+            del self.slot_to_request[slot]
+            self.engine.release(slot)
+
+    def step(self) -> None:
+        """One scheduler tick: admit new work, then one batched decode step."""
+        self._admit()
+        for slot, tok in self.engine.decode_step().items():
+            req = self.slot_to_request.get(slot)
+            if req is None:
+                continue
+            req.output_ids.append(tok)
+            self.stats.generated_tokens += 1
+            self._maybe_retire(slot, tok)
+        self.stats.decode_steps += 1
+
+    def run(self, requests: Sequence[Request]) -> List[Request]:
+        """Serve all requests to completion; returns them with outputs."""
+        for r in requests:
+            self.submit(r)
+        t0 = time.time()
+        while self.queue or self.slot_to_request:
+            self.step()
+        self.stats.wall_seconds += time.time() - t0
+        return list(requests)

@@ -1,0 +1,159 @@
+"""Inference engine: bucketed prefill + batched decode over a slot pool.
+
+The reference has no serving path at all — after quantization it runs plain
+dense HF forwards (SURVEY.md §3.5).  This engine is the TPU-native addition:
+
+  * static-shape jitted programs only: one prefill program per (bucket
+    length) and ONE decode program for the whole slot pool — per-slot
+    positions are a traced vector, so slots at different lengths batch
+    together (continuous batching);
+  * works with dense, fake-quant ("sim") and bit-packed (PBW + Pallas
+    kernel) parameters — whatever the param tree's linear leaves are;
+  * optional mesh: params sharded by `parallel.sharding` run the same
+    programs under GSPMD (dense/sim). Packed multi-chip decode goes through
+    `parallel.collectives` (shard_map) — see `tp_decode_step`.
+
+Scheduling (host side) lives in `runtime.batching.ContinuousBatcher`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.registry import Family
+from . import kv_cache as kvmod
+from .sampler import SamplingParams, sample
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    n_slots: int = 8
+    max_seq: int = 2048
+    prefill_buckets: Sequence[int] = (32, 128, 512, 2048)
+    cache_dtype: Any = jnp.float32
+
+
+class Engine:
+    """Low-level engine: claims slots, prefills prompts, steps decode."""
+
+    def __init__(self, params, cfg, fam: Family, ecfg: EngineConfig, sampling: SamplingParams = SamplingParams()):
+        self.params = params
+        self.cfg = cfg
+        self.fam = fam
+        self.ecfg = ecfg
+        self.sampling = sampling
+        n_layers, kv_heads, head_dim = kvmod.cache_spec_for(cfg, fam.name)
+        self.caches = kvmod.make_caches(cfg, ecfg.n_slots, ecfg.max_seq, n_layers, kv_heads, head_dim, ecfg.cache_dtype)
+        self.lengths = np.zeros(ecfg.n_slots, np.int32)
+        self.active = np.zeros(ecfg.n_slots, bool)
+        self.last_token = np.zeros(ecfg.n_slots, np.int32)
+        self._key = jax.random.PRNGKey(0)
+        self._prefill_jit: Dict[int, Any] = {}
+        self._decode_jit = None
+
+    # ---------------- slot management ----------------
+
+    def free_slots(self) -> List[int]:
+        return [i for i in range(self.ecfg.n_slots) if not self.active[i]]
+
+    def release(self, slot: int) -> None:
+        self.active[slot] = False
+        self.lengths[slot] = 0
+
+    # ---------------- prefill ----------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.ecfg.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds largest bucket")
+
+    def _make_prefill(self, bucket: int):
+        fam, cfg = self.fam, self.cfg
+
+        def prefill(params, caches, ids_padded, slot, true_len):
+            # run the model over the bucket with batch=1 cache rows at `slot`
+            slot_caches = [
+                {"k": jax.lax.dynamic_slice_in_dim(c["k"], slot, 1, 0),
+                 "v": jax.lax.dynamic_slice_in_dim(c["v"], slot, 1, 0)}
+                for c in caches
+            ]
+            logits, new_slot_caches = fam.forward(params, ids_padded[None, :], cfg, kv_caches=slot_caches, pos=0)
+            caches = [
+                {"k": jax.lax.dynamic_update_slice_in_dim(c["k"], nc["k"], slot, 0),
+                 "v": jax.lax.dynamic_update_slice_in_dim(c["v"], nc["v"], slot, 0)}
+                for c, nc in zip(caches, new_slot_caches)
+            ]
+            next_logits = logits[0, true_len - 1]
+            return caches, next_logits
+
+        return jax.jit(prefill)
+
+    def prefill(self, slot: int, prompt_ids: Sequence[int]) -> int:
+        """Fill a slot's cache with the prompt; returns the first generated token."""
+        n = len(prompt_ids)
+        if n >= self.ecfg.max_seq:
+            raise ValueError("prompt longer than max_seq")
+        bucket = self._bucket(n)
+        if bucket not in self._prefill_jit:
+            self._prefill_jit[bucket] = self._make_prefill(bucket)
+        ids = np.zeros(bucket, np.int32)
+        ids[:n] = prompt_ids
+        self.caches, next_logits = self._prefill_jit[bucket](
+            self.params, self.caches, jnp.asarray(ids), slot, n
+        )
+        self._key, sub = jax.random.split(self._key)
+        tok = int(sample(next_logits[None, :], sub, self.sampling)[0])
+        self.lengths[slot] = n
+        self.active[slot] = True
+        self.last_token[slot] = tok
+        return tok
+
+    # ---------------- decode ----------------
+
+    def _make_decode(self):
+        fam, cfg = self.fam, self.cfg
+        sampling = self.sampling
+
+        def decode(params, caches, last_tokens, lengths, active, key):
+            # one token for every slot; per-slot positions = lengths
+            logits, caches = fam.forward(
+                params, last_tokens[:, None], cfg, kv_caches=caches, pos=lengths
+            )
+            toks = sample(logits[:, 0, :], key, sampling)
+            toks = jnp.where(active, toks, 0)
+            lengths = jnp.where(active, lengths + 1, lengths)
+            return caches, toks, lengths
+
+        return jax.jit(decode)
+
+    def decode_step(self) -> Dict[int, int]:
+        """Advance every active slot one token. Returns {slot: token}."""
+        if not self.active.any():
+            return {}
+        if self._decode_jit is None:
+            self._decode_jit = self._make_decode()
+        self._key, sub = jax.random.split(self._key)
+        self.caches, toks, lengths = self._decode_jit(
+            self.params,
+            self.caches,
+            jnp.asarray(self.last_token),
+            jnp.asarray(self.lengths),
+            jnp.asarray(self.active),
+            sub,
+        )
+        toks = np.asarray(toks)
+        self.lengths = np.array(lengths)  # writable host copy
+        out = {}
+        for i in range(self.ecfg.n_slots):
+            if self.active[i]:
+                # cache row written at old length; emitted token appended
+                self.last_token[i] = int(toks[i])
+                out[i] = int(toks[i])
+        return out

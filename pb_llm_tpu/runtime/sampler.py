@@ -1,0 +1,40 @@
+"""Token samplers for the decode loop (greedy / temperature / top-k / top-p).
+
+The reference has no generation engine (its only sampling is
+`model.generate` in a demo helper, `utils.py:127-137`); these are the
+engine's jit-compatible samplers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 0.0   # 0 → greedy
+    top_k: int = 0             # 0 → disabled
+    top_p: float = 1.0         # 1 → disabled
+
+
+def sample(logits: jnp.ndarray, key: jax.Array, params: SamplingParams) -> jnp.ndarray:
+    """logits [B, V] → token ids [B]."""
+    if params.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits.astype(jnp.float32) / params.temperature
+    if params.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if params.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p; keep at least 1
+        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)

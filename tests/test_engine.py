@@ -1,0 +1,130 @@
+"""Engine + continuous batching: decode parity with full forward, scheduling."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from pb_llm_tpu.models import hf_import
+from pb_llm_tpu.models.registry import family_for
+from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+from pb_llm_tpu.runtime.sampler import SamplingParams, sample
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64, word_embed_proj_dim=32, dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = OPTForCausalLM(hf_cfg).eval().float()
+    params, cfg, _ = hf_import.from_torch_model(model)
+    return params, cfg, family_for("opt")
+
+
+def _greedy_reference(params, cfg, fam, prompt, steps):
+    """Reference greedy generation via full (uncached) forwards."""
+    ids = list(prompt)
+    for _ in range(steps):
+        logits, _ = fam.forward(params, jnp.asarray([ids]), cfg)
+        ids.append(int(jnp.argmax(logits[0, -1])))
+    return ids[len(prompt):]
+
+
+def test_engine_greedy_matches_full_forward(engine_setup):
+    params, cfg, fam = engine_setup
+    eng = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=48, prefill_buckets=(8, 16)))
+    prompt = [5, 17, 99, 3]
+    want = _greedy_reference(params, cfg, fam, prompt, steps=6)
+
+    got = [eng.prefill(0, prompt)]
+    for _ in range(5):
+        got.append(eng.decode_step()[0])
+    assert got == want
+
+
+def test_engine_interleaved_slots(engine_setup):
+    """Two requests at different lengths decode together, matching refs."""
+    params, cfg, fam = engine_setup
+    eng = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=48, prefill_buckets=(8, 16)))
+    p0, p1 = [5, 17, 99, 3], [42, 7, 11, 23, 60, 2, 19]
+    w0 = _greedy_reference(params, cfg, fam, p0, steps=5)
+    w1 = _greedy_reference(params, cfg, fam, p1, steps=4)
+
+    g0 = [eng.prefill(0, p0)]
+    g0.append(eng.decode_step()[0])          # slot 0 decodes alone first
+    g1 = [eng.prefill(1, p1)]                # slot 1 joins mid-stream
+    for _ in range(3):
+        out = eng.decode_step()
+        g0.append(out[0])
+        g1.append(out[1])
+    assert g0 == w0
+    assert g1 == w1
+
+
+def test_continuous_batcher_completes_more_requests_than_slots(engine_setup):
+    params, cfg, fam = engine_setup
+    eng = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,)))
+    batcher = ContinuousBatcher(eng)
+    reqs = [Request(request_id=i, prompt_ids=[1 + i, 2 + i, 3 + i], max_new_tokens=4) for i in range(5)]
+    done = batcher.run(reqs)
+    assert all(r.done for r in done)
+    assert all(len(r.output_ids) == 4 for r in done)
+    assert batcher.stats.generated_tokens == 20
+    assert not eng.active.any()
+
+    # outputs match per-request reference generation (order-independent)
+    for r in done:
+        want = _greedy_reference(params, cfg, fam, r.prompt_ids, steps=4)
+        assert r.output_ids == want
+
+
+def test_eos_retires_early(engine_setup):
+    params, cfg, fam = engine_setup
+    prompt = [9, 9, 9]
+    first = _greedy_reference(params, cfg, fam, prompt, steps=1)[0]
+    eng = Engine(params, cfg, fam, EngineConfig(n_slots=1, max_seq=32, prefill_buckets=(8,)))
+    batcher = ContinuousBatcher(eng)
+    req = Request(request_id=0, prompt_ids=prompt, max_new_tokens=10, eos_token_id=first)
+    batcher.run([req])
+    assert req.done and len(req.output_ids) == 1  # stopped right at EOS
+
+
+def test_sampler_top_k_top_p():
+    import jax
+
+    logits = jnp.asarray(np.log(np.asarray([[0.5, 0.3, 0.1, 0.06, 0.04]], np.float32)))
+    key = jax.random.PRNGKey(0)
+    # top_k=2: only tokens {0,1} possible
+    toks = [int(sample(logits, jax.random.fold_in(key, i), SamplingParams(temperature=1.0, top_k=2))[0]) for i in range(30)]
+    assert set(toks) <= {0, 1}
+    # top_p=0.5: only token 0 (cum 0.5 reached at first)
+    toks = [int(sample(logits, jax.random.fold_in(key, i), SamplingParams(temperature=1.0, top_p=0.5))[0]) for i in range(10)]
+    assert set(toks) == {0}
+    # greedy
+    assert int(sample(logits, key, SamplingParams())[0]) == 0
+
+
+def test_packed_params_engine(engine_setup):
+    """Engine runs with PBW-packed linears (XLA path on CPU)."""
+    import copy
+
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+
+    params, cfg, fam = engine_setup
+    calib = np.random.default_rng(0).integers(0, 128, size=(2, 16))
+    packed, _ = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.3, blocksize=16), fmt="packed", log=None,
+    )
+    eng = Engine(packed, cfg, fam, EngineConfig(n_slots=1, max_seq=32, prefill_buckets=(8,)))
+    t0 = eng.prefill(0, [5, 6, 7])
+    t1 = eng.decode_step()[0]
+    want = _greedy_reference(packed, cfg, fam, [5, 6, 7], steps=2)
+    assert [t0, t1] == want
