@@ -1,0 +1,229 @@
+"""Multiple-choice task evaluation — the lm-eval adapter the reference wraps.
+
+The reference drives lm-eval v0.3 through an `EvalLM(BaseLM)` adapter and
+`evaluator.simple_evaluate` (`evaluate.py:11-84,165-182`), with suite
+expansion "mmlu" → 57 `hendrycksTest-*` subtasks and "llmqat" →
+boolq,piqa,hellaswag,winogrande,arc_easy,arc_challenge,openbookqa
+(`evaluate.py:160-163`).  This module reimplements the scoring protocol
+natively in JAX:
+
+  * every task is a list of (context, choices, gold) examples,
+  * each choice is scored by summed log-likelihood of its tokens given the
+    context (the lm-eval `loglikelihood` request),
+  * accuracy = argmax-choice == gold; mean over tasks reported like
+    `evaluate.py:173-182`.
+
+Prompt templates follow lm-eval v0.3's default formats.  Dataset loading is
+pluggable (offline environments supply examples directly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Example:
+    context: str
+    choices: List[str]
+    gold: int
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+
+def _bucket(n: int, buckets: Sequence[int]):
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class LoglikelihoodScorer:
+    """Batched log-likelihood of continuations, with shape bucketing so jit
+    compiles a handful of programs (the EvalLM adapter's `_model_call` role,
+    `evaluate.py:75-84`)."""
+
+    def __init__(self, params, cfg, fam, tokenizer, buckets=(64, 128, 256, 512, 1024, 2048)):
+        self.params, self.cfg, self.fam, self.tok = params, cfg, fam, tokenizer
+        self.buckets = buckets
+        self._jits: Dict[int, Any] = {}
+
+    def _fn(self, blen: int):
+        if blen not in self._jits:
+            params, cfg, fam = self.params, self.cfg, self.fam
+
+            @jax.jit
+            def ll(ids, cont_start, cont_len):
+                logits, _ = fam.forward(params, ids[None, :], cfg)
+                lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+                pos = jnp.arange(ids.shape[0])
+                tgt_lp = jnp.take_along_axis(lp[:-1], ids[1:, None], axis=-1)[:, 0]
+                in_cont = (pos[1:] >= cont_start) & (pos[1:] < cont_start + cont_len)
+                greedy = jnp.argmax(lp[:-1], axis=-1) == ids[1:]
+                return jnp.sum(jnp.where(in_cont, tgt_lp, 0.0)), jnp.all(jnp.where(in_cont, greedy, True))
+
+            self._jits[blen] = ll
+        return self._jits[blen]
+
+    def score(self, context: str, continuation: str) -> tuple[float, bool]:
+        ctx = self.tok.encode(context)
+        cont = self.tok.encode(continuation)
+        ids = (ctx + cont)[-self.buckets[-1] :]
+        cont_start = len(ids) - len(cont)
+        blen = _bucket(len(ids), self.buckets)
+        padded = np.zeros(blen, np.int64)
+        padded[: len(ids)] = ids
+        ll, greedy = self._fn(blen)(jnp.asarray(padded), cont_start, len(cont))
+        return float(ll), bool(greedy)
+
+
+def evaluate_task(scorer: LoglikelihoodScorer, examples: Sequence[Example], limit: int = -1) -> Dict[str, float]:
+    if limit and limit > 0:
+        examples = examples[:limit]
+    correct = 0
+    for ex in examples:
+        lls = [scorer.score(ex.context, ch)[0] for ch in ex.choices]
+        correct += int(int(np.argmax(lls)) == ex.gold)
+    n = max(len(examples), 1)
+    return {"acc": correct / n, "n": n}
+
+
+# ---------------------------------------------------------------------------
+# task formatters (lm-eval v0.3 default prompts)
+# ---------------------------------------------------------------------------
+
+
+def fmt_boolq(doc) -> Example:
+    ctx = f"{doc['passage']}\nQuestion: {doc['question']}?\nAnswer:"
+    return Example(ctx, [" no", " yes"], int(doc["answer"]))
+
+
+def fmt_piqa(doc) -> Example:
+    return Example(f"Question: {doc['goal']}\nAnswer:", [" " + doc["sol1"], " " + doc["sol2"]], int(doc["label"]))
+
+
+def fmt_hellaswag(doc) -> Example:
+    ctx = doc["ctx_a"] + " " + doc["ctx_b"].capitalize() if doc.get("ctx_b") else doc["ctx"]
+    return Example(doc["activity_label"] + ": " + ctx, [" " + e for e in doc["endings"]], int(doc["label"]))
+
+
+def fmt_winogrande(doc) -> Example:
+    idx = doc["sentence"].index("_")
+    prefix = doc["sentence"][:idx].rstrip()
+    suffix = doc["sentence"][idx + 1 :]
+    opts = [f" {doc['option1']}{suffix}", f" {doc['option2']}{suffix}"]
+    return Example(prefix, opts, int(doc["answer"]) - 1)
+
+
+def fmt_arc(doc) -> Example:
+    ctx = f"Question: {doc['question']}\nAnswer:"
+    labels = doc["choices"]["label"]
+    gold = labels.index(doc["answerKey"])
+    return Example(ctx, [" " + t for t in doc["choices"]["text"]], gold)
+
+
+def fmt_openbookqa(doc) -> Example:
+    labels = doc["choices"]["label"]
+    return Example(doc["question_stem"], [" " + t for t in doc["choices"]["text"]], labels.index(doc["answerKey"]))
+
+
+def fmt_mmlu(doc) -> Example:
+    letters = ["A", "B", "C", "D"]
+    ctx = doc["question"] + "\n"
+    for letter, choice in zip(letters, doc["choices"]):
+        ctx += f"{letter}. {choice}\n"
+    ctx += "Answer:"
+    return Example(ctx, [f" {letter}" for letter in letters], int(doc["answer"]))
+
+
+MMLU_SUBJECTS = [
+    "abstract_algebra", "anatomy", "astronomy", "business_ethics", "clinical_knowledge",
+    "college_biology", "college_chemistry", "college_computer_science", "college_mathematics",
+    "college_medicine", "college_physics", "computer_security", "conceptual_physics",
+    "econometrics", "electrical_engineering", "elementary_mathematics", "formal_logic",
+    "global_facts", "high_school_biology", "high_school_chemistry", "high_school_computer_science",
+    "high_school_european_history", "high_school_geography", "high_school_government_and_politics",
+    "high_school_macroeconomics", "high_school_mathematics", "high_school_microeconomics",
+    "high_school_physics", "high_school_psychology", "high_school_statistics",
+    "high_school_us_history", "high_school_world_history", "human_aging", "human_sexuality",
+    "international_law", "jurisprudence", "logical_fallacies", "machine_learning", "management",
+    "marketing", "medical_genetics", "miscellaneous", "moral_disputes", "moral_scenarios",
+    "nutrition", "philosophy", "prehistory", "professional_accounting", "professional_law",
+    "professional_medicine", "professional_psychology", "public_relations", "security_studies",
+    "sociology", "us_foreign_policy", "virology", "world_religions",
+]
+
+TASK_FORMATTERS: Dict[str, Callable] = {
+    "boolq": fmt_boolq,
+    "piqa": fmt_piqa,
+    "hellaswag": fmt_hellaswag,
+    "winogrande": fmt_winogrande,
+    "arc_easy": fmt_arc,
+    "arc_challenge": fmt_arc,
+    "openbookqa": fmt_openbookqa,
+    **{f"hendrycksTest-{s}": fmt_mmlu for s in MMLU_SUBJECTS},
+}
+
+LLMQAT_SUITE = ["boolq", "piqa", "hellaswag", "winogrande", "arc_easy", "arc_challenge", "openbookqa"]
+
+
+def expand_tasks(tasks: Sequence[str]) -> List[str]:
+    """Suite expansion exactly as `evaluate.py:160-163`."""
+    out: List[str] = []
+    for t in tasks:
+        if t == "mmlu":
+            out += [f"hendrycksTest-{s}" for s in MMLU_SUBJECTS]
+        elif t == "llmqat":
+            out += LLMQAT_SUITE
+        else:
+            out.append(t)
+    return out
+
+
+def load_task_examples(task: str, split: str = "validation") -> List[Example]:
+    """HF-datasets loading (requires network or a populated cache)."""
+    from datasets import load_dataset
+
+    fmt = TASK_FORMATTERS[task]
+    if task.startswith("hendrycksTest-"):
+        ds = load_dataset("cais/mmlu", task[len("hendrycksTest-") :], split="test")
+    elif task == "boolq":
+        ds = load_dataset("super_glue", "boolq", split=split)
+    elif task == "piqa":
+        ds = load_dataset("piqa", split=split)
+    elif task == "hellaswag":
+        ds = load_dataset("hellaswag", split=split)
+    elif task == "winogrande":
+        ds = load_dataset("winogrande", "winogrande_xl", split=split)
+    elif task in ("arc_easy", "arc_challenge"):
+        ds = load_dataset("ai2_arc", "ARC-Easy" if task == "arc_easy" else "ARC-Challenge", split=split)
+    elif task == "openbookqa":
+        ds = load_dataset("openbookqa", "main", split=split)
+    else:
+        raise NotImplementedError(task)
+    return [fmt(d) for d in ds]
+
+
+def evaluate_model_tasks(
+    params, cfg, fam, tokenizer,
+    tasks: Sequence[str],
+    limit: int = -1,
+    examples_by_task: Optional[Dict[str, List[Example]]] = None,
+) -> Dict[str, Any]:
+    """Mean-accuracy report like `evaluate.py:165-182`."""
+    scorer = LoglikelihoodScorer(params, cfg, fam, tokenizer)
+    results = {}
+    for t in expand_tasks(tasks):
+        examples = examples_by_task[t] if examples_by_task else load_task_examples(t)
+        results[t] = evaluate_task(scorer, examples, limit)
+    accs = [r["acc"] for r in results.values()]
+    return {"results": results, "mean_acc": float(np.mean(accs)) if accs else float("nan")}
