@@ -1,0 +1,136 @@
+"""PTQ CLI — parity surface with the reference's `gptq_pb/run.py` argparse
+(same positionals/flags, :196-273) plus TPU-build extras (--format packed,
+--save_pbw, --synthetic for offline smoke runs).
+
+Example (reference sweep config, `gptq_pb/run_all.sh:2-5`):
+    python -m pb_llm_tpu.cli.run_ptq huggyllama/llama-7b c4 xnor \
+        --low_frac 0.9 --high_bit 8 --salient_metric hessian
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model", type=str, help="model to load; e.g. `huggyllama/llama-7b`")
+    p.add_argument("dataset", type=str, choices=["wikitext2", "ptb", "c4"])
+    p.add_argument("low_quant_method", type=str, choices=["xnor", "sign", "no", "2bit", "4bit", "prune"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nsamples", type=int, default=128)
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--low_frac", type=float, default=0)
+    p.add_argument("--blocksize", type=int, default=128)
+    p.add_argument("--groupsize", type=int, default=-1)
+    p.add_argument("--salient_metric", type=str, default="magnitude", choices=["magnitude", "hessian"])
+    p.add_argument("--high_bit", type=int, default=8)
+    p.add_argument("--minlayer", type=int, default=-1)
+    p.add_argument("--maxlayer", type=int, default=1000)
+    p.add_argument("--quant_only", type=str, default="")
+    p.add_argument("--invert", action="store_true")
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--disable_gptq", action="store_true")
+    p.add_argument("--log_wandb", action="store_true", help="accepted for parity; unused (as in the reference)")
+    # TPU-build extras
+    p.add_argument("--format", dest="fmt", type=str, default="sim", choices=["sim", "packed"])
+    p.add_argument("--save_pbw", type=str, default=None, help="directory for the packed PBW checkpoint")
+    p.add_argument("--mask_out", type=str, default=None, help="npz path for GPTQ masks (QAT handoff)")
+    p.add_argument("--synthetic", action="store_true", help="offline: synthetic corpus + byte tokenizer + random-init model")
+    p.add_argument("--metrics", type=str, default=None, help="JSONL metrics path")
+    return p
+
+
+def load_model_and_tokenizer(args):
+    from ..models.registry import family_for
+
+    fam = family_for(args.model)
+    if args.synthetic:
+        import jax
+
+        from ..data.synthetic import ByteTokenizer
+
+        if fam.name == "opt":
+            from ..models.opt import OPTConfig, init_params
+
+            cfg = OPTConfig(vocab_size=259, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+                            num_attention_heads=4, max_position_embeddings=256)
+        else:
+            from ..models.llama import LlamaConfig, init_params
+
+            cfg = LlamaConfig(vocab_size=259, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                              num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        return params, cfg, fam, ByteTokenizer()
+    from transformers import AutoTokenizer
+
+    from ..models import hf_import
+
+    params, cfg, _ = hf_import.from_pretrained(args.model)
+    tokenizer = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+    return params, cfg, fam, tokenizer
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..calib.pipeline import quantize_model_ptq, save_masks
+    from ..core.config import PTQJobConfig
+    from ..data.loaders import get_loaders
+    from ..data.synthetic import synthetic_source
+    from ..eval.ppl import perplexity
+    from ..utils.logging import MetricsLogger
+
+    job = PTQJobConfig(
+        model=args.model, dataset=args.dataset, low_quant_method=args.low_quant_method,
+        low_frac=args.low_frac, high_bit=args.high_bit, salient_metric=args.salient_metric,
+        groupsize=args.groupsize, blocksize=args.blocksize, percdamp=args.percdamp,
+        nsamples=args.nsamples, seed=args.seed, minlayer=args.minlayer, maxlayer=args.maxlayer,
+        quant_only=args.quant_only, invert=args.invert, disable_gptq=args.disable_gptq,
+        fmt=args.fmt, mask_out=args.mask_out,
+    )
+    log = MetricsLogger(args.metrics)
+    params, cfg, fam, tokenizer = load_model_and_tokenizer(args)
+    source = synthetic_source() if args.synthetic else None
+    seqlen = min(cfg.seqlen, 128) if args.synthetic else cfg.seqlen
+
+    tick = time.time()
+    if job.low_frac:
+        calib, _ = get_loaders(job.dataset, tokenizer, nsamples=job.nsamples, seed=job.seed,
+                               seqlen=seqlen, flavor="ptq", source=source, model=job.model)
+        params, report = quantize_model_ptq(
+            params, cfg, fam, calib, job.solver(), fmt=job.fmt,
+            minlayer=job.minlayer, maxlayer=job.maxlayer,
+            quant_only=job.quant_only, invert=job.invert,
+            log=lambda m: log.log("layer", msg=m),
+        )
+        log.log("quantized", seconds=report.seconds, total_error=sum(report.errors.values()))
+        if job.mask_out:
+            save_masks(job.mask_out, report.masks, job.low_frac)
+    print(f"quantization wall s: {time.time() - tick:.1f}")
+
+    for ds in job.eval_datasets:
+        _, evaltok = get_loaders(ds, tokenizer, nsamples=2, seed=job.seed, seqlen=seqlen,
+                                 flavor="ptq", source=source, model=job.model)
+        ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen)
+        log.log("ppl", dataset=ds, ppl=ppl)
+        print(f"{ds} perplexity: {ppl:.4f}")
+
+    if args.save_pbw and job.fmt == "packed":
+        from ..core import pbw as pbw_mod
+        from ..core.pbw import PackedLinear
+
+        layers = {}
+        for i, lp in enumerate(params["layers"]):
+            for n, leaf in lp.items():
+                if isinstance(leaf, PackedLinear):
+                    layers[f"layer_{i}/{n}"] = leaf
+        pbw_mod.save_pbw(args.save_pbw, layers, {"model": job.model, "config": job.save_title})
+        print(f"PBW checkpoint saved to {args.save_pbw}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 WORD_BITS = 32
-PACK_BLOCK = 256  # rows per independently-packed block (8 words)
+PACK_BLOCK = 256  # default rows per independently-packed block (8 words)
 
 
 def _check_rows(ic: int) -> int:
@@ -38,21 +38,35 @@ def _check_rows(ic: int) -> int:
     return ic // WORD_BITS
 
 
-def _block_sizes(ic: int):
+def block_sizes(ic: int, block_rows: int = PACK_BLOCK):
+    """Row counts of each independently-packed block (last may be shorter)."""
     sizes = []
     while ic > 0:
-        sizes.append(min(ic, PACK_BLOCK))
+        sizes.append(min(ic, block_rows))
         ic -= sizes[-1]
     return sizes
 
 
-def pack_bits(bits) -> jnp.ndarray:
+def default_pack_block(ic: int, cap: int = 2048) -> int:
+    """Largest multiple-of-32 divisor of ic not exceeding ``cap`` — keeps the
+    planar kernel's per-block bit-dots uniform (e.g. 11008 → 1376)."""
+    best = 32
+    for r in range(32, min(ic, cap) + 1, 32):
+        if ic % r == 0:
+            best = r
+    return best
+
+
+_block_sizes = block_sizes  # backwards-compat alias
+
+
+def pack_bits(bits, block_rows: int = PACK_BLOCK) -> jnp.ndarray:
     """Pack a {0,1} matrix [ic, oc] into uint32 words [ic//32, oc] (block-local layout)."""
     ic, oc = bits.shape
     _check_rows(ic)
     bits = jnp.asarray(bits, jnp.uint32)
     chunks, st = [], 0
-    for r in _block_sizes(ic):
+    for r in block_sizes(ic, block_rows):
         g = r // WORD_BITS
         b3 = bits[st : st + r].reshape(WORD_BITS, g, oc)
         shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32).reshape(WORD_BITS, 1, 1)
@@ -61,13 +75,13 @@ def pack_bits(bits) -> jnp.ndarray:
     return jnp.concatenate(chunks, axis=0)
 
 
-def unpack_bits(words, ic: int) -> jnp.ndarray:
+def unpack_bits(words, ic: int, block_rows: int = PACK_BLOCK) -> jnp.ndarray:
     """Inverse of :func:`pack_bits` → uint32 {0,1} matrix [ic, oc]."""
     gtot, oc = words.shape
     if gtot * WORD_BITS != ic:
         raise ValueError(f"word rows {gtot} inconsistent with ic={ic}")
     chunks, st = [], 0
-    for r in _block_sizes(ic):
+    for r in block_sizes(ic, block_rows):
         g = r // WORD_BITS
         shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32).reshape(WORD_BITS, 1, 1)
         rows = (words[st : st + g][None, :, :] >> shifts) & jnp.uint32(1)
@@ -76,13 +90,13 @@ def unpack_bits(words, ic: int) -> jnp.ndarray:
     return jnp.concatenate(chunks, axis=0)
 
 
-def pack_bits_np(bits: np.ndarray) -> np.ndarray:
+def pack_bits_np(bits: np.ndarray, block_rows: int = PACK_BLOCK) -> np.ndarray:
     """Numpy twin of :func:`pack_bits` (host-side checkpoint conversion)."""
     ic, oc = bits.shape
     _check_rows(ic)
     bits = bits.astype(np.uint32)
     chunks, st = [], 0
-    for r in _block_sizes(ic):
+    for r in block_sizes(ic, block_rows):
         g = r // WORD_BITS
         b3 = bits[st : st + r].reshape(WORD_BITS, g, oc)
         shifts = np.arange(WORD_BITS, dtype=np.uint32).reshape(WORD_BITS, 1, 1)
@@ -91,12 +105,12 @@ def pack_bits_np(bits: np.ndarray) -> np.ndarray:
     return np.concatenate(chunks, axis=0)
 
 
-def unpack_bits_np(words: np.ndarray, ic: int) -> np.ndarray:
+def unpack_bits_np(words: np.ndarray, ic: int, block_rows: int = PACK_BLOCK) -> np.ndarray:
     gtot, oc = words.shape
     if gtot * WORD_BITS != ic:
         raise ValueError(f"word rows {gtot} inconsistent with ic={ic}")
     chunks, st = [], 0
-    for r in _block_sizes(ic):
+    for r in block_sizes(ic, block_rows):
         g = r // WORD_BITS
         shifts = np.arange(WORD_BITS, dtype=np.uint32).reshape(WORD_BITS, 1, 1)
         rows = (words[st : st + g][None, :, :] >> shifts) & np.uint32(1)

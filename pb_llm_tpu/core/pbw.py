@@ -66,6 +66,9 @@ class PackedLinear:
     ic: int = dataclasses.field(metadata=dict(static=True))
     oc: int = dataclasses.field(metadata=dict(static=True))
     groupsize: int = dataclasses.field(metadata=dict(static=True))
+    # rows per independently-packed bitplane block (see core/packing.py);
+    # the planar kernel's per-bit dot slices are contiguous within a block
+    pack_block: int = dataclasses.field(metadata=dict(static=True), default=packing.PACK_BLOCK)
 
     @property
     def n_groups(self) -> int:
@@ -91,6 +94,7 @@ def pack_linear(
     method: str,
     groupsize: int = -1,
     bias: Optional[jnp.ndarray] = None,
+    pack_block: Optional[int] = None,
 ) -> Tuple[PackedLinear, Dict[str, float]]:
     """Pack a solver output into PBW planes.
 
@@ -124,9 +128,13 @@ def pack_linear(
         low_mean = s / 2.0
         low_scale = s / 2.0
 
+    pack_block = pack_block or packing.default_pack_block(ic)
     mean_rows = jnp.repeat(low_mean, gs, axis=0)[:ic]  # [ic, oc]
-    # sign bit from the quantized value itself: q = mean + s*scale, s = sign(q - mean)
-    bits = (w_q.T - mean_rows) >= 0
+    # sign bit from the quantized value itself: q = mean + s*scale, s = sign(q - mean);
+    # zeroed at salient positions (B' plane) so the planar kernel's linear
+    # decomposition w = β + α·b′ + hs·v″ + γ·m holds — the select path never
+    # reads the sign bit there, so exactness is unaffected
+    bits = ((w_q.T - mean_rows) >= 0) & ~salient.T
 
     hs = high_state["scale"].astype(jnp.float32)
     hz = high_state["zero"].astype(jnp.float32)
@@ -134,8 +142,8 @@ def pack_linear(
     sidecar = jnp.where(salient, codes, 0).astype(jnp.uint8).T  # [ic, oc]
 
     packed = PackedLinear(
-        sign_packed=packing.pack_bits(bits.astype(jnp.uint32)),
-        mask_packed=packing.pack_bits(salient.T.astype(jnp.uint32)),
+        sign_packed=packing.pack_bits(bits.astype(jnp.uint32), pack_block),
+        mask_packed=packing.pack_bits(salient.T.astype(jnp.uint32), pack_block),
         sidecar=sidecar,
         low_scale=low_scale,
         low_mean=low_mean,
@@ -145,6 +153,7 @@ def pack_linear(
         ic=ic,
         oc=oc,
         groupsize=gs,
+        pack_block=pack_block,
     )
     w_rt = dequantize(packed).T  # [oc, ic]
     diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6))}
@@ -153,8 +162,8 @@ def pack_linear(
 
 def dequantize(p: PackedLinear) -> jnp.ndarray:
     """Pure-XLA dequantization to dense f32 [ic, oc] (kernel oracle)."""
-    bits = packing.unpack_bits(p.sign_packed, p.ic).astype(jnp.float32)
-    m = packing.unpack_bits(p.mask_packed, p.ic).astype(bool)
+    bits = packing.unpack_bits(p.sign_packed, p.ic, p.pack_block).astype(jnp.float32)
+    m = packing.unpack_bits(p.mask_packed, p.ic, p.pack_block).astype(bool)
     mean_rows = jnp.repeat(p.low_mean, p.groupsize, axis=0)[: p.ic]
     scale_rows = jnp.repeat(p.low_scale, p.groupsize, axis=0)[: p.ic]
     w_bin = mean_rows + (2.0 * bits - 1.0) * scale_rows
@@ -184,7 +193,10 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
     arrays = {}
     meta = {"layers": {}, "extra": extra_meta or {}}
     for name, p in layers.items():
-        meta["layers"][name] = {"ic": p.ic, "oc": p.oc, "groupsize": p.groupsize, "has_bias": p.bias is not None}
+        meta["layers"][name] = {
+            "ic": p.ic, "oc": p.oc, "groupsize": p.groupsize,
+            "pack_block": p.pack_block, "has_bias": p.bias is not None,
+        }
         for f in _FIELDS:
             v = getattr(p, f)
             if v is not None:
@@ -203,5 +215,8 @@ def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
         kw = {f: jnp.asarray(z[f"{name}::{f}"]) for f in _FIELDS if f"{name}::{f}" in z}
         if "bias" not in kw:
             kw["bias"] = None
-        layers[name] = PackedLinear(ic=lm["ic"], oc=lm["oc"], groupsize=lm["groupsize"], **kw)
+        layers[name] = PackedLinear(
+            ic=lm["ic"], oc=lm["oc"], groupsize=lm["groupsize"],
+            pack_block=lm.get("pack_block", packing.PACK_BLOCK), **kw,
+        )
     return layers, meta["extra"]

@@ -55,8 +55,18 @@ def column_parallel_pb_matmul(x: jnp.ndarray, p: PackedLinear, mesh: Mesh, gathe
 
 
 def row_parallel_pb_matmul(x: jnp.ndarray, p: PackedLinear, mesh: Mesh) -> jnp.ndarray:
-    """x ic-sharded [m, ic]; planes ic-sharded; y replicated after psum."""
+    """x ic-sharded [m, ic]; planes ic-sharded; y replicated after psum.
+
+    The bitplane's pack blocks must tile each shard (pack_block | ic/tp) or
+    sharded word-rows would interleave rows across shards — pack for the
+    target tp (`pack_linear(..., pack_block=ic//tp)` or smaller divisor).
+    """
     tp = mesh.shape["tp"]
+    if (p.ic // tp) % p.pack_block != 0:
+        raise ValueError(
+            f"row-parallel over tp={tp} needs pack_block | ic/tp "
+            f"(ic={p.ic}, pack_block={p.pack_block}); repack with a smaller pack_block"
+        )
     # group params shard with the rows only when groups split evenly;
     # with groupsize=-1 (one whole-row group) they are replicated and every
     # local row indexes group 0 (local groupsize = local ic in _local_meta)

@@ -64,7 +64,7 @@ def test_dp_batch_sharding(tiny_llama_setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
-def _make_packed(oc, ic, seed=0, bias=True):
+def _make_packed(oc, ic, seed=0, bias=True, pack_block=None):
     from pb_llm_tpu.core import pbw
     from pb_llm_tpu.quant.high_quant import high_calibrate, high_quantize
     from pb_llm_tpu.quant.low_quant import low_calibrate, low_quantize
@@ -80,7 +80,10 @@ def _make_packed(oc, ic, seed=0, bias=True):
         np.asarray(high_quantize(jnp.asarray(w), high_state)),
     )
     b = jnp.asarray(rng.standard_normal(oc).astype(np.float32)) if bias else None
-    p, _ = pbw.pack_linear(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state, "xnor", bias=b)
+    p, _ = pbw.pack_linear(
+        jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state, "xnor",
+        bias=b, pack_block=pack_block,
+    )
     return p, w_q, b
 
 
@@ -95,8 +98,8 @@ def test_column_parallel_packed_matmul():
 
 def test_row_parallel_packed_matmul():
     m = pmesh.make_mesh(dp=1, tp=8)
-    # ic sharded: 2048/8 = 256 rows per shard (pack-block aligned)
-    p, w_q, b = _make_packed(128, 2048)
+    # ic sharded: 2048/8 = 256 rows per shard; pack blocks must tile a shard
+    p, w_q, b = _make_packed(128, 2048, pack_block=256)
     x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 2048)).astype(np.float32))
     y = collectives.row_parallel_pb_matmul(x, p, m)
     want = np.asarray(x) @ w_q.T + np.asarray(b)
