@@ -43,6 +43,7 @@ def log(msg):
 def make_planes(seed):
     from pb_llm_tpu.core import packing
 
+    pack_block = packing.default_pack_block(IC)
     r = np.random.default_rng(seed)
     w = r.standard_normal((OC, IC)).astype(np.float32)
     thresh = np.quantile(np.abs(w), FRAC_BINARY)
@@ -55,11 +56,11 @@ def make_planes(seed):
     hs = ((xmax - xmin) / 255).astype(np.float32)
     hz = np.round(-xmin / hs).astype(np.float32)
     codes = np.clip(np.round(w / hs[:, None]) + hz[:, None], 0, 255)
-    bits = ((w - mean[:, None]) >= 0).T
     salient = (~mask).T
+    bits = (((w - mean[:, None]) >= 0).T) & ~salient  # B' plane: zeroed at salient
     return (
-        packing.pack_bits_np(bits.astype(np.uint32)),
-        packing.pack_bits_np(salient.astype(np.uint32)),
+        packing.pack_bits_np(bits.astype(np.uint32), pack_block),
+        packing.pack_bits_np(salient.astype(np.uint32), pack_block),
         np.where(salient, codes.T, 0).astype(np.uint8),
         scale[None, :].astype(np.float32),
         mean[None, :].astype(np.float32),
@@ -104,6 +105,9 @@ def bench_packed():
     from pb_llm_tpu.core import pbw
     from pb_llm_tpu.ops import pallas_pb
 
+    from pb_llm_tpu.core.packing import default_pack_block
+
+    pack_block = default_pack_block(IC)
     planes = [make_planes(s) for s in range(K)]
     stk = tuple(jnp.asarray(np.stack([p[i] for p in planes])) for i in range(7))
 
@@ -114,7 +118,7 @@ def bench_packed():
                 p = pbw.PackedLinear(
                     sign_packed=s0[k], mask_packed=s1[k], sidecar=s2[k],
                     low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
-                    bias=None, ic=IC, oc=OC, groupsize=IC,
+                    bias=None, ic=IC, oc=OC, groupsize=IC, pack_block=pack_block,
                 )
                 y = pallas_pb.pb_matmul_pallas(c, p)
                 return c + y[:, :IC] * 1e-8, ()

@@ -1,0 +1,99 @@
+"""Eval CLI — parity surface with `qat/eval_after_qat.py` + `evaluate_model`
+(`evaluate.py:87-183`): windowed perplexity on wikitext2/ptb/c4 and
+multiple-choice task suites (boolq,piqa / llmqat / mmlu).
+
+Example (reference quick + full passes, eval_after_qat.py:17-33):
+    python -m pb_llm_tpu.cli.run_eval outputs/... --model_id facebook/opt-1.3b \
+        --tasks boolq,piqa --limit 200 --eval_ppl wikitext2,ptb,c4
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Perplexity + task evaluation")
+    p.add_argument("checkpoint", type=str, nargs="?", default=None,
+                   help="dense/QAT checkpoint dir (utils.checkpoint) or PBW dir; omit to eval the base model")
+    p.add_argument("--model_id", type=str, required=True)
+    p.add_argument("--tasks", type=str, default="", help="comma list; suites: llmqat, mmlu")
+    p.add_argument("--eval_ppl", type=str, default="wikitext2,ptb,c4")
+    p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--seqlen", type=int, default=None)
+    p.add_argument("--flavor", type=str, default="qat", choices=["ptq", "qat"],
+                   help="eval-text construction flavor (the two reference pipelines differ)")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--metrics", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import numpy as np
+
+    from ..eval.ppl import perplexity
+    from ..eval.tasks import evaluate_model_tasks
+    from ..data.loaders import get_eval_tokens, get_loaders
+    from ..models.registry import family_for
+    from ..utils.logging import MetricsLogger
+
+    log = MetricsLogger(args.metrics)
+    fam = family_for(args.model_id)
+
+    if args.synthetic:
+        import jax
+
+        from ..data.synthetic import ByteTokenizer, synthetic_source
+
+        from ..models.opt import OPTConfig, init_params as opt_init
+        from ..models.llama import LlamaConfig, init_params as llama_init
+
+        if fam.name == "opt":
+            cfg = OPTConfig(vocab_size=259, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+                            num_attention_heads=4, max_position_embeddings=256)
+            params = opt_init(cfg, jax.random.PRNGKey(0))
+        else:
+            cfg = LlamaConfig(vocab_size=259, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                              num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256)
+            params = llama_init(cfg, jax.random.PRNGKey(0))
+        tokenizer = ByteTokenizer()
+        source = synthetic_source()
+        seqlen = args.seqlen or 64
+    else:
+        from transformers import AutoTokenizer
+
+        from ..models import hf_import
+
+        params, cfg, _ = hf_import.from_pretrained(args.model_id)
+        tokenizer = AutoTokenizer.from_pretrained(args.model_id, use_fast=False)
+        source = None
+        seqlen = args.seqlen or cfg.seqlen
+
+    if args.checkpoint:
+        from ..utils.checkpoint import load_dense_checkpoint
+
+        params, extra = load_dense_checkpoint(args.checkpoint)
+        log.log("loaded_checkpoint", path=args.checkpoint, **{k: str(v) for k, v in extra.items()})
+
+    for ds in [d for d in args.eval_ppl.split(",") if d]:
+        if args.flavor == "qat":
+            evaltok = get_eval_tokens(ds, tokenizer, source=source)
+        else:
+            _, evaltok = get_loaders(ds, tokenizer, nsamples=2, seqlen=seqlen, flavor="ptq", source=source)
+        ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen)
+        log.log("ppl", dataset=ds, ppl=ppl)
+        print(f"{ds} perplexity: {ppl:.4f}")
+
+    tasks = [t for t in args.tasks.split(",") if t]
+    if tasks:
+        out = evaluate_model_tasks(params, cfg, fam, tokenizer, tasks, limit=args.limit)
+        for t, r in out["results"].items():
+            print(f"{t}: acc {r['acc']:.4f} (n={r['n']})")
+            log.log("task", task=t, **r)
+        print(f"mean acc: {out['mean_acc']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,99 @@
+"""Serving demo CLI: continuous-batching generation over a (packed) model.
+
+The reference has no serving path (SURVEY.md §3.5).  This CLI loads a dense
+or PBW checkpoint (or a synthetic model offline), runs a batch of prompts
+through the continuous batcher, and reports tokens/s.
+
+    python -m pb_llm_tpu.cli.serve --model_id huggyllama/llama-7b \
+        --pbw checkpoints/llama7b_pbw --slots 16 --max_new_tokens 64
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="continuous-batching serving demo")
+    p.add_argument("--model_id", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None, help="dense checkpoint dir")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--max_seq", type=int, default=2048)
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--prompts", type=str, default=None, help="file with one prompt per line")
+    p.add_argument("--n_requests", type=int, default=16)
+    p.add_argument("--synthetic", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import time
+
+    import jax
+
+    from ..models.registry import family_for
+    from ..runtime.batching import ContinuousBatcher, Request
+    from ..runtime.engine import Engine, EngineConfig
+    from ..runtime.sampler import SamplingParams
+
+    fam = family_for(args.model_id)
+    if args.synthetic:
+        from ..data.synthetic import ByteTokenizer
+        from ..models.llama import LlamaConfig, init_params as llama_init
+        from ..models.opt import OPTConfig, init_params as opt_init
+
+        if fam.name == "opt":
+            cfg = OPTConfig(vocab_size=259, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+                            num_attention_heads=4, max_position_embeddings=256)
+            params = opt_init(cfg, jax.random.PRNGKey(0))
+        else:
+            cfg = LlamaConfig(vocab_size=259, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                              num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256)
+            params = llama_init(cfg, jax.random.PRNGKey(0))
+        tokenizer = ByteTokenizer()
+        max_seq = min(args.max_seq, 128)
+    else:
+        from transformers import AutoTokenizer
+
+        from ..models import hf_import
+
+        params, cfg, _ = hf_import.from_pretrained(args.model_id)
+        tokenizer = AutoTokenizer.from_pretrained(args.model_id, use_fast=False)
+        max_seq = args.max_seq
+
+    if args.checkpoint:
+        from ..utils.checkpoint import load_dense_checkpoint
+
+        params, _ = load_dense_checkpoint(args.checkpoint)
+
+    if args.prompts:
+        with open(args.prompts) as fh:
+            texts = [line.rstrip("\n") for line in fh if line.strip()]
+    else:
+        texts = [f"request {i}: the quick brown fox" for i in range(args.n_requests)]
+
+    eng = Engine(
+        params, cfg, fam,
+        EngineConfig(n_slots=args.slots, max_seq=max_seq, prefill_buckets=(32, 128, 512, max_seq)),
+        SamplingParams(temperature=args.temperature),
+    )
+    batcher = ContinuousBatcher(eng)
+    reqs = [
+        Request(request_id=i, prompt_ids=tokenizer.encode(t)[: max_seq // 2], max_new_tokens=args.max_new_tokens)
+        for i, t in enumerate(texts)
+    ]
+    t0 = time.time()
+    done = batcher.run(reqs)
+    dt = time.time() - t0
+    for r in done[:4]:
+        print(f"[{r.request_id}] {tokenizer.decode(r.output_ids)!r}")
+    s = batcher.stats
+    print(f"requests={len(done)} tokens={s.generated_tokens} steps={s.decode_steps} "
+          f"wall={dt:.2f}s tokens/s={s.generated_tokens / dt:.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,99 @@
+"""CLI smoke tests (synthetic/offline mode) + checkpoint round-trips."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pb_llm_tpu.cli import run_eval, run_ptq, run_qat, serve
+
+
+def test_run_ptq_synthetic(tmp_path, capsys):
+    rc = run_ptq.main([
+        "facebook/opt-synth", "wikitext2", "xnor",
+        "--low_frac", "0.5", "--high_bit", "8", "--salient_metric", "magnitude",
+        "--nsamples", "2", "--blocksize", "32", "--synthetic",
+        "--format", "packed",
+        "--save_pbw", str(tmp_path / "pbw"),
+        "--mask_out", str(tmp_path / "masks.npz"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "perplexity" in out
+    from pb_llm_tpu.core.pbw import load_pbw
+
+    layers, extra = load_pbw(str(tmp_path / "pbw"))
+    assert len(layers) == 2 * 6  # 2 layers x 6 opt linears
+    from pb_llm_tpu.calib.pipeline import load_masks
+
+    masks, frac = load_masks(str(tmp_path / "masks.npz"))
+    assert frac == 0.5 and len(masks) == 12
+
+
+def test_run_ptq_rtn_hessian(capsys):
+    rc = run_ptq.main([
+        "huggyllama/llama-synth", "c4", "xnor",
+        "--low_frac", "0.8", "--salient_metric", "hessian", "--disable_gptq",
+        "--nsamples", "2", "--blocksize", "32", "--synthetic",
+    ])
+    assert rc == 0
+    assert "perplexity" in capsys.readouterr().out
+
+
+def test_run_qat_synthetic(tmp_path, capsys):
+    rc = run_qat.main([
+        "--model_id", "facebook/opt-synth", "--dataset", "red_pajama",
+        "--train_steps", "3", "--outlier_fraction", "0.1",
+        "--out_dir", str(tmp_path), "--synthetic", "--seqlen", "32",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mean_bit:" in out and "model saved" in out
+
+
+def test_run_qat_then_eval(tmp_path, capsys):
+    rc = run_qat.main([
+        "--model_id", "facebook/opt-synth", "--train_steps", "2",
+        "--dataset", "red_pajama", "--out_dir", str(tmp_path), "--synthetic", "--seqlen", "32",
+    ])
+    assert rc == 0
+    ckpt = str(tmp_path / "facebook/opt-synth/xnor_outlier_0.1_2")
+    rc = run_eval.main([
+        ckpt, "--model_id", "facebook/opt-synth", "--eval_ppl", "wikitext2",
+        "--synthetic", "--seqlen", "32",
+    ])
+    assert rc == 0
+    assert "wikitext2 perplexity" in capsys.readouterr().out
+
+
+def test_serve_synthetic(capsys):
+    rc = serve.main([
+        "--model_id", "facebook/opt-synth", "--synthetic",
+        "--slots", "2", "--n_requests", "3", "--max_new_tokens", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tokens/s=" in out and "requests=3" in out
+
+
+def test_checkpoint_roundtrip_mixed_tree(tmp_path):
+    from pb_llm_tpu.utils.checkpoint import load_dense_checkpoint, save_dense_checkpoint
+    from tests.test_sharding import _make_packed
+
+    p, _, _ = _make_packed(128, 256)
+    tree = {
+        "layers": [{"q": {"w": jnp.ones((4, 8)), "b": None}, "packed": p}],
+        "norm": jnp.arange(3.0),
+        "maybe": None,
+    }
+    save_dense_checkpoint(str(tmp_path / "ck"), tree, {"note": "hi"})
+    loaded, extra = load_dense_checkpoint(str(tmp_path / "ck"))
+    assert extra == {"note": "hi"}
+    assert loaded["maybe"] is None
+    np.testing.assert_array_equal(np.asarray(loaded["norm"]), np.arange(3.0))
+    assert loaded["layers"][0]["q"]["b"] is None
+    lp = loaded["layers"][0]["packed"]
+    assert (lp.ic, lp.oc, lp.pack_block) == (p.ic, p.oc, p.pack_block)
+    from pb_llm_tpu.core.pbw import dequantize
+
+    np.testing.assert_array_equal(np.asarray(dequantize(lp)), np.asarray(dequantize(p)))
