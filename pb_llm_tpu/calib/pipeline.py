@@ -83,8 +83,16 @@ def quantize_model_ptq(
     quant_only: str = "",
     invert: bool = False,
     log: Optional[Callable[[str], None]] = print,
+    resume_dir: Optional[str] = None,
 ) -> tuple[Dict[str, Any], PTQReport]:
-    """Quantize every decoder linear in place (functionally). Returns (params, report)."""
+    """Quantize every decoder linear in place (functionally). Returns (params, report).
+
+    ``resume_dir``: when set, each finished layer's quantized leaves (plus
+    errors/masks) are checkpointed there, and a rerun skips solving those
+    layers — per-layer jobs become idempotent and a crashed calibration
+    resumes mid-model (the reference only survives crashes through dataset
+    caches and mask pickles, SURVEY.md §5.3).
+    """
     t0 = time.time()
     calib_ids = np.asarray(calib_ids)
     nsamples = calib_ids.shape[0]
@@ -104,6 +112,13 @@ def quantize_model_ptq(
         # selection semantics match `gptq_pb/run.py:122-125`
         selected = {n for n in names if (minlayer <= i < maxlayer and quant_only in n) != invert}
         if not selected:
+            for j in range(nsamples):
+                inps[j] = np.asarray(qforward(lp, jnp.asarray(inps[j])))
+            continue
+
+        if resume_dir and _load_layer_ckpt(resume_dir, i, lp, errors, masks):
+            if log:
+                log(f"layer_{i}: resumed from checkpoint")
             for j in range(nsamples):
                 inps[j] = np.asarray(qforward(lp, jnp.asarray(inps[j])))
             continue
@@ -137,11 +152,48 @@ def quantize_model_ptq(
                 lp[n] = {"w": out["w_q"].T.astype(lin["w"].dtype), "b": lin.get("b")}
             del out
 
+        if resume_dir:
+            _save_layer_ckpt(resume_dir, i, lp, names, errors, masks)
+
         for j in range(nsamples):
             inps[j] = np.asarray(qforward(lp, jnp.asarray(inps[j])))
 
     report = PTQReport(errors=errors, masks=masks, seconds=time.time() - t0, format=fmt)
     return params, report
+
+
+def _save_layer_ckpt(resume_dir: str, i: int, lp: Dict[str, Any], names, errors, masks) -> None:
+    import os
+
+    from ..utils import checkpoint as ckpt
+
+    os.makedirs(resume_dir, exist_ok=True)
+    quantized = {n: lp[n] for n in names if n in lp}
+    extra = {
+        "errors": {k: v for k, v in errors.items() if k.startswith(f"layer_{i}/")},
+        "mask_keys": [k for k in masks if k.startswith(f"layer_{i}/")],
+    }
+    layer_dir = os.path.join(resume_dir, f"layer_{i}")
+    ckpt.save_dense_checkpoint(layer_dir, quantized, extra)
+    mask_arrays = {k.replace("/", "__"): masks[k] for k in extra["mask_keys"]}
+    np.savez_compressed(os.path.join(layer_dir, "masks.npz"), **mask_arrays)
+
+
+def _load_layer_ckpt(resume_dir: str, i: int, lp: Dict[str, Any], errors, masks) -> bool:
+    import os
+
+    from ..utils import checkpoint as ckpt
+
+    layer_dir = os.path.join(resume_dir, f"layer_{i}")
+    if not os.path.exists(os.path.join(layer_dir, "manifest.json")):
+        return False
+    quantized, extra = ckpt.load_dense_checkpoint(layer_dir)
+    lp.update(quantized)
+    errors.update(extra.get("errors", {}))
+    z = np.load(os.path.join(layer_dir, "masks.npz"))
+    for k in z.files:
+        masks[k.replace("__", "/")] = z[k]
+    return True
 
 
 def save_masks(path: str, masks: Dict[str, np.ndarray], low_frac: float) -> None:

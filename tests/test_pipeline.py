@@ -133,3 +133,19 @@ def test_mask_save_load_roundtrip(tiny_opt_setup, tmp_path):
     masks, frac = load_masks(f)
     assert frac == 0.5
     np.testing.assert_array_equal(masks["layer_0/q_proj"], rep.masks["layer_0/q_proj"])
+
+
+def test_resume_from_layer_checkpoints(tiny_opt_setup, tmp_path):
+    """Crash-resume: second run skips solved layers and reproduces results."""
+    params, cfg, fam, calib, eval_ids = tiny_opt_setup
+    rdir = str(tmp_path / "resume")
+    scfg = SolverConfig(low_frac=0.5, blocksize=32)
+    p1, rep1 = quantize_model_ptq(copy.deepcopy(params), cfg, fam, calib, scfg, resume_dir=rdir, log=None)
+
+    logs = []
+    p2, rep2 = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib, scfg, resume_dir=rdir, log=logs.append
+    )
+    assert sum("resumed from checkpoint" in m for m in logs) == 2  # both layers skipped
+    assert rep2.errors == rep1.errors
+    np.testing.assert_allclose(_ppl(p2, cfg, fam, eval_ids), _ppl(p1, cfg, fam, eval_ids), rtol=1e-6)
