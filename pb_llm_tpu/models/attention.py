@@ -9,12 +9,44 @@ engine the TPU build adds.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 Pos = Union[int, jnp.ndarray]
+
+# full-sequence (no-cache) attention implementation: "auto" uses the Pallas
+# flash kernel on TPU for long windows, XLA masked softmax otherwise
+_ATTN_IMPL = os.environ.get("PB_TPU_ATTENTION", "auto")
+
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTN_IMPL
+    assert impl in ("auto", "flash", "flash_interpret", "xla")
+    _ATTN_IMPL = impl
+
+
+def _flash_eligible(t: int, d: int) -> bool:
+    return t >= 256 and d % 8 == 0 and jax.default_backend() != "cpu"
+
+
+def full_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale) -> jnp.ndarray:
+    """Dispatch for the no-cache (prefill/eval) path. q,k,v: [B,T,H*,D]."""
+    b, t, hq, d = q.shape
+    impl = _ATTN_IMPL
+    if impl == "auto":
+        impl = "flash" if _flash_eligible(t, d) else "xla"
+    if impl in ("flash", "flash_interpret"):
+        from ..ops.flash_attention import flash_attention
+
+        hkv = k.shape[2]
+        if hq != hkv:
+            k = jnp.repeat(k, hq // hkv, axis=2)
+            v = jnp.repeat(v, hq // hkv, axis=2)
+        return flash_attention(q, k, v, float(scale), causal=True, interpret=impl == "flash_interpret")
+    return masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
 
 
 def causal_allowed(pos: Pos, t: int, s: int, kv_len_valid: Optional[Pos]) -> jnp.ndarray:

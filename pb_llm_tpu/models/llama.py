@@ -116,7 +116,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return x * cos + rotated * sin
 
 
-from .attention import cache_update, causal_allowed, masked_softmax_attention  # noqa: E402
+from .attention import cache_update, causal_allowed, full_causal_attention, masked_softmax_attention  # noqa: E402
 
 
 def decoder_layer(
@@ -148,7 +148,7 @@ def decoder_layer(
         allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
         attn = masked_softmax_attention(q, kv_cache["k"].astype(q.dtype), kv_cache["v"].astype(q.dtype), allowed, scale)
     else:
-        attn = masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
+        attn = full_causal_attention(q, k, v, scale)
     attn = attn.reshape(b, t, cfg.num_attention_heads * hd)
     x = x + lf("o_proj", lp["o_proj"], attn)
 

@@ -111,7 +111,7 @@ def layer_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], eps: float) -> jnp.nda
     return y.astype(x.dtype) * p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
-from .attention import cache_update, causal_allowed, masked_softmax_attention  # noqa: E402
+from .attention import cache_update, causal_allowed, full_causal_attention, masked_softmax_attention  # noqa: E402
 
 
 def decoder_layer(
@@ -138,7 +138,7 @@ def decoder_layer(
         allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
         attn = masked_softmax_attention(q, kv_cache["k"].astype(q.dtype), kv_cache["v"].astype(q.dtype), allowed, scale)
     else:
-        attn = masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
+        attn = full_causal_attention(q, k, v, scale)
     attn = attn.reshape(b, t, hsz)
     x = residual + lf("out_proj", lp["out_proj"], attn)
     if not cfg.do_layer_norm_before:
