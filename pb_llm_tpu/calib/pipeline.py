@@ -84,6 +84,7 @@ def quantize_model_ptq(
     invert: bool = False,
     log: Optional[Callable[[str], None]] = print,
     resume_dir: Optional[str] = None,
+    pack_block: Optional[int] = None,
 ) -> tuple[Dict[str, Any], PTQReport]:
     """Quantize every decoder linear in place (functionally). Returns (params, report).
 
@@ -143,7 +144,7 @@ def quantize_model_ptq(
                 packed, diag = pbw.pack_linear(
                     out["w_q"], out["mask"], out["low_state"], out["high_state"],
                     solver_cfg.low_method, solver_cfg.groupsize,
-                    bias=lin.get("b"),
+                    bias=lin.get("b"), pack_block=pack_block,
                 )
                 if diag["pack_mismatch"] > 0 and log:
                     log(f"{key}: pack mismatch fraction {diag['pack_mismatch']:.2e}")

@@ -74,6 +74,25 @@ class PackedLinear:
     def n_groups(self) -> int:
         return self.low_scale.shape[0]
 
+    # Local (possibly shard_map-sharded) dims — derived from plane shapes so
+    # per-shard views inside shard_map keep working; the static ic/oc fields
+    # describe the global logical layer.
+    @property
+    def ic_local(self) -> int:
+        return self.sidecar.shape[0]
+
+    @property
+    def oc_local(self) -> int:
+        return self.sidecar.shape[1]
+
+    @property
+    def groupsize_local(self) -> int:
+        return min(self.groupsize, self.ic_local)
+
+    @property
+    def pack_block_local(self) -> int:
+        return min(self.pack_block, self.ic_local)
+
     def effective_bits(self) -> float:
         """HBM bits per logical weight of this layout."""
         n = self.ic * self.oc
@@ -161,11 +180,14 @@ def pack_linear(
 
 
 def dequantize(p: PackedLinear) -> jnp.ndarray:
-    """Pure-XLA dequantization to dense f32 [ic, oc] (kernel oracle)."""
-    bits = packing.unpack_bits(p.sign_packed, p.ic, p.pack_block).astype(jnp.float32)
-    m = packing.unpack_bits(p.mask_packed, p.ic, p.pack_block).astype(bool)
-    mean_rows = jnp.repeat(p.low_mean, p.groupsize, axis=0)[: p.ic]
-    scale_rows = jnp.repeat(p.low_scale, p.groupsize, axis=0)[: p.ic]
+    """Pure-XLA dequantization to dense f32 [ic, oc] (kernel oracle).
+
+    Uses shard-local plane shapes so it works on shard_map-local views."""
+    ic = p.ic_local
+    bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
+    m = packing.unpack_bits(p.mask_packed, ic, p.pack_block_local).astype(bool)
+    mean_rows = jnp.repeat(p.low_mean, p.groupsize_local, axis=0)[:ic]
+    scale_rows = jnp.repeat(p.low_scale, p.groupsize_local, axis=0)[:ic]
     w_bin = mean_rows + (2.0 * bits - 1.0) * scale_rows
     w_hi = p.high_scale[None, :] * (p.sidecar.astype(jnp.float32) - p.high_zero[None, :])
     return jnp.where(m, w_hi, w_bin)

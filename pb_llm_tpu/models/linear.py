@@ -58,5 +58,5 @@ def named_linear_fn(lin, x, name=None):  # pragma: no cover - convenience alias
 def linear_shape(lin) -> tuple[int, int]:
     """(ic, oc) of either representation."""
     if isinstance(lin, PackedLinear):
-        return lin.ic, lin.oc
+        return lin.ic_local, lin.oc_local
     return lin["w"].shape

@@ -34,6 +34,8 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     seqlen: int = 2048  # reference pins llama eval windows to 2048 (gptq_pb/run.py:30)
+    # set when a shard-local view uses fewer heads than hidden_size implies
+    head_dim_override: Optional[int] = None
 
     @property
     def kv_heads(self) -> int:
@@ -41,7 +43,7 @@ class LlamaConfig:
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_attention_heads
+        return self.head_dim_override or self.hidden_size // self.num_attention_heads
 
     @classmethod
     def from_hf(cls, hf) -> "LlamaConfig":

@@ -30,6 +30,8 @@ class OPTConfig:
     word_embed_proj_dim: Optional[int] = None
     do_layer_norm_before: bool = True
     layer_norm_eps: float = 1e-5
+    # set when a shard-local view uses fewer heads than hidden_size implies
+    head_dim_override: Optional[int] = None
 
     @property
     def embed_dim(self) -> int:
@@ -37,7 +39,7 @@ class OPTConfig:
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_attention_heads
+        return self.head_dim_override or self.hidden_size // self.num_attention_heads
 
     @property
     def seqlen(self) -> int:
@@ -139,7 +141,7 @@ def decoder_layer(
         attn = masked_softmax_attention(q, kv_cache["k"].astype(q.dtype), kv_cache["v"].astype(q.dtype), allowed, scale)
     else:
         attn = full_causal_attention(q, k, v, scale)
-    attn = attn.reshape(b, t, hsz)
+    attn = attn.reshape(b, t, nh * hd)  # == hsz globally; smaller on TP-local views
     x = residual + lf("out_proj", lp["out_proj"], attn)
     if not cfg.do_layer_norm_before:
         x = layer_norm(x, lp["self_attn_layer_norm"], cfg.layer_norm_eps)

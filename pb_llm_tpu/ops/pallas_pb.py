@@ -85,7 +85,7 @@ def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_t
 
 def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     m, ic = x.shape
-    oc = p.oc
+    oc = p.oc_local
     m_pad = _round_up(max(m, 8), 8)
     xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
 
@@ -97,7 +97,7 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)  # [5, oc]
 
-    kernel = functools.partial(_planar_kernel, ic=ic, oc_tile=oc_tile, pack_block=p.pack_block)
+    kernel = functools.partial(_planar_kernel, ic=ic, oc_tile=oc_tile, pack_block=p.pack_block_local)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
@@ -182,8 +182,9 @@ def _select_kernel(
 
 def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     m, ic = x.shape
-    oc = p.oc
-    ic_tile = p.pack_block if ic > p.pack_block else ic
+    oc = p.oc_local
+    pack_block = p.pack_block_local
+    ic_tile = pack_block if ic > pack_block else ic
     n_ic_tiles = ic // ic_tile
     m_pad = _round_up(max(m, 8), 8)
     xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
@@ -192,7 +193,7 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
 
     kernel = functools.partial(
         _select_kernel, ic_tile=ic_tile, oc_tile=oc_tile, n_ic_tiles=n_ic_tiles,
-        groupsize=p.groupsize, pack_block=p.pack_block,
+        groupsize=p.groupsize_local, pack_block=pack_block,
     )
     out = pl.pallas_call(
         kernel,
@@ -229,23 +230,26 @@ _PLANAR_VMEM_CAP = 12 * 1024 * 1024
 
 
 def _planar_ok(m: int, p: PackedLinear) -> bool:
-    if p.groupsize < p.ic:  # per-group scales don't factor out of the dots
+    ic, oc = p.ic_local, p.oc_local
+    if p.groupsize_local < ic:  # per-group scales don't factor out of the dots
         return False
     m_pad = _round_up(max(m, 8), 8)
-    oc_tile = 256 if p.oc % 256 == 0 else 128
-    vmem = m_pad * p.ic * 4 + p.ic * oc_tile + 2 * (p.ic // 32) * oc_tile * 4 + m_pad * oc_tile * 4
+    oc_tile = 256 if oc % 256 == 0 else 128
+    vmem = m_pad * ic * 4 + ic * oc_tile + 2 * (ic // 32) * oc_tile * 4 + m_pad * oc_tile * 4
     return vmem < _PLANAR_VMEM_CAP
 
 
 def pallas_supported(p: PackedLinear) -> bool:
-    if p.oc % 128 != 0:
+    ic, oc = p.ic_local, p.oc_local
+    pack_block = p.pack_block_local
+    if oc % 128 != 0:
         return False
-    if p.ic % 32 != 0:
+    if ic % 32 != 0:
         return False
-    if p.ic > p.pack_block and p.ic % p.pack_block != 0:
+    if ic > pack_block and ic % pack_block != 0:
         return False
-    ic_tile = p.pack_block if p.ic > p.pack_block else p.ic
-    gs = p.groupsize
+    ic_tile = pack_block if ic > pack_block else ic
+    gs = p.groupsize_local
     if gs < ic_tile and ic_tile % gs != 0:
         return False
     if gs > ic_tile and gs % ic_tile != 0:
@@ -262,9 +266,9 @@ def pb_matmul_pallas(
 ) -> jnp.ndarray:
     """y = x @ dequant(p) (+ bias); x [m, ic] → y [m, oc] float32."""
     m, ic = x.shape
-    assert ic == p.ic, f"x ic {ic} != packed ic {p.ic}"
+    assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if oc_tile is None:
-        oc_tile = 256 if p.oc % 256 == 0 else 128
+        oc_tile = 256 if p.oc_local % 256 == 0 else 128
     if _planar_ok(m, p):
         return _planar_call(x, p, oc_tile, interpret)
     return _select_call(x, p, oc_tile, interpret)

@@ -79,7 +79,7 @@ def _leaf_spec(name: str, leaf: Any) -> Any:
         return dataclasses.replace(
             spec,
             bias=None if leaf.bias is None else spec.bias,
-            ic=leaf.ic, oc=leaf.oc, groupsize=leaf.groupsize,
+            ic=leaf.ic, oc=leaf.oc, groupsize=leaf.groupsize, pack_block=leaf.pack_block,
         )
     if isinstance(leaf, QATLinear):
         spec = _qat_spec(name)

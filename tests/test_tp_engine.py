@@ -1,0 +1,85 @@
+"""Tensor-parallel packed decode (shard_map) vs single-device decode."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+from pb_llm_tpu.calib.solver import SolverConfig
+from pb_llm_tpu.models.llama import LlamaConfig, init_params
+from pb_llm_tpu.models.registry import family_for
+from pb_llm_tpu.parallel import mesh as pmesh, sharding
+from pb_llm_tpu.runtime import tp_engine
+
+TP = 4
+
+
+@pytest.fixture(scope="module")
+def packed_llama():
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=8, max_position_embeddings=64,
+    )
+    fam = family_for("llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    calib = np.random.default_rng(0).integers(0, 128, size=(2, 16))
+    # pack_block must divide ic/tp for row-parallel layers: min ic/tp = 128/4 = 32
+    packed, _ = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.5, blocksize=32), fmt="packed", log=None, pack_block=32,
+    )
+    return packed, cfg, fam
+
+
+def test_tp_decode_matches_single_device(packed_llama):
+    packed, cfg, fam = packed_llama
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    n_slots, max_seq = 2, 32
+
+    # single-device reference decode
+    caches_ref = [
+        {"k": jnp.zeros((n_slots, max_seq, cfg.kv_heads, cfg.head_dim)),
+         "v": jnp.zeros((n_slots, max_seq, cfg.kv_heads, cfg.head_dim))}
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    rng = np.random.default_rng(1)
+    prompt = jnp.asarray(rng.integers(0, 128, size=(n_slots, 6)))
+    logits_ref, caches_ref = fam.forward(packed, prompt, cfg, kv_caches=caches_ref, pos=0)
+
+    tokens = jnp.argmax(logits_ref[:, -1], axis=-1).astype(jnp.int32)
+    lengths = jnp.full((n_slots,), 6, jnp.int32)
+    ref_logits_seq = []
+    for _ in range(3):
+        lg, caches_ref = fam.forward(packed, tokens[:, None], cfg, kv_caches=caches_ref, pos=lengths)
+        ref_logits_seq.append(np.asarray(lg[:, 0]))
+        tokens = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+        lengths = lengths + 1
+
+    # TP path: shard params + caches, prefill via the same sharded step? —
+    # prefill single-device then shard the caches for decode
+    packed_sh = sharding.shard_params(copy.deepcopy(packed), mesh, "llama")
+    caches0 = [
+        {"k": jnp.zeros((n_slots, max_seq, cfg.kv_heads, cfg.head_dim)),
+         "v": jnp.zeros((n_slots, max_seq, cfg.kv_heads, cfg.head_dim))}
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    logits0, caches0 = fam.forward(packed, prompt, cfg, kv_caches=caches0, pos=0)
+    from jax.sharding import NamedSharding
+
+    caches_sh = [
+        {k: jax.device_put(v, NamedSharding(mesh, tp_engine.CACHE_SPEC)) for k, v in c.items()}
+        for c in caches0
+    ]
+
+    step = tp_engine.make_tp_step(cfg, fam, mesh, packed_sh)
+    tokens = jnp.argmax(logits0[:, -1], axis=-1).astype(jnp.int32)
+    lengths = jnp.full((n_slots,), 6, jnp.int32)
+    for i in range(3):
+        caches_sh, logits = step(packed_sh, caches_sh, tokens, lengths)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits_seq[i], atol=2e-3, rtol=1e-3)
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lengths = lengths + 1
