@@ -140,6 +140,14 @@ def get_loaders(
         else:
             vfn = lambda i: enc(val_docs[i])
             evaltok = _doc_window_samples(vfn, len(val_docs), 256, seqlen, 0, min_len_exclusive=False).reshape(-1)
+    elif name == "mix":
+        # 1/3 each with the remainder on wikitext2, no eval set (datautils.py:245-257)
+        n3 = nsamples // 3
+        c_w, _ = get_loaders("wikitext2", tokenizer, n3 + (nsamples - 3 * n3), seed, seqlen, flavor, src)
+        c_p, _ = get_loaders("ptb", tokenizer, n3, seed, seqlen, flavor, src)
+        c_c, _ = get_loaders("c4", tokenizer, n3, seed, seqlen, flavor, src)
+        calib = np.concatenate([c_w, c_p, c_c], axis=0)
+        evaltok = np.zeros((0,), np.int64)
     else:
         raise NotImplementedError(f"dataset {name}")
 

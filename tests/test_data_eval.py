@@ -144,3 +144,9 @@ def test_evaluate_task_end_to_end(tiny_lm, tok):
     out = T.evaluate_model_tasks(params, cfg, fam, tok, ["custom"], examples_by_task={"custom": examples})
     assert 0.0 <= out["mean_acc"] <= 1.0
     assert out["results"]["custom"]["n"] == 2
+
+
+def test_mix_dataset(tok, src):
+    calib, ev = get_loaders("mix", tok, nsamples=7, seqlen=32, source=src)
+    assert calib.shape == (7, 32)  # 3 + 2 + 2
+    assert ev.size == 0
