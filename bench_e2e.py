@@ -1,0 +1,136 @@
+"""End-to-end decode benchmark: llama-7b-shaped PBW model, tokens/s/chip.
+
+Builds a random bit-packed llama-7b (planes generated on device — contents
+don't affect speed), runs the batched decode step (B slots, vector
+positions, KV caches) inside a `lax.scan`, and times it with the slope
+method (see bench.py for why).
+
+Usage: python bench_e2e.py [--layers 32] [--slots 8] [--ctx 1024]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def build_packed_llama(cfg, key):
+    """Random PBW planes, generated on device per layer."""
+    from pb_llm_tpu.core.packing import default_pack_block
+    from pb_llm_tpu.core.pbw import PackedLinear
+
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+
+    def packed(key, ic, oc):
+        ks = jax.random.split(key, 4)
+        pb = default_pack_block(ic)
+        return PackedLinear(
+            sign_packed=jax.random.bits(ks[0], (ic // 32, oc), jnp.uint32),
+            mask_packed=jax.random.bits(ks[1], (ic // 32, oc), jnp.uint32),
+            sidecar=jax.random.randint(ks[2], (ic, oc), 0, 255, jnp.int32).astype(jnp.uint8),
+            low_scale=jnp.full((1, oc), 0.01, jnp.float32),
+            low_mean=jnp.zeros((1, oc), jnp.float32),
+            high_scale=jnp.full((oc,), 0.004, jnp.float32),
+            high_zero=jnp.full((oc,), 128.0, jnp.float32),
+            bias=None, ic=ic, oc=oc, groupsize=ic, pack_block=pb,
+        )
+
+    shapes = {
+        "q_proj": (h, h), "k_proj": (h, cfg.kv_heads * cfg.head_dim),
+        "v_proj": (h, cfg.kv_heads * cfg.head_dim), "o_proj": (h, h),
+        "gate_proj": (h, ffn), "up_proj": (h, ffn), "down_proj": (ffn, h),
+    }
+    layers = []
+    for li in range(cfg.num_hidden_layers):
+        key, sub = jax.random.split(key)
+        lp = {"input_layernorm": jnp.ones((h,)), "post_attention_layernorm": jnp.ones((h,))}
+        for n, (ic, oc) in shapes.items():
+            sub, k2 = jax.random.split(sub)
+            lp[n] = packed(k2, ic, oc)
+        layers.append(lp)
+        log(f"built layer {li}")
+    key, k1, k2 = jax.random.split(key, 3)
+    return {
+        "embed_tokens": jax.random.normal(k1, (cfg.vocab_size, h), jnp.bfloat16).astype(jnp.float32) * 0.02,
+        "layers": layers,
+        "norm": jnp.ones((h,)),
+        "lm_head": {"w": jax.random.normal(k2, (h, cfg.vocab_size), jnp.bfloat16).astype(jnp.float32) * 0.02, "b": None},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=(8, 24))
+    args = ap.parse_args()
+
+    import pb_llm_tpu.ops.binary_matmul  # noqa: F401
+    from pb_llm_tpu.models.llama import LlamaConfig
+    from pb_llm_tpu.models.registry import family_for
+
+    cfg = LlamaConfig(num_hidden_layers=args.layers)  # llama-7b dims by default
+    fam = family_for("llama")
+    log(f"building packed llama ({args.layers} layers)...")
+    params = build_packed_llama(cfg, jax.random.PRNGKey(0))
+
+    B, S = args.slots, args.ctx
+    caches = [
+        {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
+         "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16)}
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+    def decode_scan(params, caches, tokens0, lengths0, n_steps):
+        def body(carry, _):
+            caches, tokens, lengths = carry
+            logits, caches = fam.forward(params, tokens[:, None], cfg, kv_caches=caches, pos=lengths)
+            tokens = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return (caches, tokens, lengths + 1), ()
+        (caches, tokens, lengths), _ = jax.lax.scan(body, (caches, tokens0, lengths0), None, length=n_steps)
+        return jnp.sum(tokens), caches
+
+    tokens0 = jnp.zeros((B,), jnp.int32)
+    lengths0 = jnp.full((B,), S // 2, jnp.int32)
+
+    times = {}
+    for n_steps in (4, 12):
+        f = jax.jit(lambda p, c, t, l: decode_scan(p, c, t, l, n_steps)[0])
+        log(f"compiling decode scan n={n_steps}...")
+        t0 = time.time()
+        float(f(params, caches, tokens0, lengths0))
+        log(f"compiled+ran in {time.time()-t0:.0f}s")
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(f(params, caches, tokens0 + i, lengths0))
+            ts.append(time.perf_counter() - t0)
+        times[n_steps] = min(ts)
+        log(f"n={n_steps}: {times[n_steps]*1e3:.1f}ms")
+
+    step_s = (times[12] - times[4]) / 8
+    toks = args.slots / step_s
+    n_params = args.layers * (4 * cfg.hidden_size**2 + 3 * cfg.hidden_size * cfg.intermediate_size)
+    stream_gb = n_params * 10 / 8 / 1e9
+    log(f"decode step: {step_s*1e3:.1f}ms, {toks:.1f} tokens/s/chip (B={B}), "
+        f"weight stream {stream_gb/step_s:.0f} GB/s of {stream_gb:.1f} GB/step")
+    print(json.dumps({
+        "metric": f"llama-7b-shape packed decode throughput (B={B} slots, {args.layers} layers)",
+        "value": round(toks, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,7 +140,23 @@ def quant_weight(q: QATLinear) -> jnp.ndarray:
     raise NotImplementedError(f"qat method {q.method}")
 
 
+def bireal_activation(x: jnp.ndarray) -> jnp.ndarray:
+    """BiReal's input binarization: forward sign, backward the piecewise
+    polynomial surrogate (`quant/quantizer.py:151-165`), via the
+    subtract-detached-residual trick the reference uses."""
+    out_forward = jnp.sign(x)
+    m1 = (x < -1).astype(x.dtype)
+    m2 = (x < 0).astype(x.dtype)
+    m3 = (x < 1).astype(x.dtype)
+    out1 = -1.0 * m1 + (x * x + 2 * x) * (1 - m1)
+    out2 = out1 * m2 + (-x * x + 2 * x) * (1 - m2)
+    out3 = out2 * m3 + 1.0 * (1 - m3)
+    return jax.lax.stop_gradient(out_forward - out3) + out3
+
+
 def apply_qat_linear(q: QATLinear, x: jnp.ndarray) -> jnp.ndarray:
+    if q.method == "bireal":  # BiReal binarizes activations too (quantizer.py:151-168)
+        x = bireal_activation(x)
     w = quant_weight(q)
     y = x @ w.T.astype(x.dtype)
     if q.bias is not None:

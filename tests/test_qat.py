@@ -160,3 +160,27 @@ def test_export_dense_matches_qat_forward(tiny_model):
     dense = tq.export_dense(p, fam)
     logits_dense, _ = fam.forward(dense, ids, cfg)
     np.testing.assert_allclose(np.asarray(logits_qat), np.asarray(logits_dense), rtol=1e-4, atol=1e-5)
+
+
+def test_bireal_activation_gradient():
+    import jax
+
+    from pb_llm_tpu.quant.qat import bireal_activation
+
+    x = jnp.asarray(np.linspace(-2, 2, 9).astype(np.float32))
+    y = bireal_activation(x)
+    np.testing.assert_allclose(np.asarray(y), np.sign(np.asarray(x)))
+    g = np.asarray(jax.grad(lambda v: jnp.sum(bireal_activation(v)))(x))
+    assert g[0] == 0.0 and g[-1] == 0.0     # flat outside [-1, 1]
+    assert g[4] == 2.0                       # d/dx(±x²+2x) at 0 = 2
+
+
+def test_param_reports():
+    from pb_llm_tpu.utils.params import count_parameters, zero_fraction_report
+
+    lin = q.make_qat_linear(jnp.asarray(_w()), None, 0.1)
+    tree = {"layers": [{"q": lin, "fc2": {"w": jnp.zeros((4, 4)), "b": None}}], "norm": jnp.ones(3)}
+    t, a = count_parameters(tree)
+    assert t == lin.weight.size and a == t + 16 + 3
+    zr = zero_fraction_report(tree)
+    assert any("fc2" in k for k in zr) and max(zr.values()) == 1.0
