@@ -60,10 +60,10 @@ def build_packed_llama(cfg, key):
         log(f"built layer {li}")
     key, k1, k2 = jax.random.split(key, 3)
     return {
-        "embed_tokens": jax.random.normal(k1, (cfg.vocab_size, h), jnp.bfloat16).astype(jnp.float32) * 0.02,
+        "embed_tokens": jax.random.normal(k1, (cfg.vocab_size, h), jnp.bfloat16) * 0.02,
         "layers": layers,
         "norm": jnp.ones((h,)),
-        "lm_head": {"w": jax.random.normal(k2, (h, cfg.vocab_size), jnp.bfloat16).astype(jnp.float32) * 0.02, "b": None},
+        "lm_head": {"w": jax.random.normal(k2, (h, cfg.vocab_size), jnp.bfloat16) * 0.02, "b": None},
     }
 
 
@@ -71,7 +71,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
-    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--steps", type=int, default=(8, 24))
     args = ap.parse_args()
 
