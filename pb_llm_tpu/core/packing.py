@@ -119,6 +119,61 @@ def unpack_bits_np(words: np.ndarray, ic: int, block_rows: int = PACK_BLOCK) -> 
     return np.concatenate(chunks, axis=0)
 
 
+def pack_nibbles_np(codes: np.ndarray, block_rows: int = PACK_BLOCK) -> np.ndarray:
+    """Pack 4-bit codes [ic, oc] (values 0..15) into bytes [ic//2, oc].
+
+    Block-strided like the bitplanes: within a block of r rows (h = r//2
+    byte-rows), nibble j (0=low, 1=high) of byte-row g holds row j*h + g —
+    so each nibble's x-slice is contiguous for the planar kernel's two
+    nibble-dots.  ic must be even (standard dims are).
+    """
+    ic, oc = codes.shape
+    if ic % 2:
+        raise ValueError("nibble packing requires even ic")
+    codes = codes.astype(np.uint8)
+    chunks, st = [], 0
+    for r in block_sizes(ic, block_rows):
+        h = r // 2
+        blk = codes[st : st + r]
+        chunks.append((blk[:h] | (blk[h:] << 4)).astype(np.uint8))
+        st += r
+    return np.concatenate(chunks, axis=0)
+
+
+def unpack_nibbles_np(bytes_arr: np.ndarray, ic: int, block_rows: int = PACK_BLOCK) -> np.ndarray:
+    chunks, st = [], 0
+    for r in block_sizes(ic, block_rows):
+        h = r // 2
+        blk = bytes_arr[st : st + h]
+        chunks.append(np.concatenate([blk & 0xF, blk >> 4], axis=0).astype(np.uint8))
+        st += h
+    return np.concatenate(chunks, axis=0)
+
+
+def pack_nibbles(codes, block_rows: int = PACK_BLOCK) -> jnp.ndarray:
+    ic, oc = codes.shape
+    if ic % 2:
+        raise ValueError("nibble packing requires even ic")
+    codes = jnp.asarray(codes, jnp.uint8)
+    chunks, st = [], 0
+    for r in block_sizes(ic, block_rows):
+        h = r // 2
+        blk = codes[st : st + r]
+        chunks.append(blk[:h] | (blk[h:] << 4))
+        st += r
+    return jnp.concatenate(chunks, axis=0)
+
+
+def unpack_nibbles(bytes_arr, ic: int, block_rows: int = PACK_BLOCK) -> jnp.ndarray:
+    chunks, st = [], 0
+    for r in block_sizes(ic, block_rows):
+        h = r // 2
+        blk = bytes_arr[st : st + h]
+        chunks.append(jnp.concatenate([blk & 0xF, blk >> 4], axis=0))
+        st += h
+    return jnp.concatenate(chunks, axis=0)
+
+
 def pad_rows(x, multiple: int):
     """Zero-pad axis 0 of ``x`` up to the next multiple. Returns (padded, orig_rows)."""
     rows = x.shape[0]

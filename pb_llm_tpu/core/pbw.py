@@ -69,6 +69,9 @@ class PackedLinear:
     # rows per independently-packed bitplane block (see core/packing.py);
     # the planar kernel's per-bit dot slices are contiguous within a block
     pack_block: int = dataclasses.field(metadata=dict(static=True), default=packing.PACK_BLOCK)
+    # bits per sidecar code: 8 (dense uint8 plane) or 4 (nibble-packed,
+    # --high_bit <= 4 configs; 6 bits/weight total)
+    sidecar_bits: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
     def n_groups(self) -> int:
@@ -79,7 +82,7 @@ class PackedLinear:
     # describe the global logical layer.
     @property
     def ic_local(self) -> int:
-        return self.sidecar.shape[0]
+        return self.sidecar.shape[0] * (2 if self.sidecar_bits == 4 else 1)
 
     @property
     def oc_local(self) -> int:
@@ -97,9 +100,9 @@ class PackedLinear:
         """HBM bits per logical weight of this layout."""
         n = self.ic * self.oc
         plane_bits = self.sign_packed.size * 32 + self.mask_packed.size * 32
-        sidecar_bits = self.sidecar.size * 8
+        side_bits = self.sidecar.size * 8
         scales = (self.low_scale.size + self.low_mean.size + self.high_scale.size + self.high_zero.size) * 32
-        return (plane_bits + sidecar_bits + scales) / n
+        return (plane_bits + side_bits + scales) / n
 
 
 PACKABLE_METHODS = ("xnor", "sign", "rtn", "prune")
@@ -157,8 +160,12 @@ def pack_linear(
 
     hs = high_state["scale"].astype(jnp.float32)
     hz = high_state["zero"].astype(jnp.float32)
-    codes = jnp.clip(jnp.round(w_q / hs[:, None] + hz[:, None]), 0, 255)
+    maxq = float(high_state.get("maxq", 255.0))
+    sidecar_bits = 4 if maxq <= 15 and ic % 2 == 0 else 8
+    codes = jnp.clip(jnp.round(w_q / hs[:, None] + hz[:, None]), 0, maxq)
     sidecar = jnp.where(salient, codes, 0).astype(jnp.uint8).T  # [ic, oc]
+    if sidecar_bits == 4:
+        sidecar = packing.pack_nibbles(sidecar, pack_block)
 
     packed = PackedLinear(
         sign_packed=packing.pack_bits(bits.astype(jnp.uint32), pack_block),
@@ -173,6 +180,7 @@ def pack_linear(
         oc=oc,
         groupsize=gs,
         pack_block=pack_block,
+        sidecar_bits=sidecar_bits,
     )
     w_rt = dequantize(packed).T  # [oc, ic]
     diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6))}
@@ -189,7 +197,10 @@ def dequantize(p: PackedLinear) -> jnp.ndarray:
     mean_rows = jnp.repeat(p.low_mean, p.groupsize_local, axis=0)[:ic]
     scale_rows = jnp.repeat(p.low_scale, p.groupsize_local, axis=0)[:ic]
     w_bin = mean_rows + (2.0 * bits - 1.0) * scale_rows
-    w_hi = p.high_scale[None, :] * (p.sidecar.astype(jnp.float32) - p.high_zero[None, :])
+    side = p.sidecar
+    if p.sidecar_bits == 4:
+        side = packing.unpack_nibbles(side, ic, p.pack_block_local)
+    w_hi = p.high_scale[None, :] * (side.astype(jnp.float32) - p.high_zero[None, :])
     return jnp.where(m, w_hi, w_bin)
 
 
@@ -217,7 +228,8 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
     for name, p in layers.items():
         meta["layers"][name] = {
             "ic": p.ic, "oc": p.oc, "groupsize": p.groupsize,
-            "pack_block": p.pack_block, "has_bias": p.bias is not None,
+            "pack_block": p.pack_block, "sidecar_bits": p.sidecar_bits,
+            "has_bias": p.bias is not None,
         }
         for f in _FIELDS:
             v = getattr(p, f)
@@ -239,6 +251,7 @@ def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
             kw["bias"] = None
         layers[name] = PackedLinear(
             ic=lm["ic"], oc=lm["oc"], groupsize=lm["groupsize"],
-            pack_block=lm.get("pack_block", packing.PACK_BLOCK), **kw,
+            pack_block=lm.get("pack_block", packing.PACK_BLOCK),
+            sidecar_bits=lm.get("sidecar_bits", 8), **kw,
         )
     return layers, meta["extra"]

@@ -55,7 +55,7 @@ def _round_up(v: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int, pack_block: int):
+def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int, pack_block: int, sidecar_bits: int):
     xb = x_ref[:]
     mrows = xb.shape[0]
     acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
@@ -73,7 +73,21 @@ def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_t
             acc_m += jnp.dot(xs, bits_m, preferred_element_type=jnp.float32)
         w_off += g
         r_off += rows
-    acc_v = jnp.dot(xb, v_ref[:].astype(jnp.int32).astype(jnp.float32), preferred_element_type=jnp.float32)
+    if sidecar_bits == 4:
+        # nibble-strided layout: two half-row dots per pack block
+        acc_v = jnp.zeros((mrows, oc_tile), jnp.float32)
+        v_off = r_off = 0
+        for rows in packing.block_sizes(ic, pack_block):
+            h = rows // 2
+            vb = v_ref[v_off : v_off + h, :].astype(jnp.int32)
+            lo = (vb & 0xF).astype(jnp.float32)
+            hi = (vb >> 4).astype(jnp.float32)
+            acc_v += jnp.dot(xb[:, r_off : r_off + h], lo, preferred_element_type=jnp.float32)
+            acc_v += jnp.dot(xb[:, r_off + h : r_off + rows], hi, preferred_element_type=jnp.float32)
+            v_off += h
+            r_off += rows
+    else:
+        acc_v = jnp.dot(xb, v_ref[:].astype(jnp.int32).astype(jnp.float32), preferred_element_type=jnp.float32)
     rowsum = jnp.sum(xb, axis=1, keepdims=True)
     alpha = coef_ref[0:1, :]
     beta = coef_ref[1:2, :]
@@ -97,7 +111,10 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)  # [5, oc]
 
-    kernel = functools.partial(_planar_kernel, ic=ic, oc_tile=oc_tile, pack_block=p.pack_block_local)
+    kernel = functools.partial(
+        _planar_kernel, ic=ic, oc_tile=oc_tile,
+        pack_block=p.pack_block_local, sidecar_bits=p.sidecar_bits,
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
@@ -106,14 +123,14 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
             pl.BlockSpec((m_pad, ic), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.sidecar.shape[0], oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((5, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_pad, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * m_pad * ic * oc,
-            bytes_accessed=ic * oc * 10 // 8 + m_pad * (ic + oc) * 4,
+            bytes_accessed=ic * oc * (2 + p.sidecar_bits) // 8 + m_pad * (ic + oc) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -242,6 +259,8 @@ def _planar_ok(m: int, p: PackedLinear) -> bool:
 def pallas_supported(p: PackedLinear) -> bool:
     ic, oc = p.ic_local, p.oc_local
     pack_block = p.pack_block_local
+    if p.sidecar_bits == 4 and not _planar_ok(8, p):
+        return False  # the select kernel has no nibble path
     if oc % 128 != 0:
         return False
     if ic % 32 != 0:

@@ -29,6 +29,7 @@ def _flatten(tree: Any, prefix: str, arrays: Dict[str, np.ndarray], meta: Dict[s
         meta[prefix] = {
             "kind": "packed", "ic": tree.ic, "oc": tree.oc,
             "groupsize": tree.groupsize, "pack_block": tree.pack_block,
+            "sidecar_bits": tree.sidecar_bits,
         }
         for f in _PBW_FIELDS:
             v = getattr(tree, f)
@@ -64,7 +65,8 @@ def _unflatten(prefix: str, z, meta: Dict[str, Any]):
             kw["bias"] = None
         return PackedLinear(
             ic=m["ic"], oc=m["oc"], groupsize=m["groupsize"],
-            pack_block=m.get("pack_block", packing.PACK_BLOCK), **kw,
+            pack_block=m.get("pack_block", packing.PACK_BLOCK),
+            sidecar_bits=m.get("sidecar_bits", 8), **kw,
         )
     raise ValueError(kind)
 

@@ -71,3 +71,43 @@ def test_unsupported_shapes_fall_back():
     binary_matmul.set_backend("auto")
     y = binary_matmul.pb_matmul(x, p)  # must not crash; uses XLA path
     np.testing.assert_allclose(np.asarray(y), np.asarray(pbw.matmul_reference(x, p)), rtol=1e-5)
+
+
+def test_high_bit4_nibble_sidecar():
+    """--high_bit 4 configs pack the sidecar as nibbles (6 bits/w total)."""
+    from pb_llm_tpu.core import packing
+
+    rng = np.random.default_rng(5)
+    oc, ic = 128, 512
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    mask = np.abs(w) <= np.quantile(np.abs(w), 0.8)
+    low_state = low_calibrate(jnp.asarray(w * mask), "xnor")
+    high_state = high_calibrate(jnp.asarray(w), bits=4)
+    q_low = np.asarray(low_quantize(jnp.asarray(w), low_state, "xnor"))
+    q_high = np.asarray(high_quantize(jnp.asarray(w), high_state))
+    w_q = np.where(mask, q_low, q_high)
+    p, diag = pbw.pack_linear(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state, "xnor")
+    assert p.sidecar_bits == 4
+    assert p.sidecar.shape == (ic // 2, oc)
+    assert diag["pack_mismatch"] == 0.0
+    assert p.effective_bits() < 6.6
+
+    x = jnp.asarray(rng.standard_normal((5, ic)).astype(np.float32))
+    y_ref = pbw.matmul_reference(x, p)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(x) @ w_q.T, rtol=1e-4, atol=1e-4)
+    assert pallas_pb.pallas_supported(p)
+    y_pal = pallas_pb.pb_matmul_pallas(x, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_nibble_packing_roundtrip():
+    from pb_llm_tpu.core import packing
+
+    rng = np.random.default_rng(6)
+    codes = rng.integers(0, 16, size=(544, 12)).astype(np.uint8)
+    b = packing.pack_nibbles_np(codes, 256)
+    assert b.shape == (272, 12)
+    np.testing.assert_array_equal(packing.unpack_nibbles_np(b, 544, 256), codes)
+    bj = packing.pack_nibbles(jnp.asarray(codes), 256)
+    np.testing.assert_array_equal(np.asarray(bj), b)
+    np.testing.assert_array_equal(np.asarray(packing.unpack_nibbles(bj, 544, 256)), codes)
