@@ -160,7 +160,7 @@ def _unpack_tile(words, ic_tile: int, oc_tile: int, pack_block: int) -> jnp.ndar
 def _select_kernel(
     x_ref, sign_ref, mask_ref, side_ref, lscale_ref, lmean_ref, hscale_ref, hzero_ref, bias_ref,
     out_ref,
-    *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int,
+    *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int, sidecar_bits: int,
 ):
     j = pl.program_id(1)
 
@@ -187,7 +187,23 @@ def _select_kernel(
             parts.append(mu + (2.0 * sb - 1.0) * sc)
         w_bin = jnp.concatenate(parts, axis=0)
 
-    w_hi = hscale_ref[:] * (side_ref[:].astype(jnp.int32).astype(jnp.float32) - hzero_ref[:])
+    if sidecar_bits == 4:
+        # nibble-strided within each pack block: rows [0:h)=low, [h:2h)=high —
+        # natural order restored by a contiguous concat (no interleave)
+        if ic_tile % pack_block == 0 and ic_tile > pack_block:
+            parts = []
+            for blk in range(ic_tile // pack_block):
+                h = pack_block // 2
+                vb = side_ref[blk * h : (blk + 1) * h, :].astype(jnp.int32)
+                parts.append(jnp.concatenate([vb & 0xF, vb >> 4], axis=0))
+            side = jnp.concatenate(parts, axis=0)
+        else:
+            vb = side_ref[:].astype(jnp.int32)
+            side = jnp.concatenate([vb & 0xF, vb >> 4], axis=0)
+        side_f = side.astype(jnp.float32)
+    else:
+        side_f = side_ref[:].astype(jnp.int32).astype(jnp.float32)
+    w_hi = hscale_ref[:] * (side_f - hzero_ref[:])
     w = w_bin + mbits * (w_hi - w_bin)
 
     out_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32)
@@ -210,7 +226,7 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
 
     kernel = functools.partial(
         _select_kernel, ic_tile=ic_tile, oc_tile=oc_tile, n_ic_tiles=n_ic_tiles,
-        groupsize=p.groupsize_local, pack_block=pack_block,
+        groupsize=p.groupsize_local, pack_block=pack_block, sidecar_bits=p.sidecar_bits,
     )
     out = pl.pallas_call(
         kernel,
@@ -220,7 +236,7 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
             pl.BlockSpec((m_pad, ic_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((wrows, oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((wrows, oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic_tile, oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic_tile // (2 if p.sidecar_bits == 4 else 1), oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p.n_groups, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p.n_groups, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -259,8 +275,6 @@ def _planar_ok(m: int, p: PackedLinear) -> bool:
 def pallas_supported(p: PackedLinear) -> bool:
     ic, oc = p.ic_local, p.oc_local
     pack_block = p.pack_block_local
-    if p.sidecar_bits == 4 and not _planar_ok(8, p):
-        return False  # the select kernel has no nibble path
     if oc % 128 != 0:
         return False
     if ic % 32 != 0:
@@ -288,6 +302,9 @@ def pb_matmul_pallas(
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if oc_tile is None:
         oc_tile = 256 if p.oc_local % 256 == 0 else 128
-    if _planar_ok(m, p):
+    # planar runs 3 dots (B', M, V): ideal while memory/VPU-bound (decode),
+    # 3x the MXU flops once compute-bound — large-m prefill reconstructs the
+    # tile once and does a single dot instead (select kernel)
+    if m < 256 and _planar_ok(m, p):
         return _planar_call(x, p, oc_tile, interpret)
     return _select_call(x, p, oc_tile, interpret)

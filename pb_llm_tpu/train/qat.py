@@ -158,7 +158,7 @@ def make_train_step(cfg, fam: Family, qcfg: QATConfig, optimizer) -> Callable:
         logits = _forward_remat(params, batch["input_ids"], cfg, fam, qcfg.remat)
         return causal_lm_loss(logits, batch["input_ids"], batch.get("attention_mask"))
 
-    def step(params, opt_state, batch):
+    def grads_of(params, batch):
         # allow_int: the tree carries bool masks / int ids; they get float0
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(params, batch)
         # int/bool leaves (masks, embeds ids) get float0 tangents; zero them
@@ -166,6 +166,31 @@ def make_train_step(cfg, fam: Family, qcfg: QATConfig, optimizer) -> Callable:
             lambda g, p: jnp.zeros_like(p) if g.dtype == jax.dtypes.float0 else g,
             grads, params,
         )
+        return loss, grads
+
+    def step(params, opt_state, batch):
+        if qcfg.grad_accum > 1:
+            # reference recipe: per-device batch 2 × grad-accum 4
+            # (qat/run_qat.py:114-115); batch leading dim splits into chunks
+            def _f(a):  # int/bool leaves (frozen masks) stay untouched
+                return jnp.issubdtype(a.dtype, jnp.inexact)
+
+            def acc_step(carry, micro):
+                loss_sum, gacc = carry
+                loss, grads = grads_of(params, micro)
+                gacc = jax.tree.map(lambda a, g: a + g if _f(a) else a, gacc, grads)
+                return (loss_sum + loss, gacc), ()
+
+            micro = jax.tree.map(
+                lambda v: v.reshape(qcfg.grad_accum, v.shape[0] // qcfg.grad_accum, *v.shape[1:]),
+                batch,
+            )
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (loss, grads), _ = jax.lax.scan(acc_step, (0.0, zeros), micro)
+            loss = loss / qcfg.grad_accum
+            grads = jax.tree.map(lambda g: g / qcfg.grad_accum if _f(g) else g, grads)
+        else:
+            loss, grads = grads_of(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -111,3 +111,64 @@ def test_nibble_packing_roundtrip():
     bj = packing.pack_nibbles(jnp.asarray(codes), 256)
     np.testing.assert_array_equal(np.asarray(bj), b)
     np.testing.assert_array_equal(np.asarray(packing.unpack_nibbles(bj, 544, 256)), codes)
+
+
+def test_large_m_select_dispatch_matches():
+    """m>=256 routes to the one-dot select kernel; results match planar/XLA."""
+    p = _packed(128, 512)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((300, 512)).astype(np.float32))
+    y_ref = pbw.matmul_reference(x, p)
+    y_pal = pallas_pb.pb_matmul_pallas(x, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=2e-4)
+
+
+def test_large_m_select_nibble_sidecar():
+    from pb_llm_tpu.quant.high_quant import high_calibrate as hc
+
+    rng = np.random.default_rng(8)
+    oc, ic = 128, 512
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    mask = np.abs(w) <= np.quantile(np.abs(w), 0.7)
+    low_state = low_calibrate(jnp.asarray(w * mask), "xnor")
+    high_state = hc(jnp.asarray(w), bits=4)
+    w_q = np.where(mask, np.asarray(low_quantize(jnp.asarray(w), low_state, "xnor")),
+                   np.asarray(high_quantize(jnp.asarray(w), high_state)))
+    p, _ = pbw.pack_linear(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state, "xnor")
+    assert p.sidecar_bits == 4
+    x = jnp.asarray(rng.standard_normal((300, ic)).astype(np.float32))
+    y_ref = pbw.matmul_reference(x, p)
+    y_pal = pallas_pb.pb_matmul_pallas(x, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=2e-4)
+
+
+def test_qat_grad_accum_matches_full_batch():
+    """grad_accum microbatching == one big batch (same update)."""
+    import copy
+
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from pb_llm_tpu.models import hf_import
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.train import qat as tq
+
+    hf_cfg = OPTConfig(vocab_size=64, hidden_size=16, ffn_dim=32, num_hidden_layers=1,
+                       num_attention_heads=2, max_position_embeddings=32, word_embed_proj_dim=16, dropout=0.0)
+    torch.manual_seed(0)
+    params, cfg, _ = hf_import.from_torch_model(OPTForCausalLM(hf_cfg).eval().float())
+    fam = family_for("opt")
+    batch = {"input_ids": np.random.default_rng(0).integers(0, 64, size=(4, 8))}
+
+    outs = []
+    for accum in (1, 4):
+        qcfg = tq.QATConfig(outlier_fraction=0.2, train_steps=2, learning_rate=1e-3, grad_accum=accum, remat=False)
+        qp = tq.replace_linears(copy.deepcopy(params), fam, qcfg)
+        opt = tq.make_optimizer(qcfg, qp)
+        st = opt.init(qp)
+        import jax
+
+        step = jax.jit(tq.make_train_step(cfg, fam, qcfg, opt))
+        qp, st, loss = step(qp, st, {k: jnp.asarray(v) for k, v in batch.items()})
+        outs.append((float(loss), np.asarray(qp["layers"][0]["fc1"].weight)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4, atol=1e-6)
