@@ -128,3 +128,22 @@ def test_packed_params_engine(engine_setup):
     t1 = eng.decode_step()[0]
     want = _greedy_reference(packed, cfg, fam, [5, 6, 7], steps=2)
     assert [t0, t1] == want
+
+
+def test_multihost_batcher_single_process_equivalence(engine_setup):
+    """With one process the coordinator must behave like ContinuousBatcher."""
+    from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
+
+    params, cfg, fam = engine_setup
+    reqs_a = [Request(request_id=i, prompt_ids=[1 + i, 2 + i, 3 + i], max_new_tokens=4) for i in range(5)]
+    reqs_b = [Request(request_id=i, prompt_ids=[1 + i, 2 + i, 3 + i], max_new_tokens=4) for i in range(5)]
+
+    eng_a = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,)))
+    done_a = ContinuousBatcher(eng_a).run(reqs_a)
+
+    eng_b = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,)))
+    done_b = MultiHostBatcher(eng_b, max_prompt=8).run(reqs_b)
+
+    assert all(r.done for r in done_b)
+    for a, b in zip(done_a, done_b):
+        assert a.output_ids == b.output_ids
