@@ -101,6 +101,48 @@ def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree) -> Callable:
     return jax.jit(fn)
 
 
+def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int) -> Callable:
+    """Jitted TP prefill for one slot over a padded prompt bucket.
+
+    prefill(params, caches, ids_padded [bucket], slot, true_len)
+      → (caches, next_logits [V])
+    """
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, fam, tp)
+    pspecs = param_specs(params_tree, fam.name)
+    n_layers = len(params_tree["layers"])
+    cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC} for _ in range(n_layers)]
+
+    def local_prefill(params, caches, ids_padded, slot, true_len):
+        slot_caches = [
+            {"k": jax.lax.dynamic_slice_in_dim(c["k"], slot, 1, 0),
+             "v": jax.lax.dynamic_slice_in_dim(c["v"], slot, 1, 0)}
+            for c in caches
+        ]
+        logits, new_slot = fam.forward(
+            params, ids_padded[None, :], lcfg,
+            linear_fn=_tp_linear_fn, kv_caches=slot_caches, pos=0,
+        )
+        caches = [
+            {"k": jax.lax.dynamic_update_slice_in_dim(c["k"], nc["k"], slot, 0),
+             "v": jax.lax.dynamic_update_slice_in_dim(c["v"], nc["v"], slot, 0)}
+            for c, nc in zip(caches, new_slot)
+        ]
+        next_logits = logits[0, true_len - 1]
+        if next_logits.shape[-1] != cfg.vocab_size:
+            next_logits = jax.lax.all_gather(next_logits, "tp", axis=-1, tiled=True)
+        return caches, next_logits
+
+    fn = shard_map(
+        local_prefill,
+        mesh=mesh,
+        in_specs=(pspecs, cache_specs, P(), P(), P()),
+        out_specs=(cache_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_caches_tp(cfg, fam: Family, mesh: Mesh, n_slots: int, max_seq: int, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
     from jax.sharding import NamedSharding
 

@@ -83,3 +83,47 @@ def test_tp_decode_matches_single_device(packed_llama):
         np.testing.assert_allclose(np.asarray(logits), ref_logits_seq[i], atol=2e-3, rtol=1e-3)
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         lengths = lengths + 1
+
+
+def test_tp_prefill_then_decode_matches_single_device(packed_llama):
+    """Full TP path: sharded prefill fills caches, sharded decode continues."""
+    packed, cfg, fam = packed_llama
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    n_slots, max_seq, bucket = 2, 32, 8
+
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 128, size=5), rng.integers(0, 128, size=7)]
+
+    # single-device reference
+    def ref_gen(prompt, steps):
+        ids = list(prompt)
+        for _ in range(steps):
+            logits, _ = fam.forward(packed, jnp.asarray([ids]), cfg)
+            ids.append(int(jnp.argmax(logits[0, -1])))
+        return ids[len(prompt):]
+
+    refs = [ref_gen(p, 3) for p in prompts]
+
+    packed_sh = sharding.shard_params(copy.deepcopy(packed), mesh, "llama")
+    caches = tp_engine.make_caches_tp(cfg, fam, mesh, n_slots, max_seq)
+    prefill = tp_engine.make_tp_prefill(cfg, fam, mesh, packed_sh, bucket)
+    step = tp_engine.make_tp_step(cfg, fam, mesh, packed_sh)
+
+    tokens = np.zeros(n_slots, np.int32)
+    lengths = np.zeros(n_slots, np.int32)
+    outs = [[], []]
+    for s, p in enumerate(prompts):
+        padded = np.zeros(bucket, np.int32)
+        padded[: len(p)] = p
+        caches, logits = prefill(packed_sh, caches, jnp.asarray(padded), s, len(p))
+        tokens[s] = int(jnp.argmax(logits))
+        lengths[s] = len(p)
+        outs[s].append(int(tokens[s]))
+    for _ in range(2):
+        caches, logits = step(packed_sh, caches, jnp.asarray(tokens), jnp.asarray(lengths))
+        for s in range(n_slots):
+            tokens[s] = int(jnp.argmax(logits[s]))
+            outs[s].append(int(tokens[s]))
+        lengths += 1
+    assert outs[0] == refs[0]
+    assert outs[1] == refs[1]
