@@ -72,6 +72,12 @@ class PackedLinear:
     # bits per sidecar code: 8 (dense uint8 plane) or 4 (nibble-packed,
     # --high_bit <= 4 configs; 6 bits/weight total)
     sidecar_bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # bitplanes on the binary/low side: 1 (xnor/sign/rtn/prune) or 2/4
+    # (uniform 2-bit/4-bit low methods); sign_packed stacks the planes
+    # plane-major ([low_bits * ic/32, oc]). For low_bits >= 2, ``low_mean``
+    # holds the uniform quantizer's zero point and the value is
+    # low_scale * (code - low_mean).
+    low_bits: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
     def n_groups(self) -> int:
@@ -83,6 +89,10 @@ class PackedLinear:
     @property
     def ic_local(self) -> int:
         return self.sidecar.shape[0] * (2 if self.sidecar_bits == 4 else 1)
+
+    @property
+    def words_per_plane(self) -> int:
+        return self.sign_packed.shape[0] // self.low_bits
 
     @property
     def oc_local(self) -> int:
@@ -105,7 +115,8 @@ class PackedLinear:
         return (plane_bits + side_bits + scales) / n
 
 
-PACKABLE_METHODS = ("xnor", "sign", "rtn", "prune")
+PACKABLE_METHODS = ("xnor", "sign", "rtn", "prune", "2bit", "4bit")
+_LOW_BITS = {"xnor": 1, "sign": 1, "rtn": 1, "prune": 1, "2bit": 2, "4bit": 4}
 
 
 def pack_linear(
@@ -139,9 +150,14 @@ def pack_linear(
     mask = jnp.asarray(mask, bool)
     salient = ~mask
 
+    low_bits = _LOW_BITS[method]
     if method == "xnor":
         low_mean = low_state["mean"].astype(jnp.float32)    # [n_groups, oc]
         low_scale = low_state["scale"].astype(jnp.float32)
+    elif method in ("2bit", "4bit"):
+        # uniform code c = round(q/scale + zero); value = scale*(c - zero)
+        low_scale = low_state["scale"].astype(jnp.float32)
+        low_mean = low_state["zero"].astype(jnp.float32)    # holds the zero point
     else:
         # {0, s} two-point value sets -> mean' = scale' = s/2 (prune: s=0).
         s = low_state["scale"].astype(jnp.float32)
@@ -151,12 +167,20 @@ def pack_linear(
         low_scale = s / 2.0
 
     pack_block = pack_block or packing.default_pack_block(ic)
-    mean_rows = jnp.repeat(low_mean, gs, axis=0)[:ic]  # [ic, oc]
-    # sign bit from the quantized value itself: q = mean + s*scale, s = sign(q - mean);
-    # zeroed at salient positions (B' plane) so the planar kernel's linear
-    # decomposition w = β + α·b′ + hs·v″ + γ·m holds — the select path never
-    # reads the sign bit there, so exactness is unaffected
-    bits = ((w_q.T - mean_rows) >= 0) & ~salient.T
+    if low_bits == 1:
+        mean_rows = jnp.repeat(low_mean, gs, axis=0)[:ic]  # [ic, oc]
+        # sign bit from the quantized value itself: q = mean + s*scale,
+        # s = sign(q - mean); zeroed at salient positions (B' plane) so the
+        # planar kernel's linear decomposition w = β + α·b′ + hs·v″ + γ·m
+        # holds — the select path never reads the sign bit there
+        bits = ((w_q.T - mean_rows) >= 0) & ~salient.T
+        plane_list = [bits]
+    else:
+        scale_rows = jnp.maximum(jnp.repeat(low_scale, gs, axis=0)[:ic], 1e-20)
+        zero_rows = jnp.repeat(low_mean, gs, axis=0)[:ic]
+        codes_low = jnp.clip(jnp.round(w_q.T / scale_rows + zero_rows), 0, 2**low_bits - 1).astype(jnp.int32)
+        codes_low = jnp.where(salient.T, 0, codes_low)  # zeroed at salient
+        plane_list = [((codes_low >> j) & 1).astype(bool) for j in range(low_bits)]
 
     hs = high_state["scale"].astype(jnp.float32)
     hz = high_state["zero"].astype(jnp.float32)
@@ -168,7 +192,9 @@ def pack_linear(
         sidecar = packing.pack_nibbles(sidecar, pack_block)
 
     packed = PackedLinear(
-        sign_packed=packing.pack_bits(bits.astype(jnp.uint32), pack_block),
+        sign_packed=jnp.concatenate(
+            [packing.pack_bits(pl.astype(jnp.uint32), pack_block) for pl in plane_list], axis=0
+        ),
         mask_packed=packing.pack_bits(salient.T.astype(jnp.uint32), pack_block),
         sidecar=sidecar,
         low_scale=low_scale,
@@ -181,6 +207,7 @@ def pack_linear(
         groupsize=gs,
         pack_block=pack_block,
         sidecar_bits=sidecar_bits,
+        low_bits=low_bits,
     )
     w_rt = dequantize(packed).T  # [oc, ic]
     diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6))}
@@ -192,11 +219,19 @@ def dequantize(p: PackedLinear) -> jnp.ndarray:
 
     Uses shard-local plane shapes so it works on shard_map-local views."""
     ic = p.ic_local
-    bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
     m = packing.unpack_bits(p.mask_packed, ic, p.pack_block_local).astype(bool)
     mean_rows = jnp.repeat(p.low_mean, p.groupsize_local, axis=0)[:ic]
     scale_rows = jnp.repeat(p.low_scale, p.groupsize_local, axis=0)[:ic]
-    w_bin = mean_rows + (2.0 * bits - 1.0) * scale_rows
+    wpp = p.words_per_plane
+    if p.low_bits == 1:
+        bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
+        w_bin = mean_rows + (2.0 * bits - 1.0) * scale_rows
+    else:
+        code = jnp.zeros((ic, p.oc_local), jnp.float32)
+        for j in range(p.low_bits):
+            bits_j = packing.unpack_bits(p.sign_packed[j * wpp : (j + 1) * wpp], ic, p.pack_block_local)
+            code = code + (2.0**j) * bits_j.astype(jnp.float32)
+        w_bin = scale_rows * (code - mean_rows)  # low_mean holds the zero point
     side = p.sidecar
     if p.sidecar_bits == 4:
         side = packing.unpack_nibbles(side, ic, p.pack_block_local)
@@ -229,7 +264,7 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
         meta["layers"][name] = {
             "ic": p.ic, "oc": p.oc, "groupsize": p.groupsize,
             "pack_block": p.pack_block, "sidecar_bits": p.sidecar_bits,
-            "has_bias": p.bias is not None,
+            "low_bits": p.low_bits, "has_bias": p.bias is not None,
         }
         for f in _FIELDS:
             v = getattr(p, f)
@@ -252,6 +287,6 @@ def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
         layers[name] = PackedLinear(
             ic=lm["ic"], oc=lm["oc"], groupsize=lm["groupsize"],
             pack_block=lm.get("pack_block", packing.PACK_BLOCK),
-            sidecar_bits=lm.get("sidecar_bits", 8), **kw,
+            sidecar_bits=lm.get("sidecar_bits", 8), low_bits=lm.get("low_bits", 1), **kw,
         )
     return layers, meta["extra"]

@@ -55,7 +55,7 @@ def _round_up(v: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int, pack_block: int, sidecar_bits: int):
+def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int, pack_block: int, sidecar_bits: int, low_bits: int):
     xb = x_ref[:]
     mrows = xb.shape[0]
     acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
@@ -63,13 +63,14 @@ def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_t
     w_off = r_off = 0
     for rows in packing.block_sizes(ic, pack_block):
         g = rows // WORD_BITS
-        ws = s_ref[w_off : w_off + g, :]
         wm = m_ref[w_off : w_off + g, :]
+        planes = [s_ref[j, w_off : w_off + g, :] for j in range(low_bits)]
         for b in range(WORD_BITS):
             xs = xb[:, r_off + b * g : r_off + (b + 1) * g]
-            bits_s = ((ws >> b) & 1).astype(jnp.int32).astype(jnp.float32)
+            for j, ws in enumerate(planes):
+                bits_s = ((ws >> b) & 1).astype(jnp.int32).astype(jnp.float32)
+                acc_b += (2.0**j) * jnp.dot(xs, bits_s, preferred_element_type=jnp.float32)
             bits_m = ((wm >> b) & 1).astype(jnp.int32).astype(jnp.float32)
-            acc_b += jnp.dot(xs, bits_s, preferred_element_type=jnp.float32)
             acc_m += jnp.dot(xs, bits_m, preferred_element_type=jnp.float32)
         w_off += g
         r_off += rows
@@ -105,23 +106,29 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
 
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
-    alpha = 2.0 * scale
-    beta = mean - scale
+    if p.low_bits == 1:
+        alpha = 2.0 * scale           # w_bin = alpha·bit + beta
+        beta = mean - scale
+    else:
+        alpha = scale                  # w_bin = scale·(code − zero); low_mean = zero
+        beta = -scale * mean
     gamma = -p.high_scale * p.high_zero - beta
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)  # [5, oc]
 
     kernel = functools.partial(
         _planar_kernel, ic=ic, oc_tile=oc_tile,
-        pack_block=p.pack_block_local, sidecar_bits=p.sidecar_bits,
+        pack_block=p.pack_block_local, sidecar_bits=p.sidecar_bits, low_bits=p.low_bits,
     )
+    wpp = p.words_per_plane
+    sign3 = p.sign_packed.reshape(p.low_bits, wpp, oc)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
         grid=(oc // oc_tile,),
         in_specs=[
             pl.BlockSpec((m_pad, ic), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.low_bits, wpp, oc_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p.sidecar.shape[0], oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((5, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -134,7 +141,7 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, p.sign_packed, p.mask_packed, p.sidecar, coef)
+    )(xp, sign3, p.mask_packed, p.sidecar, coef)
     return out[:m]
 
 
@@ -160,7 +167,7 @@ def _unpack_tile(words, ic_tile: int, oc_tile: int, pack_block: int) -> jnp.ndar
 def _select_kernel(
     x_ref, sign_ref, mask_ref, side_ref, lscale_ref, lmean_ref, hscale_ref, hzero_ref, bias_ref,
     out_ref,
-    *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int, sidecar_bits: int,
+    *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int, sidecar_bits: int, low_bits: int,
 ):
     j = pl.program_id(1)
 
@@ -168,14 +175,25 @@ def _select_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    sbits = _unpack_tile(sign_ref[:], ic_tile, oc_tile, pack_block)
+    if low_bits == 1:
+        code = _unpack_tile(sign_ref[0], ic_tile, oc_tile, pack_block)
+    else:
+        code = sum(
+            (2.0**jj) * _unpack_tile(sign_ref[jj], ic_tile, oc_tile, pack_block)
+            for jj in range(low_bits)
+        )
     mbits = _unpack_tile(mask_ref[:], ic_tile, oc_tile, pack_block)
+
+    def _bin(code_rows, sc, mu):
+        if low_bits == 1:
+            return mu + (2.0 * code_rows - 1.0) * sc
+        return sc * (code_rows - mu)  # low_mean holds the zero point
 
     if groupsize >= ic_tile:
         g0 = (j * ic_tile) // groupsize
         scale = lscale_ref[pl.ds(g0, 1), :]
         mean = lmean_ref[pl.ds(g0, 1), :]
-        w_bin = mean + (2.0 * sbits - 1.0) * scale
+        w_bin = _bin(code, scale, mean)
     else:
         segs = ic_tile // groupsize
         parts = []
@@ -183,8 +201,7 @@ def _select_kernel(
             gi = j * segs + s
             sc = lscale_ref[pl.ds(gi, 1), :]
             mu = lmean_ref[pl.ds(gi, 1), :]
-            sb = sbits[s * groupsize : (s + 1) * groupsize, :]
-            parts.append(mu + (2.0 * sb - 1.0) * sc)
+            parts.append(_bin(code[s * groupsize : (s + 1) * groupsize, :], sc, mu))
         w_bin = jnp.concatenate(parts, axis=0)
 
     if sidecar_bits == 4:
@@ -227,14 +244,17 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     kernel = functools.partial(
         _select_kernel, ic_tile=ic_tile, oc_tile=oc_tile, n_ic_tiles=n_ic_tiles,
         groupsize=p.groupsize_local, pack_block=pack_block, sidecar_bits=p.sidecar_bits,
+        low_bits=p.low_bits,
     )
+    wpp = p.words_per_plane
+    sign3 = p.sign_packed.reshape(p.low_bits, wpp, oc)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
         grid=(oc // oc_tile, n_ic_tiles),
         in_specs=[
             pl.BlockSpec((m_pad, ic_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wrows, oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.low_bits, wrows, oc_tile), lambda i, j: (0, j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((wrows, oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic_tile // (2 if p.sidecar_bits == 4 else 1), oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p.n_groups, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -247,7 +267,7 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(
-        xp, p.sign_packed, p.mask_packed, p.sidecar,
+        xp, sign3, p.mask_packed, p.sidecar,
         p.low_scale, p.low_mean,
         p.high_scale.reshape(1, -1), p.high_zero.reshape(1, -1), bias.reshape(1, -1),
     )

@@ -80,7 +80,7 @@ def _leaf_spec(name: str, leaf: Any) -> Any:
             spec,
             bias=None if leaf.bias is None else spec.bias,
             ic=leaf.ic, oc=leaf.oc, groupsize=leaf.groupsize, pack_block=leaf.pack_block,
-            sidecar_bits=leaf.sidecar_bits,
+            sidecar_bits=leaf.sidecar_bits, low_bits=leaf.low_bits,
         )
     if isinstance(leaf, QATLinear):
         spec = _qat_spec(name)

@@ -29,7 +29,7 @@ def _flatten(tree: Any, prefix: str, arrays: Dict[str, np.ndarray], meta: Dict[s
         meta[prefix] = {
             "kind": "packed", "ic": tree.ic, "oc": tree.oc,
             "groupsize": tree.groupsize, "pack_block": tree.pack_block,
-            "sidecar_bits": tree.sidecar_bits,
+            "sidecar_bits": tree.sidecar_bits, "low_bits": tree.low_bits,
         }
         for f in _PBW_FIELDS:
             v = getattr(tree, f)
@@ -66,7 +66,7 @@ def _unflatten(prefix: str, z, meta: Dict[str, Any]):
         return PackedLinear(
             ic=m["ic"], oc=m["oc"], groupsize=m["groupsize"],
             pack_block=m.get("pack_block", packing.PACK_BLOCK),
-            sidecar_bits=m.get("sidecar_bits", 8), **kw,
+            sidecar_bits=m.get("sidecar_bits", 8), low_bits=m.get("low_bits", 1), **kw,
         )
     raise ValueError(kind)
 

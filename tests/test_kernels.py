@@ -172,3 +172,23 @@ def test_qat_grad_accum_matches_full_batch():
         outs.append((float(loss), np.asarray(qp["layers"][0]["fc1"].weight)))
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["2bit", "4bit"])
+def test_pallas_multiplane_low(method):
+    rng = np.random.default_rng(12)
+    oc, ic = 128, 512
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    mask = np.abs(w) <= np.quantile(np.abs(w), 0.8)
+    low_state = low_calibrate(jnp.asarray(w * mask), method)
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    w_q = np.where(mask, np.asarray(low_quantize(jnp.asarray(w), low_state, method)),
+                   np.asarray(high_quantize(jnp.asarray(w), high_state)))
+    p, diag = pbw.pack_linear(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state, method)
+    assert diag["pack_mismatch"] == 0.0
+    assert pallas_pb.pallas_supported(p)
+    for m in (5, 300):  # planar (decode) and select (prefill) paths
+        x = jnp.asarray(rng.standard_normal((m, ic)).astype(np.float32))
+        y_ref = pbw.matmul_reference(x, p)
+        y_pal = pallas_pb.pb_matmul_pallas(x, p, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=2e-4)

@@ -65,3 +65,27 @@ def test_save_load_roundtrip(tmp_path):
     assert (p2.ic, p2.oc, p2.groupsize) == (p.ic, p.oc, p.groupsize)
     np.testing.assert_allclose(np.asarray(pbw.dequantize(p2)), np.asarray(pbw.dequantize(p)))
     assert p2.bias is None
+
+
+@pytest.mark.parametrize("method,bits", [("2bit", 2), ("4bit", 4)])
+def test_pack_multiplane_low(method, bits):
+    """2-bit/4-bit low methods pack as stacked bitplanes, exactly."""
+    rng = np.random.default_rng(11)
+    oc, ic = 16, 128
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    mask = np.abs(w) <= np.quantile(np.abs(w), 0.7)
+    low_state = low_calibrate(jnp.asarray(w * mask), method)
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    q_low = np.asarray(low_quantize(jnp.asarray(w), low_state, method))
+    q_high = np.asarray(high_quantize(jnp.asarray(w), high_state))
+    w_q = np.where(mask, q_low, q_high)
+    p, diag = pbw.pack_linear(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state, method)
+    assert p.low_bits == bits
+    assert p.sign_packed.shape == (bits * ic // 32, oc)
+    assert diag["pack_mismatch"] == 0.0
+    np.testing.assert_allclose(np.asarray(pbw.dequantize(p)).T, w_q, rtol=1e-5, atol=1e-6)
+
+    x = jnp.asarray(rng.standard_normal((4, ic)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(pbw.matmul_reference(x, p)), np.asarray(x) @ w_q.T, rtol=1e-4, atol=1e-4
+    )
