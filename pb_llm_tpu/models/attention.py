@@ -89,17 +89,42 @@ def masked_softmax_attention(q, k, v, allowed, scale) -> jnp.ndarray:
     return jnp.einsum("bhts,bshd->bthd", probs, v)
 
 
-def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, pos: Pos) -> Dict[str, jnp.ndarray]:
-    """Write k/v [B, t, H, d] into cache [B, S, H, d] at position(s) ``pos``."""
-    p = jnp.asarray(pos)
-    ck, cv = cache["k"], cache["v"]
+def _scatter(buf: jnp.ndarray, val: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     if p.ndim == 0:
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, p, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, p, 0, 0))
-    else:
-        b, t = k.shape[:2]
-        rows = jnp.arange(b)[:, None]                        # [B, 1]
-        cols = p[:, None] + jnp.arange(t)[None, :]           # [B, t]
-        ck = ck.at[rows, cols].set(k.astype(ck.dtype))
-        cv = cv.at[rows, cols].set(v.astype(cv.dtype))
-    return {"k": ck, "v": cv}
+        return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), (0, p) + (0,) * (buf.ndim - 2))
+    b, t = val.shape[:2]
+    rows = jnp.arange(b)[:, None]
+    cols = p[:, None] + jnp.arange(t)[None, :]
+    return buf.at[rows, cols].set(val.astype(buf.dtype))
+
+
+def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, pos: Pos) -> Dict[str, jnp.ndarray]:
+    """Write k/v [B, t, H, d] into cache [B, S, H, d] at position(s) ``pos``.
+
+    Quantized caches (int8 k/v + per-(token, head) float scales under
+    "k_scale"/"v_scale") are detected by key; values are absmax-quantized on
+    write and dequantized by `cache_kv` on read — the KV cache is the
+    second-largest HBM consumer after the weights, and int8 halves it vs
+    bf16 (4x vs f32)."""
+    p = jnp.asarray(pos)
+    out = dict(cache)
+    if "k_scale" in cache:
+        for name, val in (("k", k), ("v", v)):
+            scale = jnp.max(jnp.abs(val), axis=-1, keepdims=True) / 127.0
+            scale = jnp.maximum(scale, 1e-8)
+            q = jnp.clip(jnp.round(val / scale), -127, 127)
+            out[name] = _scatter(cache[name], q, p)
+            out[f"{name}_scale"] = _scatter(cache[f"{name}_scale"], scale, p)
+        return out
+    out["k"] = _scatter(cache["k"], k, p)
+    out["v"] = _scatter(cache["v"], v, p)
+    return out
+
+
+def cache_kv(cache: Dict[str, jnp.ndarray], dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Read (k, v) [B, S, H, d] in compute dtype, dequantizing if needed."""
+    if "k_scale" in cache:
+        k = cache["k"].astype(dtype) * cache["k_scale"].astype(dtype)
+        v = cache["v"].astype(dtype) * cache["v_scale"].astype(dtype)
+        return k, v
+    return cache["k"].astype(dtype), cache["v"].astype(dtype)

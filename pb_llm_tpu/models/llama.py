@@ -118,7 +118,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return x * cos + rotated * sin
 
 
-from .attention import cache_update, causal_allowed, full_causal_attention, masked_softmax_attention  # noqa: E402
+from .attention import cache_kv, cache_update, causal_allowed, full_causal_attention, masked_softmax_attention  # noqa: E402
 
 
 def decoder_layer(
@@ -148,7 +148,8 @@ def decoder_layer(
         kv_cache = cache_update(kv_cache, k, v, pos)
         s = kv_cache["k"].shape[1]
         allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
-        attn = masked_softmax_attention(q, kv_cache["k"].astype(q.dtype), kv_cache["v"].astype(q.dtype), allowed, scale)
+        ck, cv = cache_kv(kv_cache, q.dtype)
+        attn = masked_softmax_attention(q, ck, cv, allowed, scale)
     else:
         attn = full_causal_attention(q, k, v, scale)
     attn = attn.reshape(b, t, cfg.num_attention_heads * hd)

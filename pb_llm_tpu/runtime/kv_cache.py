@@ -14,7 +14,22 @@ from typing import Any, Dict, List
 import jax.numpy as jnp
 
 
-def make_caches(cfg: Any, n_slots: int, max_seq: int, n_layers: int, kv_heads: int, head_dim: int, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+def make_caches(
+    cfg: Any, n_slots: int, max_seq: int, n_layers: int, kv_heads: int, head_dim: int,
+    dtype=jnp.float32,
+) -> List[Dict[str, jnp.ndarray]]:
+    """dtype jnp.int8 → absmax-quantized cache with per-(token, head) scales
+    (see models.attention.cache_update); halves HBM vs bf16."""
+    if dtype == jnp.int8:
+        return [
+            {
+                "k": jnp.zeros((n_slots, max_seq, kv_heads, head_dim), jnp.int8),
+                "v": jnp.zeros((n_slots, max_seq, kv_heads, head_dim), jnp.int8),
+                "k_scale": jnp.zeros((n_slots, max_seq, kv_heads, 1), jnp.float32),
+                "v_scale": jnp.zeros((n_slots, max_seq, kv_heads, 1), jnp.float32),
+            }
+            for _ in range(n_layers)
+        ]
     return [
         {
             "k": jnp.zeros((n_slots, max_seq, kv_heads, head_dim), dtype),
