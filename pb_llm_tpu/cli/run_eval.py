@@ -20,6 +20,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tasks", type=str, default="", help="comma list; suites: llmqat, mmlu")
     p.add_argument("--eval_ppl", type=str, default="wikitext2,ptb,c4")
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--ppl_limit", type=int, default=None, help="max ppl windows per dataset (evaluate.py:144-145 early stop)")
     p.add_argument("--seqlen", type=int, default=None)
     p.add_argument("--flavor", type=str, default="qat", choices=["ptq", "qat"],
                    help="eval-text construction flavor (the two reference pipelines differ)")
@@ -81,7 +82,7 @@ def main(argv=None) -> int:
             evaltok = get_eval_tokens(ds, tokenizer, source=source)
         else:
             _, evaltok = get_loaders(ds, tokenizer, nsamples=2, seqlen=seqlen, flavor="ptq", source=source)
-        ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen)
+        ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen, window_limit=args.ppl_limit)
         log.log("ppl", dataset=ds, ppl=ppl)
         print(f"{ds} perplexity: {ppl:.4f}")
 

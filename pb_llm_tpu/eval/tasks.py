@@ -52,18 +52,24 @@ class LoglikelihoodScorer:
     compiles a handful of programs (the EvalLM adapter's `_model_call` role,
     `evaluate.py:75-84`)."""
 
-    def __init__(self, params, cfg, fam, tokenizer, buckets=(64, 128, 256, 512, 1024, 2048)):
+    def __init__(self, params, cfg, fam, tokenizer, buckets=(64, 128, 256, 512, 1024, 2048), vocab_limit: Optional[int] = None):
+        """``vocab_limit``: slice logits to the first N entries before scoring —
+        the reference's OPT hack (`evaluate.py:79` slices to 50257)."""
         self.params, self.cfg, self.fam, self.tok = params, cfg, fam, tokenizer
         self.buckets = buckets
+        self.vocab_limit = vocab_limit
         self._jits: Dict[int, Any] = {}
 
     def _fn(self, blen: int):
         if blen not in self._jits:
             params, cfg, fam = self.params, self.cfg, self.fam
+            vlim = self.vocab_limit
 
             @jax.jit
             def ll(ids, cont_start, cont_len):
                 logits, _ = fam.forward(params, ids[None, :], cfg)
+                if vlim is not None:
+                    logits = logits[:, :, :vlim]
                 lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
                 pos = jnp.arange(ids.shape[0])
                 tgt_lp = jnp.take_along_axis(lp[:-1], ids[1:, None], axis=-1)[:, 0]
