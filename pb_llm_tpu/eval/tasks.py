@@ -84,7 +84,7 @@ class LoglikelihoodScorer:
         ctx = self.tok.encode(context)
         cont = self.tok.encode(continuation)
         ids = (ctx + cont)[-self.buckets[-1] :]
-        cont_start = len(ids) - len(cont)
+        cont_start = max(len(ids) - len(cont), 1)  # keep >=1 conditioning token
         blen = _bucket(len(ids), self.buckets)
         padded = np.zeros(blen, np.int64)
         padded[: len(ids)] = ids

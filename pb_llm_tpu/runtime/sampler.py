@@ -27,7 +27,8 @@ def sample(logits: jnp.ndarray, key: jax.Array, params: SamplingParams) -> jnp.n
         return jnp.argmax(logits, axis=-1)
     logits = logits.astype(jnp.float32) / params.temperature
     if params.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
+        k = min(params.top_k, logits.shape[-1])
+        kth = jnp.sort(logits, axis=-1)[:, -k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if params.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
