@@ -5,7 +5,7 @@ don't affect speed), runs the batched decode step (B slots, vector
 positions, KV caches) inside a `lax.scan`, and times it with the slope
 method (see bench.py for why).
 
-Usage: python bench_e2e.py [--layers 32] [--slots 8] [--ctx 1024]
+Usage: python bench_e2e.py [--layers 32] [--slots 8] [--ctx 512] [--sidecar_bits 4]
 """
 
 import argparse
@@ -23,7 +23,7 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def build_packed_llama(cfg, key):
+def build_packed_llama(cfg, key, sidecar_bits=8):
     """Random PBW planes, generated on device per layer."""
     from pb_llm_tpu.core.packing import default_pack_block
     from pb_llm_tpu.core.pbw import PackedLinear
@@ -33,15 +33,17 @@ def build_packed_llama(cfg, key):
     def packed(key, ic, oc):
         ks = jax.random.split(key, 4)
         pb = default_pack_block(ic)
+        side_rows = ic // 2 if sidecar_bits == 4 else ic
         return PackedLinear(
             sign_packed=jax.random.bits(ks[0], (ic // 32, oc), jnp.uint32),
             mask_packed=jax.random.bits(ks[1], (ic // 32, oc), jnp.uint32),
-            sidecar=jax.random.randint(ks[2], (ic, oc), 0, 255, jnp.int32).astype(jnp.uint8),
+            sidecar=jax.random.randint(ks[2], (side_rows, oc), 0, 255, jnp.int32).astype(jnp.uint8),
             low_scale=jnp.full((1, oc), 0.01, jnp.float32),
             low_mean=jnp.zeros((1, oc), jnp.float32),
             high_scale=jnp.full((oc,), 0.004, jnp.float32),
             high_zero=jnp.full((oc,), 128.0, jnp.float32),
             bias=None, ic=ic, oc=oc, groupsize=ic, pack_block=pb,
+            sidecar_bits=sidecar_bits,
         )
 
     shapes = {
@@ -72,7 +74,7 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=(8, 24))
+    ap.add_argument("--sidecar_bits", type=int, default=8, choices=[4, 8])
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -82,7 +84,7 @@ def main():
     cfg = LlamaConfig(num_hidden_layers=args.layers)  # llama-7b dims by default
     fam = family_for("llama")
     log(f"building packed llama ({args.layers} layers)...")
-    params = build_packed_llama(cfg, jax.random.PRNGKey(0))
+    params = build_packed_llama(cfg, jax.random.PRNGKey(0), args.sidecar_bits)
 
     B, S = args.slots, args.ctx
     caches = [
@@ -121,11 +123,11 @@ def main():
     step_s = (times[12] - times[4]) / 8
     toks = args.slots / step_s
     n_params = args.layers * (4 * cfg.hidden_size**2 + 3 * cfg.hidden_size * cfg.intermediate_size)
-    stream_gb = n_params * 10 / 8 / 1e9
+    stream_gb = n_params * (2 + args.sidecar_bits) / 8 / 1e9
     log(f"decode step: {step_s*1e3:.1f}ms, {toks:.1f} tokens/s/chip (B={B}), "
         f"weight stream {stream_gb/step_s:.0f} GB/s of {stream_gb:.1f} GB/step")
     print(json.dumps({
-        "metric": f"llama-7b-shape packed decode throughput (B={B} slots, {args.layers} layers)",
+        "metric": f"llama-7b-shape packed decode throughput (B={B} slots, {args.layers} layers, {2 + args.sidecar_bits} bits/w)",
         "value": round(toks, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": None,
