@@ -17,6 +17,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="continuous-batching serving demo")
     p.add_argument("--model_id", type=str, required=True)
     p.add_argument("--checkpoint", type=str, default=None, help="dense checkpoint dir")
+    p.add_argument("--pbw", type=str, default=None, help="PBW packed checkpoint dir (core.pbw.save_pbw)")
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--max_seq", type=int, default=2048)
     p.add_argument("--max_new_tokens", type=int, default=32)
@@ -67,6 +68,11 @@ def main(argv=None) -> int:
         from ..utils.checkpoint import load_dense_checkpoint
 
         params, _ = load_dense_checkpoint(args.checkpoint)
+    if args.pbw:
+        from ..core.pbw import install_pbw, load_pbw
+
+        layers, _ = load_pbw(args.pbw)
+        params = install_pbw(params, layers)
 
     if args.prompts:
         with open(args.prompts) as fh:

@@ -275,6 +275,19 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
         json.dump(meta, fh, indent=1)
 
 
+def install_pbw(params: Dict, layers: Dict[str, "PackedLinear"]) -> Dict:
+    """Install loaded PBW layers (keys "layer_{i}/{name}") into a model param
+    tree, replacing the dense leaves. Non-mutating."""
+    params = dict(params)
+    new_layers = [dict(lp) for lp in params["layers"]]
+    for key, packed in layers.items():
+        prefix, name = key.split("/", 1)
+        idx = int(prefix.split("_")[1])
+        new_layers[idx][name] = packed
+    params["layers"] = new_layers
+    return params
+
+
 def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
     with open(os.path.join(path, "manifest.json")) as fh:
         meta = json.load(fh)

@@ -97,3 +97,21 @@ def test_checkpoint_roundtrip_mixed_tree(tmp_path):
     from pb_llm_tpu.core.pbw import dequantize
 
     np.testing.assert_array_equal(np.asarray(dequantize(lp)), np.asarray(dequantize(p)))
+
+
+def test_serve_from_pbw_checkpoint(tmp_path, capsys):
+    """run_ptq --save_pbw → serve --pbw: the intended deployment flow."""
+    rc = run_ptq.main([
+        "facebook/opt-synth", "wikitext2", "xnor",
+        "--low_frac", "0.5", "--nsamples", "2", "--blocksize", "32",
+        "--synthetic", "--format", "packed", "--save_pbw", str(tmp_path / "pbw"),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = serve.main([
+        "--model_id", "facebook/opt-synth", "--synthetic",
+        "--pbw", str(tmp_path / "pbw"),
+        "--slots", "1", "--n_requests", "2", "--max_new_tokens", "3",
+    ])
+    assert rc == 0
+    assert "tokens/s=" in capsys.readouterr().out
