@@ -35,7 +35,11 @@ def dense(w, b=None):
 
 
 def apply_linear(lin, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ W (+ b) for dense dicts or PackedLinear. x: [..., ic]."""
+    """y = x @ W (+ b) for dense dicts, PackedLinear, or QATLinear. x: [..., ic]."""
+    if type(lin).__name__ == "QATLinear":  # lazy to avoid a quant<->models cycle
+        from ..quant.qat import apply_qat_linear
+
+        return apply_qat_linear(lin, x)
     if isinstance(lin, PackedLinear):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
