@@ -169,7 +169,7 @@ def _select_kernel(
     out_ref,
     *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int, sidecar_bits: int, low_bits: int,
 ):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -236,7 +236,11 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     pack_block = p.pack_block_local
     ic_tile = pack_block if ic > pack_block else ic
     n_ic_tiles = ic // ic_tile
-    m_pad = _round_up(max(m, 8), 8)
+    # tile the batch dimension too — prefill m can be thousands and the x/out
+    # blocks must fit VMEM alongside the reconstructed weight tile
+    m_tile = 256 if m > 256 else _round_up(max(m, 8), 8)
+    m_pad = _round_up(max(m, 8), m_tile)
+    n_m_tiles = m_pad // m_tile
     xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     wrows = ic_tile // WORD_BITS
@@ -251,20 +255,20 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
-        grid=(oc // oc_tile, n_ic_tiles),
+        grid=(n_m_tiles, oc // oc_tile, n_ic_tiles),
         in_specs=[
-            pl.BlockSpec((m_pad, ic_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.low_bits, wrows, oc_tile), lambda i, j: (0, j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wrows, oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic_tile // (2 if p.sidecar_bits == 4 else 1), oc_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.n_groups, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.n_groups, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, ic_tile), lambda mi, i, j: (mi, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.low_bits, wrows, oc_tile), lambda mi, i, j: (0, j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wrows, oc_tile), lambda mi, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic_tile // (2 if p.sidecar_bits == 4 else 1), oc_tile), lambda mi, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.n_groups, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.n_groups, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_pad, oc_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+        out_specs=pl.BlockSpec((m_tile, oc_tile), lambda mi, i, j: (mi, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(
         xp, sign3, p.mask_packed, p.sidecar,
