@@ -22,6 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_seq", type=int, default=2048)
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--kv_int8", action="store_true", help="absmax-quantized int8 KV cache (halves cache HBM)")
     p.add_argument("--prompts", type=str, default=None, help="file with one prompt per line")
     p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--synthetic", action="store_true")
@@ -80,9 +81,14 @@ def main(argv=None) -> int:
     else:
         texts = [f"request {i}: the quick brown fox" for i in range(args.n_requests)]
 
+    import jax.numpy as jnp
+
     eng = Engine(
         params, cfg, fam,
-        EngineConfig(n_slots=args.slots, max_seq=max_seq, prefill_buckets=(32, 128, 512, max_seq)),
+        EngineConfig(
+            n_slots=args.slots, max_seq=max_seq, prefill_buckets=(32, 128, 512, max_seq),
+            cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
+        ),
         SamplingParams(temperature=args.temperature),
     )
     batcher = ContinuousBatcher(eng)
