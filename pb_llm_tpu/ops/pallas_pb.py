@@ -167,7 +167,7 @@ def _unpack_tile(words, ic_tile: int, oc_tile: int, pack_block: int) -> jnp.ndar
 def _select_kernel(
     x_ref, sign_ref, mask_ref, side_ref, lscale_ref, lmean_ref, hscale_ref, hzero_ref, bias_ref,
     out_ref,
-    *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int, sidecar_bits: int, low_bits: int,
+    *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int, sidecar_bits: int, low_bits: int, dot_dtype,
 ):
     j = pl.program_id(2)
 
@@ -223,14 +223,16 @@ def _select_kernel(
     w_hi = hscale_ref[:] * (side_f - hzero_ref[:])
     w = w_bin + mbits * (w_hi - w_bin)
 
-    out_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    out_ref[:] += jnp.dot(
+        x_ref[:].astype(dot_dtype), w.astype(dot_dtype), preferred_element_type=jnp.float32
+    )
 
     @pl.when(j == n_ic_tiles - 1)
     def _():
         out_ref[:] += bias_ref[:]
 
 
-def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
+def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool, dot_dtype=jnp.float32):
     m, ic = x.shape
     oc = p.oc_local
     pack_block = p.pack_block_local
@@ -248,7 +250,7 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     kernel = functools.partial(
         _select_kernel, ic_tile=ic_tile, oc_tile=oc_tile, n_ic_tiles=n_ic_tiles,
         groupsize=p.groupsize_local, pack_block=pack_block, sidecar_bits=p.sidecar_bits,
-        low_bits=p.low_bits,
+        low_bits=p.low_bits, dot_dtype=dot_dtype,
     )
     wpp = p.words_per_plane
     sign3 = p.sign_packed.reshape(p.low_bits, wpp, oc)
@@ -314,14 +316,20 @@ def pallas_supported(p: PackedLinear) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "oc_tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "oc_tile", "prefill_bf16"))
 def pb_matmul_pallas(
     x: jnp.ndarray,
     p: PackedLinear,
     interpret: bool = False,
     oc_tile: int | None = None,
+    prefill_bf16: bool = False,
 ) -> jnp.ndarray:
-    """y = x @ dequant(p) (+ bias); x [m, ic] → y [m, oc] float32."""
+    """y = x @ dequant(p) (+ bias); x [m, ic] → y [m, oc] float32.
+
+    ``prefill_bf16``: run the large-m select path's dot in bf16 (single MXU
+    pass instead of the ~6-pass f32 emulation). Engine-grade numerics (the
+    reference itself runs fp16 torch); parity tests keep the f32 default.
+    """
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if oc_tile is None:
@@ -331,4 +339,4 @@ def pb_matmul_pallas(
     # tile once and does a single dot instead (select kernel)
     if m < 256 and _planar_ok(m, p):
         return _planar_call(x, p, oc_tile, interpret)
-    return _select_call(x, p, oc_tile, interpret)
+    return _select_call(x, p, oc_tile, interpret, jnp.bfloat16 if prefill_bf16 else jnp.float32)
