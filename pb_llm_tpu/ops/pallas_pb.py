@@ -166,15 +166,39 @@ def _unpack_tile(words, ic_tile: int, oc_tile: int, pack_block: int) -> jnp.ndar
 
 def _select_kernel(
     x_ref, sign_ref, mask_ref, side_ref, lscale_ref, lmean_ref, hscale_ref, hzero_ref, bias_ref,
-    out_ref,
+    out_ref, w_scratch,
     *, ic_tile: int, oc_tile: int, n_ic_tiles: int, groupsize: int, pack_block: int, sidecar_bits: int, low_bits: int, dot_dtype,
 ):
-    j = pl.program_id(2)
+    # grid (oc, ic, m): m innermost so the reconstructed weight tile is built
+    # once per (oc, ic) tile and reused for every m tile from scratch
+    j = pl.program_id(1)
+    mi = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    @pl.when(mi == 0)
+    def _():
+        w_scratch[:] = _reconstruct_tile(
+            sign_ref, mask_ref, side_ref, lscale_ref, lmean_ref, hscale_ref, hzero_ref,
+            j=j, ic_tile=ic_tile, oc_tile=oc_tile, groupsize=groupsize,
+            pack_block=pack_block, sidecar_bits=sidecar_bits, low_bits=low_bits,
+        ).astype(dot_dtype)
+
+    out_ref[:] += jnp.dot(
+        x_ref[:].astype(dot_dtype), w_scratch[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_ic_tiles - 1)
+    def _():
+        out_ref[:] += bias_ref[:]
+
+
+def _reconstruct_tile(
+    sign_ref, mask_ref, side_ref, lscale_ref, lmean_ref, hscale_ref, hzero_ref,
+    *, j, ic_tile: int, oc_tile: int, groupsize: int, pack_block: int, sidecar_bits: int, low_bits: int,
+):
     if low_bits == 1:
         code = _unpack_tile(sign_ref[0], ic_tile, oc_tile, pack_block)
     else:
@@ -221,15 +245,7 @@ def _select_kernel(
     else:
         side_f = side_ref[:].astype(jnp.int32).astype(jnp.float32)
     w_hi = hscale_ref[:] * (side_f - hzero_ref[:])
-    w = w_bin + mbits * (w_hi - w_bin)
-
-    out_ref[:] += jnp.dot(
-        x_ref[:].astype(dot_dtype), w.astype(dot_dtype), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(j == n_ic_tiles - 1)
-    def _():
-        out_ref[:] += bias_ref[:]
+    return w_bin + mbits * (w_hi - w_bin)
 
 
 def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool, dot_dtype=jnp.float32):
@@ -257,20 +273,21 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool, dot_dtype=jn
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
-        grid=(n_m_tiles, oc // oc_tile, n_ic_tiles),
+        grid=(oc // oc_tile, n_ic_tiles, n_m_tiles),
         in_specs=[
-            pl.BlockSpec((m_tile, ic_tile), lambda mi, i, j: (mi, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.low_bits, wrows, oc_tile), lambda mi, i, j: (0, j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wrows, oc_tile), lambda mi, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic_tile // (2 if p.sidecar_bits == 4 else 1), oc_tile), lambda mi, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.n_groups, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.n_groups, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oc_tile), lambda mi, i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, ic_tile), lambda i, j, mi: (mi, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.low_bits, wrows, oc_tile), lambda i, j, mi: (0, j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wrows, oc_tile), lambda i, j, mi: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic_tile // (2 if p.sidecar_bits == 4 else 1), oc_tile), lambda i, j, mi: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.n_groups, oc_tile), lambda i, j, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.n_groups, oc_tile), lambda i, j, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc_tile), lambda i, j, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc_tile), lambda i, j, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc_tile), lambda i, j, mi: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_tile, oc_tile), lambda mi, i, j: (mi, i), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "arbitrary")),
+        out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, j, mi: (mi, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ic_tile, oc_tile), jnp.float32 if dot_dtype == jnp.float32 else jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(
         xp, sign3, p.mask_packed, p.sidecar,
