@@ -17,6 +17,8 @@ from . import pallas_pb
 
 # "auto" (pallas on TPU), "pallas", "pallas_interpret", "xla"
 _MODE = os.environ.get("PB_TPU_PACKED_BACKEND", "auto")
+# engine-grade bf16 dots on the large-m (prefill) path
+_PREFILL_BF16 = os.environ.get("PB_TPU_PREFILL_BF16", "0") == "1"
 
 
 def set_backend(mode: str) -> None:
@@ -40,9 +42,9 @@ def pb_matmul(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
     if mode == "pallas" and not pallas_pb.pallas_supported(p):
         mode = "xla"
     if mode == "pallas":
-        return pallas_pb.pb_matmul_pallas(x, p)
+        return pallas_pb.pb_matmul_pallas(x, p, prefill_bf16=_PREFILL_BF16)
     if mode == "pallas_interpret":
-        return pallas_pb.pb_matmul_pallas(x, p, interpret=True)
+        return pallas_pb.pb_matmul_pallas(x, p, interpret=True, prefill_bf16=_PREFILL_BF16)
     return matmul_reference(x, p)
 
 
