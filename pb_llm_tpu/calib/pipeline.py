@@ -44,6 +44,11 @@ class PTQReport:
     masks: Dict[str, np.ndarray]      # per "layer_i/name" binarized-mask (True ⇔ binary)
     seconds: float
     format: str
+    # per "layer_i" mean squared distance between the quantized layer's
+    # outputs and the original-weight outputs on the calibration set — the
+    # reference's DEBUG sanity check (gptq_pb/gptq.py:170-174) as a
+    # first-class metric
+    layer_output_mse: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
 def _capture_forward(fam: Family, cfg, names):
@@ -107,6 +112,7 @@ def quantize_model_ptq(
 
     errors: Dict[str, float] = {}
     masks: Dict[str, np.ndarray] = {}
+    layer_mse: Dict[str, float] = {}
     layers: List[Dict[str, Any]] = params["layers"]
 
     for i, lp in enumerate(layers):
@@ -126,8 +132,10 @@ def quantize_model_ptq(
 
         hs = {n: jnp.zeros((linear_shape(lp[n])[0],) * 2, jnp.float32) for n in selected}
         counts = {n: 0 for n in selected}
+        orig_outs = []
         for j in range(nsamples):
-            _, captured = capture(lp, jnp.asarray(inps[j]))
+            y, captured = capture(lp, jnp.asarray(inps[j]))
+            orig_outs.append(np.asarray(y))
             for n in selected:
                 hs[n], counts[n] = hessian_update(hs[n], counts[n], captured[n])
 
@@ -156,10 +164,17 @@ def quantize_model_ptq(
         if resume_dir:
             _save_layer_ckpt(resume_dir, i, lp, names, errors, masks)
 
+        mse_acc = 0.0
         for j in range(nsamples):
-            inps[j] = np.asarray(qforward(lp, jnp.asarray(inps[j])))
+            out_j = np.asarray(qforward(lp, jnp.asarray(inps[j])))
+            mse_acc += float(np.mean((out_j - orig_outs[j]) ** 2))
+            inps[j] = out_j
+        layer_mse[f"layer_{i}"] = mse_acc / nsamples
+        if log:
+            log(f"layer_{i}: output mse vs original weights {layer_mse[f'layer_{i}']:.3e}")
 
-    report = PTQReport(errors=errors, masks=masks, seconds=time.time() - t0, format=fmt)
+    report = PTQReport(errors=errors, masks=masks, seconds=time.time() - t0, format=fmt,
+                       layer_output_mse=layer_mse)
     return params, report
 
 

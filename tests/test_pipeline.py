@@ -149,3 +149,21 @@ def test_resume_from_layer_checkpoints(tiny_opt_setup, tmp_path):
     assert sum("resumed from checkpoint" in m for m in logs) == 2  # both layers skipped
     assert rep2.errors == rep1.errors
     np.testing.assert_allclose(_ppl(p2, cfg, fam, eval_ids), _ppl(p1, cfg, fam, eval_ids), rtol=1e-6)
+
+
+def test_layer_output_mse_reported(tiny_opt_setup):
+    """The reference's DEBUG check (gptq.py:170-174) as a report field: output
+    drift should be small for near-lossless quantization, larger otherwise."""
+    params, cfg, fam, calib, _ = tiny_opt_setup
+    _, rep_hi = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.02, blocksize=32), log=None,
+    )
+    _, rep_lo = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.95, blocksize=32), log=None,
+    )
+    assert set(rep_hi.layer_output_mse) == {"layer_0", "layer_1"}
+    assert all(np.isfinite(v) for v in rep_hi.layer_output_mse.values())
+    # heavily binarized drifts more than almost-8-bit
+    assert sum(rep_lo.layer_output_mse.values()) > sum(rep_hi.layer_output_mse.values())
