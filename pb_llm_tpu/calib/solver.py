@@ -53,6 +53,10 @@ class SolverConfig:
     blocksize: int = 128
     percdamp: float = 0.01
     disable_gptq: bool = False
+    # HighQuantizer options the reference supports but hardcodes off in its
+    # driver (run.py:132-137): symmetric range and MSE clip search
+    high_sym: bool = False
+    high_mse: bool = False
 
 
 def _block_size_for(ic: int, requested: int) -> int:
@@ -109,7 +113,7 @@ def salient_masks(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("low_method", "low_frac", "high_bit", "groupsize", "salient_metric", "blocksize", "percdamp", "disable_gptq"),
+    static_argnames=("low_method", "low_frac", "high_bit", "groupsize", "salient_metric", "blocksize", "percdamp", "disable_gptq", "high_sym", "high_mse"),
 )
 def _solve(
     w0: jnp.ndarray,
@@ -123,6 +127,8 @@ def _solve(
     blocksize: int,
     percdamp: float,
     disable_gptq: bool,
+    high_sym: bool,
+    high_mse: bool,
 ):
     with jax.default_matmul_precision("float32"):
         oc, ic = w0.shape
@@ -130,7 +136,7 @@ def _solve(
         w0 = w0.astype(jnp.float32)
         h = h.astype(jnp.float32)
 
-        high_state = high_calibrate(w0, bits=high_bit)          # step 1 (pre-dead-zero)
+        high_state = high_calibrate(w0, bits=high_bit, sym=high_sym, mse=high_mse)  # step 1 (pre-dead-zero)
         hinv, w = prepare_hinv(h, w0, percdamp)                 # steps 2-4
         mask = salient_masks(w, hinv, low_frac, groupsize, salient_metric)  # step 5
         low_state = low_calibrate(w * mask, low_method, groupsize)          # step 6
@@ -217,5 +223,7 @@ def gptq_pb(w: jnp.ndarray, h: jnp.ndarray, cfg: SolverConfig) -> Dict[str, jnp.
         blocksize=cfg.blocksize,
         percdamp=cfg.percdamp,
         disable_gptq=cfg.disable_gptq,
+        high_sym=cfg.high_sym,
+        high_mse=cfg.high_mse,
     )
     return {"w_q": wq, "mask": mask, "low_state": low_state, "high_state": high_state, "error": error}

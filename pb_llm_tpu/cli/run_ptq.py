@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--groupsize", type=int, default=-1)
     p.add_argument("--salient_metric", type=str, default="magnitude", choices=["magnitude", "hessian"])
     p.add_argument("--high_bit", type=int, default=8)
+    p.add_argument("--high_sym", action="store_true", help="symmetric 8-bit range (HighQuantizer sym)")
+    p.add_argument("--high_mse", action="store_true", help="MSE clip search (HighQuantizer mse)")
     p.add_argument("--minlayer", type=int, default=-1)
     p.add_argument("--maxlayer", type=int, default=1000)
     p.add_argument("--quant_only", type=str, default="")
@@ -89,6 +91,7 @@ def main(argv=None) -> int:
         groupsize=args.groupsize, blocksize=args.blocksize, percdamp=args.percdamp,
         nsamples=args.nsamples, seed=args.seed, minlayer=args.minlayer, maxlayer=args.maxlayer,
         quant_only=args.quant_only, invert=args.invert, disable_gptq=args.disable_gptq,
+        high_sym=args.high_sym, high_mse=args.high_mse,
         fmt=args.fmt, mask_out=args.mask_out,
     )
     log = MetricsLogger(args.metrics)

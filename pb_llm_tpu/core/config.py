@@ -37,6 +37,8 @@ class PTQJobConfig:
     quant_only: str = ""
     invert: bool = False
     disable_gptq: bool = False
+    high_sym: bool = False
+    high_mse: bool = False
     fmt: str = "sim"                     # sim|packed (reference only has sim)
     eval_datasets: Sequence[str] = ("wikitext2", "ptb", "c4")  # run.py:299
     save_dir: Optional[str] = None
@@ -52,6 +54,8 @@ class PTQJobConfig:
             blocksize=self.blocksize,
             percdamp=self.percdamp,
             disable_gptq=self.disable_gptq,
+            high_sym=self.high_sym,
+            high_mse=self.high_mse,
         )
 
     @property

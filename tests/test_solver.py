@@ -174,3 +174,12 @@ def test_dead_columns_zeroed():
     out = gptq_pb(jnp.asarray(w), jnp.asarray(h), SolverConfig(low_frac=0.5, blocksize=32))
     q_ref, _, _ = oracle_gptq_pb(w, h, 0.5, "magnitude", blocksize=32)
     np.testing.assert_allclose(np.asarray(out["w_q"]), q_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_solver_high_sym_and_mse_options():
+    w, h, _ = _problem(seed=9)
+    out = gptq_pb(jnp.asarray(w), jnp.asarray(h),
+                  SolverConfig(low_frac=0.5, blocksize=32, high_sym=True, high_mse=True, high_bit=4))
+    # symmetric: zero point is (maxq+1)/2 = 8 for 4-bit
+    np.testing.assert_allclose(np.asarray(out["high_state"]["zero"]), 8.0)
+    assert np.isfinite(float(out["error"]))
