@@ -167,3 +167,35 @@ def test_layer_output_mse_reported(tiny_opt_setup):
     assert all(np.isfinite(v) for v in rep_hi.layer_output_mse.values())
     # heavily binarized drifts more than almost-8-bit
     assert sum(rep_lo.layer_output_mse.values()) > sum(rep_hi.layer_output_mse.values())
+
+
+def test_llama_family_pipeline_end_to_end():
+    """PTQ + packed + ppl for the llama family (rope, no biases, 7 linears)."""
+    import jax
+
+    from pb_llm_tpu.models.llama import LlamaConfig, init_params
+
+    cfg = LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+    )
+    fam = family_for("llama")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 96, size=(3, 24))
+    eval_ids = rng.integers(0, 96, size=(3 * 24,))
+
+    base = perplexity(params, cfg, fam.forward, eval_ids, seqlen=24)
+    p_sim, rep = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.3, salient_metric="hessian", blocksize=16), log=None,
+    )
+    p_pkd, _ = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.3, salient_metric="hessian", blocksize=16), fmt="packed", log=None,
+    )
+    assert len(rep.errors) == 2 * 7  # 7 llama linears per layer
+    ppl_sim = perplexity(p_sim, cfg, fam.forward, eval_ids, seqlen=24)
+    ppl_pkd = perplexity(p_pkd, cfg, fam.forward, eval_ids, seqlen=24)
+    assert np.isfinite(ppl_sim) and np.isfinite(base)
+    np.testing.assert_allclose(ppl_pkd, ppl_sim, rtol=1e-3)
