@@ -69,3 +69,24 @@ def test_csr_sidecar_bits_matches_reference_accounting():
     got = packing.csr_sidecar_bits(mask)
     expected = (3 * 8 + 3 * 8 + 5 * 8) / 32
     assert got == expected
+
+
+def test_pack_unpack_shape_sweep():
+    """Round-trip across a sweep of (ic, oc, block) shapes incl. ragged blocks."""
+    rng = np.random.default_rng(123)
+    for ic in (32, 96, 256, 288, 1376, 544):
+        for oc in (1, 7, 128):
+            for blk in (32, 256, 1376, 2048):
+                bits = rng.integers(0, 2, size=(ic, oc)).astype(np.uint32)
+                w = packing.pack_bits_np(bits, blk)
+                assert w.shape == (ic // 32, oc)
+                np.testing.assert_array_equal(packing.unpack_bits_np(w, ic, blk), bits)
+
+
+def test_nibble_shape_sweep():
+    rng = np.random.default_rng(124)
+    for ic in (64, 256, 544, 1376):
+        for blk in (64, 256, 1376):
+            codes = rng.integers(0, 16, size=(ic, 5)).astype(np.uint8)
+            b = packing.pack_nibbles_np(codes, blk)
+            np.testing.assert_array_equal(packing.unpack_nibbles_np(b, ic, blk), codes)
