@@ -32,7 +32,7 @@ import jax.numpy as jnp
 M = 8               # decode token batch per step
 IC, OC = 4096, 11008  # llama-7b MLP up-projection
 K = 8               # distinct weight tensors per loop (forces HBM streaming)
-L_SHORT, L_LONG = 16, 144
+L_SHORT, L_LONG = 16, 272
 FRAC_BINARY = 0.9   # BASELINE.json north-star config: low_frac=0.9
 
 
@@ -69,8 +69,12 @@ def make_planes(seed):
     )
 
 
-def slope_time(loop_maker, args, reps=4):
-    """Per-iteration seconds via two-length slope, min over reps."""
+def slope_time(loop_maker, args, reps=6):
+    """Per-iteration seconds via two-length slope, median over reps.
+
+    Median (not min): the fixed round-trip latency fluctuates both ways, and
+    taking per-length minima can produce unphysical slopes (e.g. dense rates
+    above HBM peak)."""
     xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32)) for i in range(reps + 2)]
     res = {}
     for L in (L_SHORT, L_LONG):
@@ -81,7 +85,7 @@ def slope_time(loop_maker, args, reps=4):
             t0 = time.perf_counter()
             float(f(xs[i], *args))
             ts.append(time.perf_counter() - t0)
-        res[L] = min(ts)
+        res[L] = float(np.median(ts))
     return (res[L_LONG] - res[L_SHORT]) / (L_LONG - L_SHORT)
 
 
