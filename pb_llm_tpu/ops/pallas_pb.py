@@ -305,12 +305,20 @@ def _select_call(x, p: PackedLinear, oc_tile: int, interpret: bool, dot_dtype=jn
 _PLANAR_VMEM_CAP = 12 * 1024 * 1024
 
 
+def _default_oc_tile(oc: int) -> int:
+    # measured on v5e (4096x4096, m=8): 512 → 64.0 µs, 256 → 69.4, 128 → 73.5
+    for cand in (512, 256, 128):
+        if oc % cand == 0:
+            return cand
+    return oc
+
+
 def _planar_ok(m: int, p: PackedLinear) -> bool:
     ic, oc = p.ic_local, p.oc_local
     if p.groupsize_local < ic:  # per-group scales don't factor out of the dots
         return False
     m_pad = _round_up(max(m, 8), 8)
-    oc_tile = 256 if oc % 256 == 0 else 128
+    oc_tile = _default_oc_tile(oc)
     vmem = m_pad * ic * 4 + ic * oc_tile + 2 * (ic // 32) * oc_tile * 4 + m_pad * oc_tile * 4
     return vmem < _PLANAR_VMEM_CAP
 
@@ -350,7 +358,7 @@ def pb_matmul_pallas(
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if oc_tile is None:
-        oc_tile = 256 if p.oc_local % 256 == 0 else 128
+        oc_tile = _default_oc_tile(p.oc_local)
     # planar runs 3 dots (B', M, V): ideal while memory/VPU-bound (decode),
     # 3x the MXU flops once compute-bound — large-m prefill reconstructs the
     # tile once and does a single dot instead (select kernel)
