@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval-text construction flavor (the two reference pipelines differ)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--metrics", type=str, default=None)
+    p.add_argument("--vocab_limit", type=int, default=50257,
+                   help="slice logits to the first N rows during task scoring "
+                        "(reference evaluate.py:79 does this unconditionally; "
+                        "no-op when vocab <= N); 0 disables")
     return p
 
 
@@ -88,7 +92,8 @@ def main(argv=None) -> int:
 
     tasks = [t for t in args.tasks.split(",") if t]
     if tasks:
-        out = evaluate_model_tasks(params, cfg, fam, tokenizer, tasks, limit=args.limit)
+        out = evaluate_model_tasks(params, cfg, fam, tokenizer, tasks, limit=args.limit,
+                                   vocab_limit=args.vocab_limit or None)
         for t, r in out["results"].items():
             print(f"{t}: acc {r['acc']:.4f} (n={r['n']})")
             log.log("task", task=t, **r)

@@ -34,7 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxlayer", type=int, default=1000)
     p.add_argument("--quant_only", type=str, default="")
     p.add_argument("--invert", action="store_true")
-    p.add_argument("--save", action="store_true")
+    p.add_argument("--save", action="store_true",
+                   help="HF save_pretrained of the quantized (sim) model (run.py:315-319)")
+    p.add_argument("--save_dir", type=str, default=None,
+                   help="export directory (default outputs/<config title>)")
+    p.add_argument("--load_quantized", type=str, default=None,
+                   help="skip quantization; eval a previously saved artifact "
+                        "(HF dir or dense checkpoint; run.py:278-280)")
     p.add_argument("--disable_gptq", action="store_true")
     p.add_argument("--log_wandb", action="store_true", help="accepted for parity; unused (as in the reference)")
     # TPU-build extras
@@ -100,7 +106,21 @@ def main(argv=None) -> int:
     seqlen = min(cfg.seqlen, 128) if args.synthetic else cfg.seqlen
 
     tick = time.time()
-    if job.low_frac:
+    if args.load_quantized:
+        import os
+
+        if os.path.exists(os.path.join(args.load_quantized, "config.json")):
+            from ..models import hf_import
+            from ..models.registry import family_for
+
+            params, cfg, famname = hf_import.from_pretrained(args.load_quantized)
+            fam = family_for(famname)
+        else:
+            from ..utils.checkpoint import load_dense_checkpoint
+
+            params, _ = load_dense_checkpoint(args.load_quantized)
+        log.log("loaded_quantized", path=args.load_quantized)
+    elif job.low_frac:
         calib, _ = get_loaders(job.dataset, tokenizer, nsamples=job.nsamples, seed=job.seed,
                                seqlen=seqlen, flavor="ptq", source=source, model=job.model)
         params, report = quantize_model_ptq(
@@ -132,6 +152,15 @@ def main(argv=None) -> int:
                     layers[f"layer_{i}/{n}"] = leaf
         pbw_mod.save_pbw(args.save_pbw, layers, {"model": job.model, "config": job.save_title})
         print(f"PBW checkpoint saved to {args.save_pbw}")
+
+    if args.save:
+        from ..models import hf_export
+
+        out = args.save_dir or f"outputs/{job.save_title}"
+        hf_export.save_pretrained(params, cfg, fam.name, out,
+                                  tokenizer=None if args.synthetic else tokenizer)
+        log.log("saved_hf", path=out)
+        print(f"HF checkpoint saved to {out}")
     return 0
 
 

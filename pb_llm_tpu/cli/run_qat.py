@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--gptq_masks", type=str, default=None, help="masks npz from run_ptq --mask_out (hessian variant)")
     p.add_argument("--out_dir", type=str, default="outputs")
+    p.add_argument("--save_hf", action="store_true",
+                   help="also export an HF save_pretrained dir + tokenizer "
+                        "(reference qat/run_qat.py:140-148)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
@@ -112,6 +115,15 @@ def main(argv=None) -> int:
     )
     save_dense_checkpoint(save_dir, dense, {"model_id": args.model_id, "final_loss": losses[-1] if losses else None})
     print(f"model saved to {save_dir}")
+
+    if args.save_hf:
+        from ..models import hf_export
+
+        hf_dir = save_dir + "_hf"
+        hf_export.save_pretrained(dense, cfg, fam.name, hf_dir,
+                                  tokenizer=None if args.synthetic else tokenizer)
+        log.log("saved_hf", path=hf_dir)
+        print(f"HF checkpoint saved to {hf_dir}")
     return 0
 
 

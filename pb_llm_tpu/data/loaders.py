@@ -85,6 +85,14 @@ class TextSource:
                 "validation": {"validation": "en/c4-validation.00000-of-00008.json.gz"},
             }[split]
             return load_dataset("allenai/c4", "allenai--c4", data_files=files, split=split)["text"]
+        if dataset == "red_pajama":
+            # reference `datautils.py:18-31`: the percent slice is applied at
+            # load time via the split spec (see get_qat_dataset) — here we
+            # load the requested split string verbatim
+            return load_dataset("togethercomputer/RedPajama-Data-1T-Sample", split=split)["text"]
+        if dataset == "english_quotes":
+            # reference `datautils.py:34-37`: field is "quote"
+            return load_dataset("Abirate/english_quotes", split=split)["quote"]
         raise NotImplementedError(dataset)
 
 
@@ -186,13 +194,19 @@ def get_qat_dataset(
     batches forever (HF Trainer-style infinite sampling with grouping)."""
     src = source or TextSource()
     if name in ("red_pajama", "redpajama"):
+        # reference `datautils.py:22-25`: percent != 100 slices the split to
+        # the first int(850000*percent/100) docs — a FIXED 850k total, not
+        # len(dataset) — then tokenizes (truncation max_length=seqlen) and
+        # shuffles (`datautils.py:48`)
         docs = src.get("red_pajama", "train")
+        if data_percent != 100:
+            docs = docs[: int(850000 * data_percent / 100)]
     elif name in ("Abirate/english_quotes", "english_quotes"):
-        docs = src.get("english_quotes", "train")
+        docs = src.get("english_quotes", "train")  # no percent slicing (datautils.py:34-37)
     else:
         docs = src.get(name, "train")
-    n_use = int(len(docs) * data_percent / 100) if data_percent != 100 else len(docs)
-    docs = docs[:n_use]
+        if data_percent != 100:
+            docs = docs[: int(len(docs) * data_percent / 100)]
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(docs))
 

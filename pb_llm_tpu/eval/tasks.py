@@ -33,6 +33,9 @@ class Example:
     context: str
     choices: List[str]
     gold: int
+    # Per-choice contexts (winogrande-style: the *context* varies per option
+    # and the continuation is shared); overrides `context` when set.
+    contexts: Optional[List[str]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -80,10 +83,35 @@ class LoglikelihoodScorer:
             self._jits[blen] = ll
         return self._jits[blen]
 
+    def _encode(self, s: str) -> List[int]:
+        # lm-eval v0.3 tok_encode uses add_special_tokens=False (evaluate.py:64-65)
+        try:
+            return list(self.tok.encode(s, add_special_tokens=False))
+        except TypeError:
+            return list(self.tok.encode(s))
+
+    def _encode_pair(self, context: str, continuation: str) -> tuple[List[int], List[int]]:
+        """lm-eval v0.3 BaseLM._encode_pair: trailing context whitespace moves
+        into the continuation, and the continuation tokens are the suffix of
+        the *jointly* tokenized string (so BPE merges across the boundary are
+        attributed to the continuation)."""
+        n_spaces = len(context) - len(context.rstrip())
+        if n_spaces > 0:
+            continuation = context[-n_spaces:] + continuation
+            context = context[:-n_spaces]
+        whole = self._encode(context + continuation)
+        ctx = self._encode(context)
+        return ctx, whole[len(ctx) :]
+
     def score(self, context: str, continuation: str) -> tuple[float, bool]:
-        ctx = self.tok.encode(context)
-        cont = self.tok.encode(continuation)
-        ids = (ctx + cont)[-self.buckets[-1] :]
+        if context == "":
+            eot = getattr(self.tok, "eos_token_id", None) or 0
+            ctx, cont = [eot], self._encode(continuation)
+        else:
+            ctx, cont = self._encode_pair(context, continuation)
+        # v0.3 truncation: inp = (ctx+cont)[-(max_length+1):][:-1]; we feed the
+        # full window (the extra final logit is unused by the causal mask)
+        ids = (ctx + cont)[-(self.buckets[-1]) :]
         cont_start = max(len(ids) - len(cont), 1)  # keep >=1 conditioning token
         blen = _bucket(len(ids), self.buckets)
         padded = np.zeros(blen, np.int64)
@@ -97,7 +125,10 @@ def evaluate_task(scorer: LoglikelihoodScorer, examples: Sequence[Example], limi
         examples = examples[:limit]
     correct = 0
     for ex in examples:
-        lls = [scorer.score(ex.context, ch)[0] for ch in ex.choices]
+        if ex.contexts is not None:  # winogrande-style: context varies per option
+            lls = [scorer.score(ctx, ex.choices[i])[0] for i, ctx in enumerate(ex.contexts)]
+        else:
+            lls = [scorer.score(ex.context, ch)[0] for ch in ex.choices]
         correct += int(int(np.argmax(lls)) == ex.gold)
     n = max(len(examples), 1)
     return {"acc": correct / n, "n": n}
@@ -117,34 +148,56 @@ def fmt_piqa(doc) -> Example:
     return Example(f"Question: {doc['goal']}\nAnswer:", [" " + doc["sol1"], " " + doc["sol2"]], int(doc["label"]))
 
 
+def _hellaswag_preprocess(text: str) -> str:
+    """lm-eval v0.3 hellaswag.preprocess: strip, drop wikihow [title]/[step]
+    artifacts, collapse double spaces."""
+    import re
+
+    text = text.strip()
+    text = text.replace(" [title]", ". ")
+    text = re.sub("\\[.*?\\]", "", text)
+    text = text.replace("  ", " ")
+    return text
+
+
 def fmt_hellaswag(doc) -> Example:
     ctx = doc["ctx_a"] + " " + doc["ctx_b"].capitalize() if doc.get("ctx_b") else doc["ctx"]
-    return Example(doc["activity_label"] + ": " + ctx, [" " + e for e in doc["endings"]], int(doc["label"]))
+    query = _hellaswag_preprocess(doc["activity_label"] + ": " + ctx)
+    choices = [" " + _hellaswag_preprocess(e) for e in doc["endings"]]
+    return Example(query, choices, int(doc["label"]))
 
 
 def fmt_winogrande(doc) -> Example:
+    """v0.3 winogrande scores the SHARED suffix as the continuation under each
+    option-substituted context (partial_context/partial_target), not the
+    option under a shared prefix."""
     idx = doc["sentence"].index("_")
-    prefix = doc["sentence"][:idx].rstrip()
-    suffix = doc["sentence"][idx + 1 :]
-    opts = [f" {doc['option1']}{suffix}", f" {doc['option2']}{suffix}"]
-    return Example(prefix, opts, int(doc["answer"]) - 1)
+    prefix = doc["sentence"][:idx]
+    target = " " + doc["sentence"][idx + 1 :].strip()
+    contexts = [prefix + doc["option1"], prefix + doc["option2"]]
+    return Example(contexts[0], [target, target], int(doc["answer"]) - 1, contexts=contexts)
+
+
+_ARC_NUM_TO_LETTER = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
 
 
 def fmt_arc(doc) -> Example:
     ctx = f"Question: {doc['question']}\nAnswer:"
-    labels = doc["choices"]["label"]
-    gold = labels.index(doc["answerKey"])
+    key = _ARC_NUM_TO_LETTER.get(doc["answerKey"], doc["answerKey"])
+    gold = ["A", "B", "C", "D", "E"].index(key)
     return Example(ctx, [" " + t for t in doc["choices"]["text"]], gold)
 
 
 def fmt_openbookqa(doc) -> Example:
-    labels = doc["choices"]["label"]
-    return Example(doc["question_stem"], [" " + t for t in doc["choices"]["text"]], labels.index(doc["answerKey"]))
+    gold = ["A", "B", "C", "D"].index(doc["answerKey"].strip())
+    return Example(doc["question_stem"], [" " + t for t in doc["choices"]["text"]], gold)
 
 
 def fmt_mmlu(doc) -> Example:
+    """v0.3 hendrycksTest.format_example: stripped question, lettered choice
+    lines, continuations are the letters."""
     letters = ["A", "B", "C", "D"]
-    ctx = doc["question"] + "\n"
+    ctx = doc["question"].strip() + "\n"
     for letter, choice in zip(letters, doc["choices"]):
         ctx += f"{letter}. {choice}\n"
     ctx += "Answer:"
@@ -224,9 +277,15 @@ def evaluate_model_tasks(
     tasks: Sequence[str],
     limit: int = -1,
     examples_by_task: Optional[Dict[str, List[Example]]] = None,
+    vocab_limit: Optional[int] = 50257,
 ) -> Dict[str, Any]:
-    """Mean-accuracy report like `evaluate.py:165-182`."""
-    scorer = LoglikelihoodScorer(params, cfg, fam, tokenizer)
+    """Mean-accuracy report like `evaluate.py:165-182`.
+
+    ``vocab_limit`` defaults to 50257 — the reference slices EVERY model's
+    logits to the first 50257 rows (`evaluate.py:79`, the OPT vocab hack; a
+    no-op for vocabularies ≤ 50257 such as LLaMA's 32000). Pass None to
+    disable."""
+    scorer = LoglikelihoodScorer(params, cfg, fam, tokenizer, vocab_limit=vocab_limit)
     results = {}
     for t in expand_tasks(tasks):
         examples = examples_by_task[t] if examples_by_task else load_task_examples(t)

@@ -103,8 +103,15 @@ def from_pretrained(path_or_repo: str, dtype=jnp.float32) -> Tuple[Dict[str, Any
     """
     import transformers
 
-    lowered = path_or_repo.lower()
-    if "opt" in lowered:
+    # Prefer the checkpoint's own model_type (exported dirs may have any
+    # path); fall back to the reference's name heuristic for bare repo ids.
+    try:
+        model_type = transformers.AutoConfig.from_pretrained(path_or_repo).model_type
+    except Exception:
+        model_type = None
+    if model_type is None:
+        model_type = "opt" if "opt" in path_or_repo.lower() else "llama"
+    if model_type == "opt":
         model = transformers.OPTForCausalLM.from_pretrained(path_or_repo, torch_dtype="auto")
     else:
         model = transformers.LlamaForCausalLM.from_pretrained(path_or_repo, torch_dtype="auto")

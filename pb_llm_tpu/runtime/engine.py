@@ -56,6 +56,7 @@ class Engine:
         self._key = jax.random.PRNGKey(0)
         self._prefill_jit: Dict[int, Any] = {}
         self._decode_jit = None
+        self._forced_jit = None
 
     # ---------------- slot management ----------------
 
@@ -132,6 +133,41 @@ class Engine:
             return caches, toks, lengths
 
         return jax.jit(decode)
+
+    def _make_forced(self):
+        fam, cfg = self.fam, self.cfg
+
+        def step(params, caches, last_tokens, lengths, active, forced):
+            logits, caches = fam.forward(
+                params, last_tokens[:, None], cfg, kv_caches=caches, pos=lengths
+            )
+            lp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+            tok_lp = jnp.take_along_axis(lp, forced[:, None], axis=-1)[:, 0]
+            lengths = jnp.where(active, lengths + 1, lengths)
+            return caches, tok_lp, lengths
+
+        return jax.jit(step)
+
+    def forced_decode_nll(self, slot: int, tokens: Sequence[int]) -> float:
+        """Teacher-forced decode: step the slot through ``tokens`` and return
+        the mean negative log-likelihood per token (decode-path perplexity =
+        exp of this).  This scores the engine's *cached* attention path —
+        including KV-cache quantization error — unlike `eval.ppl` which runs
+        full windows."""
+        if self._forced_jit is None:
+            self._forced_jit = self._make_forced()
+        nll = 0.0
+        for t in tokens:
+            forced = np.zeros(self.ecfg.n_slots, np.int32)
+            forced[slot] = t
+            self.caches, tok_lp, lengths = self._forced_jit(
+                self.params, self.caches, jnp.asarray(self.last_token),
+                jnp.asarray(self.lengths), jnp.asarray(self.active), jnp.asarray(forced),
+            )
+            nll -= float(tok_lp[slot])
+            self.lengths = np.array(lengths)
+            self.last_token[slot] = int(t)
+        return nll / max(len(tokens), 1)
 
     def decode_step(self) -> Dict[int, int]:
         """Advance every active slot one token. Returns {slot: token}."""

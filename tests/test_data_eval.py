@@ -97,8 +97,9 @@ def test_task_suite_expansion():
 def test_formatters():
     ex = T.fmt_boolq({"passage": "p", "question": "q", "answer": 1})
     assert ex.choices == [" no", " yes"] and ex.gold == 1
+    # v0.3 winogrande: option-substituted contexts, shared " ran" continuation
     ex = T.fmt_winogrande({"sentence": "the _ ran", "option1": "dog", "option2": "cat", "answer": "2"})
-    assert ex.choices == [" dog ran", " cat ran"] and ex.gold == 1
+    assert ex.contexts == ["the dog", "the cat"] and ex.choices == [" ran", " ran"] and ex.gold == 1
     ex = T.fmt_mmlu({"question": "Q?", "choices": ["a", "b", "c", "d"], "answer": 2})
     assert ex.gold == 2 and ex.choices[2] == " C"
     ex = T.fmt_arc({"question": "q", "choices": {"label": ["A", "B"], "text": ["x", "y"]}, "answerKey": "B"})

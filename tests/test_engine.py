@@ -160,8 +160,14 @@ def test_int8_kv_cache_decode_close_to_f32(engine_setup):
     eng32 = Engine(params, cfg, fam, ecfg32)
     eng8 = Engine(params, cfg, fam, ecfg8)
     assert "k_scale" in eng8.caches[0]
-    t32 = [eng32.prefill(0, prompt)] + [eng32.decode_step()[0] for _ in range(4)]
-    t8 = [eng8.prefill(0, prompt)] + [eng8.decode_step()[0] for _ in range(4)]
-    # int8 KV introduces ~1% perturbation; token stream should rarely diverge
-    agree = sum(a == b for a, b in zip(t32, t8))
-    assert agree >= 4
+
+    # quantitative bound: teacher-force the same continuation through both
+    # cached decode paths and compare per-token NLL (decode-path ppl). The
+    # int8 cache's absmax quantization must cost < 2% in ppl on this model.
+    cont = [7, 21, 42, 11, 63, 5, 30, 2, 50, 19, 88, 41]
+    eng32.prefill(0, prompt)
+    eng8.prefill(0, prompt)
+    nll32 = eng32.forced_decode_nll(0, cont)
+    nll8 = eng8.forced_decode_nll(0, cont)
+    ppl_ratio = float(np.exp(nll8 - nll32))
+    assert abs(ppl_ratio - 1.0) < 0.02, (nll32, nll8, ppl_ratio)
