@@ -82,7 +82,7 @@ def quantize_model_ptq(
     fam: Family,
     calib_ids: np.ndarray,           # [nsamples, seqlen] int
     solver_cfg: SolverConfig,
-    fmt: str = "sim",                # "sim" | "packed"
+    fmt: str = "sim",                # "sim" | "packed" | "packed_v2"
     minlayer: int = -1,
     maxlayer: int = 100000,
     quant_only: str = "",
@@ -99,6 +99,9 @@ def quantize_model_ptq(
     resumes mid-model (the reference only survives crashes through dataset
     caches and mask pickles, SURVEY.md §5.3).
     """
+    if fmt == "packed_v2" and solver_cfg.mask_structure != "column":
+        raise ValueError("fmt='packed_v2' requires SolverConfig(mask_structure='column') "
+                         "so the salient mask satisfies the v2 format constraint")
     t0 = time.time()
     calib_ids = np.asarray(calib_ids)
     nsamples = calib_ids.shape[0]
@@ -152,6 +155,15 @@ def quantize_model_ptq(
                 packed, diag = pbw.pack_linear(
                     out["w_q"], out["mask"], out["low_state"], out["high_state"],
                     solver_cfg.low_method, solver_cfg.groupsize,
+                    bias=lin.get("b"), pack_block=pack_block,
+                )
+                if diag["pack_mismatch"] > 0 and log:
+                    log(f"{key}: pack mismatch fraction {diag['pack_mismatch']:.2e}")
+                lp[n] = packed
+            elif fmt == "packed_v2":
+                packed, diag = pbw.pack_linear_v2(
+                    out["w_q"], out["mask"], out["low_state"], out["high_state"],
+                    solver_cfg.low_method, col_tile=solver_cfg.col_tile,
                     bias=lin.get("b"), pack_block=pack_block,
                 )
                 if diag["pack_mismatch"] > 0 and log:

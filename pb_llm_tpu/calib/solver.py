@@ -57,6 +57,12 @@ class SolverConfig:
     # driver (run.py:132-137): symmetric range and MSE clip search
     high_sym: bool = False
     high_mse: bool = False
+    # salient-mask structure: "element" = the reference's elementwise
+    # quantile (gptq.py:84-101); "column" = whole input-channel columns per
+    # col_tile output-row group (PBW v2's format constraint) with the same
+    # budget — GPTQ error feedback compensates the coarser selection
+    mask_structure: str = "element"
+    col_tile: int = 256
 
 
 def _block_size_for(ic: int, requested: int) -> int:
@@ -90,8 +96,14 @@ def salient_masks(
     low_frac: float,
     groupsize: int,
     metric: str,
+    structure: str = "element",
+    col_tile: int = 256,
 ) -> jnp.ndarray:
-    """Step 5: per-ic-group mask [oc, ic]; True ⇔ binarized."""
+    """Step 5: per-ic-group mask [oc, ic]; True ⇔ binarized.
+
+    ``structure="column"``: within each ic-group, select exactly
+    round((1-low_frac)·cols) whole salient columns per ``col_tile``
+    output-row group by the row-group-summed metric (PBW v2's constraint)."""
     oc, ic = w.shape
     gs = ic if groupsize == -1 else groupsize
     cols = []
@@ -105,15 +117,31 @@ def salient_masks(
             saliency = wg**2 / (diag[st:ed][None, :]) ** 2
         else:
             raise NotImplementedError(f"salient metric {metric}")
-        k = min(int(saliency.size * low_frac), saliency.size - 1)
-        thresh = jnp.sort(saliency.reshape(-1))[k]
-        cols.append(saliency <= thresh)
+        if structure == "element":
+            k = min(int(saliency.size * low_frac), saliency.size - 1)
+            thresh = jnp.sort(saliency.reshape(-1))[k]
+            cols.append(saliency <= thresh)
+        elif structure == "column":
+            ncols = ed - st
+            k_sal = int(round(ncols * (1.0 - low_frac)))
+            rows = []
+            for t in range(-(-oc // col_tile)):
+                lo, hi = t * col_tile, min((t + 1) * col_tile, oc)
+                agg = jnp.sum(saliency[lo:hi], axis=0)
+                sal_cols = jnp.zeros((ncols,), bool)
+                if k_sal:
+                    order = jnp.argsort(-agg)
+                    sal_cols = sal_cols.at[order[:k_sal]].set(True)
+                rows.append(jnp.broadcast_to(~sal_cols, (hi - lo, ncols)))
+            cols.append(jnp.concatenate(rows, axis=0))
+        else:
+            raise NotImplementedError(f"mask structure {structure}")
     return jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("low_method", "low_frac", "high_bit", "groupsize", "salient_metric", "blocksize", "percdamp", "disable_gptq", "high_sym", "high_mse"),
+    static_argnames=("low_method", "low_frac", "high_bit", "groupsize", "salient_metric", "blocksize", "percdamp", "disable_gptq", "high_sym", "high_mse", "mask_structure", "col_tile"),
 )
 def _solve(
     w0: jnp.ndarray,
@@ -129,6 +157,8 @@ def _solve(
     disable_gptq: bool,
     high_sym: bool,
     high_mse: bool,
+    mask_structure: str = "element",
+    col_tile: int = 256,
 ):
     with jax.default_matmul_precision("float32"):
         oc, ic = w0.shape
@@ -138,7 +168,8 @@ def _solve(
 
         high_state = high_calibrate(w0, bits=high_bit, sym=high_sym, mse=high_mse)  # step 1 (pre-dead-zero)
         hinv, w = prepare_hinv(h, w0, percdamp)                 # steps 2-4
-        mask = salient_masks(w, hinv, low_frac, groupsize, salient_metric)  # step 5
+        mask = salient_masks(w, hinv, low_frac, groupsize, salient_metric,
+                             mask_structure, col_tile)  # step 5
         low_state = low_calibrate(w * mask, low_method, groupsize)          # step 6
 
         bsz = _block_size_for(ic, blocksize)
@@ -225,5 +256,7 @@ def gptq_pb(w: jnp.ndarray, h: jnp.ndarray, cfg: SolverConfig) -> Dict[str, jnp.
         disable_gptq=cfg.disable_gptq,
         high_sym=cfg.high_sym,
         high_mse=cfg.high_mse,
+        mask_structure=cfg.mask_structure,
+        col_tile=cfg.col_tile,
     )
     return {"w_q": wq, "mask": mask, "low_state": low_state, "high_state": high_state, "error": error}

@@ -44,7 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable_gptq", action="store_true")
     p.add_argument("--log_wandb", action="store_true", help="accepted for parity; unused (as in the reference)")
     # TPU-build extras
-    p.add_argument("--format", dest="fmt", type=str, default="sim", choices=["sim", "packed"])
+    p.add_argument("--format", dest="fmt", type=str, default="sim", choices=["sim", "packed", "packed_v2"])
+    p.add_argument("--mask_structure", type=str, default=None, choices=["element", "column"],
+                   help="salient-mask granularity (default: element; packed_v2 implies column)")
+    p.add_argument("--col_tile", type=int, default=256, help="output-row group width for column masks")
     p.add_argument("--save_pbw", type=str, default=None, help="directory for the packed PBW checkpoint")
     p.add_argument("--mask_out", type=str, default=None, help="npz path for GPTQ masks (QAT handoff)")
     p.add_argument("--synthetic", action="store_true", help="offline: synthetic corpus + byte tokenizer + random-init model")
@@ -99,6 +102,8 @@ def main(argv=None) -> int:
         quant_only=args.quant_only, invert=args.invert, disable_gptq=args.disable_gptq,
         high_sym=args.high_sym, high_mse=args.high_mse,
         fmt=args.fmt, mask_out=args.mask_out,
+        mask_structure=args.mask_structure or ("column" if args.fmt == "packed_v2" else "element"),
+        col_tile=args.col_tile,
     )
     log = MetricsLogger(args.metrics)
     params, cfg, fam, tokenizer = load_model_and_tokenizer(args)
@@ -141,14 +146,14 @@ def main(argv=None) -> int:
         log.log("ppl", dataset=ds, ppl=ppl)
         print(f"{ds} perplexity: {ppl:.4f}")
 
-    if args.save_pbw and job.fmt == "packed":
+    if args.save_pbw and job.fmt in ("packed", "packed_v2"):
         from ..core import pbw as pbw_mod
-        from ..core.pbw import PackedLinear
+        from ..core.pbw import PackedLinear, PackedLinearV2
 
         layers = {}
         for i, lp in enumerate(params["layers"]):
             for n, leaf in lp.items():
-                if isinstance(leaf, PackedLinear):
+                if isinstance(leaf, (PackedLinear, PackedLinearV2)):
                     layers[f"layer_{i}/{n}"] = leaf
         pbw_mod.save_pbw(args.save_pbw, layers, {"model": job.model, "config": job.save_title})
         print(f"PBW checkpoint saved to {args.save_pbw}")

@@ -39,7 +39,9 @@ class PTQJobConfig:
     disable_gptq: bool = False
     high_sym: bool = False
     high_mse: bool = False
-    fmt: str = "sim"                     # sim|packed (reference only has sim)
+    fmt: str = "sim"                     # sim|packed|packed_v2 (reference only has sim)
+    mask_structure: str = "element"      # element|column (column → PBW v2-compatible)
+    col_tile: int = 256                  # output-row group width of column masks
     eval_datasets: Sequence[str] = ("wikitext2", "ptb", "c4")  # run.py:299
     save_dir: Optional[str] = None
     mask_out: Optional[str] = None       # GPTQ mask export for the QAT handoff
@@ -56,6 +58,8 @@ class PTQJobConfig:
             disable_gptq=self.disable_gptq,
             high_sym=self.high_sym,
             high_mse=self.high_mse,
+            mask_structure=self.mask_structure,
+            col_tile=self.col_tile,
         )
 
     @property

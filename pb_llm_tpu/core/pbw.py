@@ -248,12 +248,238 @@ def matmul_reference(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PBW v2 — column-structured salient sidecar ("colside").
+#
+# Round-1 measurement: the v1 dense uint8 sidecar is 8 of the 10 bits/weight
+# streamed and ~115 of 177 µs of the decode kernel (docs/DESIGN.md §2), while
+# the information content at low_frac=0.9 is ~1.8 bits/weight.  Random
+# elementwise scatter is incompressible on TPU (no cross-lane gather), but
+# real salient masks are strongly *column*-structured: the reference's
+# "hessian" metric W²/diag(Hinv)² shares its divisor per input channel
+# (`gptq_pb/gptq.py:84-101`) and magnitude outliers in LLMs concentrate in
+# input channels.  v2 makes that structure a format constraint:
+#
+#   saliency is chosen as whole input-channel columns per *row group* of
+#   ``col_tile`` output channels — mask[o, j] = colmask[o // col_tile, j],
+#   exactly k salient columns per (row-group, ic-group).
+#
+# Planes (bits/weight at salient fraction f, ic=4096, col_tile=256):
+#   sign_packed  uint32 [ic/32, oc]    1      (B' convention, as v1)
+#   side_val     uint8  [k_pad, oc]    f·8    row-group t's codes live in its
+#                                             own oc columns; row k holds the
+#                                             code for column side_idx[k, t]
+#   side_idx     int32  [k_pad, n_rg]  ~0.01  (padding sentinel = ic)
+#   (no mask plane: the γ-term uses rowsum of the gathered x — see kernel)
+#
+# ≈ 1.8 bits/weight at low_frac=0.9 vs v1's 10.  Numerics are elementwise
+# EXACT w.r.t. the structured mask (same dequant contract as v1 with the
+# expanded mask); the structured mask itself is a *selection* change vs the
+# reference's elementwise quantile — GPTQ error feedback compensates, and
+# the ppl/MSE delta is measured and reported (VERDICT round-1 item 1 allows
+# exactly this trade when quantified).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedLinearV2:
+    """Column-structured partially-binarized linear (PBW v2)."""
+
+    sign_packed: jnp.ndarray  # uint32 [ic//32, oc], zeroed at salient (B')
+    side_val: jnp.ndarray     # uint8  [k_pad, oc]
+    side_idx: jnp.ndarray     # int32  [k_pad, n_row_groups], pad = ic
+    low_scale: jnp.ndarray    # f32 [1, oc] (groupsize == -1 only)
+    low_mean: jnp.ndarray     # f32 [1, oc]
+    high_scale: jnp.ndarray   # f32 [oc]
+    high_zero: jnp.ndarray    # f32 [oc]
+    bias: Optional[jnp.ndarray]
+    ic: int = dataclasses.field(metadata=dict(static=True))
+    oc: int = dataclasses.field(metadata=dict(static=True))
+    col_tile: int = dataclasses.field(metadata=dict(static=True))
+    pack_block: int = dataclasses.field(metadata=dict(static=True), default=packing.PACK_BLOCK)
+
+    @property
+    def ic_local(self) -> int:
+        return self.sign_packed.shape[0] * 32
+
+    @property
+    def oc_local(self) -> int:
+        return self.sign_packed.shape[1]
+
+    @property
+    def k_pad(self) -> int:
+        return self.side_val.shape[0]
+
+    @property
+    def n_row_groups(self) -> int:
+        return self.side_idx.shape[1]
+
+    @property
+    def pack_block_local(self) -> int:
+        return min(self.pack_block, self.ic_local)
+
+    def effective_bits(self) -> float:
+        n = self.ic * self.oc
+        bits = self.sign_packed.size * 32 + self.side_val.size * 8 + self.side_idx.size * 32
+        bits += (self.low_scale.size + self.low_mean.size + self.high_scale.size + self.high_zero.size) * 32
+        return bits / n
+
+
+def column_structured_mask(metric: jnp.ndarray, low_frac: float, col_tile: int) -> jnp.ndarray:
+    """Structured salient selection: per row group of ``col_tile`` output
+    channels, the top round((1-low_frac)·ic) input-channel columns by the
+    row-group-summed metric are salient.  Returns mask [oc, ic] bool with the
+    GPTQ-PB convention (True ⇔ binarized), constant within each row group —
+    the budget matches the reference's elementwise quantile
+    (`gptq_pb/gptq.py:84-101`), only the selection is column-granular."""
+    metric = jnp.asarray(metric, jnp.float32)
+    oc, ic = metric.shape
+    n_groups = -(-oc // col_tile)
+    k = int(round(ic * (1.0 - low_frac)))
+    rows = []
+    for t in range(n_groups):
+        agg = jnp.sum(metric[t * col_tile : (t + 1) * col_tile], axis=0)  # [ic]
+        if k == 0:
+            salient_cols = jnp.zeros((ic,), bool)
+        else:
+            thresh = jnp.sort(agg)[ic - k]
+            salient_cols = agg >= thresh
+            # float ties can over-select; trim deterministically to exactly k
+            order = jnp.argsort(-agg)
+            salient_cols = jnp.zeros((ic,), bool).at[order[:k]].set(True)
+        rows.append(jnp.broadcast_to(~salient_cols, (metric[t * col_tile : (t + 1) * col_tile].shape[0], ic)))
+    return jnp.concatenate(rows, axis=0)
+
+
+def pack_linear_v2(
+    w_q: jnp.ndarray,
+    mask: jnp.ndarray,
+    low_state: Dict[str, jnp.ndarray],
+    high_state: Dict[str, jnp.ndarray],
+    method: str,
+    col_tile: int = 256,
+    bias: Optional[jnp.ndarray] = None,
+    pack_block: Optional[int] = None,
+    k_multiple: int = 32,
+) -> Tuple[PackedLinearV2, Dict[str, float]]:
+    """Pack into the v2 column-structured layout.
+
+    ``mask`` [oc, ic] (True ⇔ binarized) must be column-structured per
+    ``col_tile`` row group (use :func:`column_structured_mask` during
+    calibration); raises if it is not, so numerics stay exact."""
+    if method not in ("xnor", "sign", "rtn", "prune"):
+        raise ValueError(f"v2 packs 1-bit low methods only, got {method!r}")
+    oc, ic = w_q.shape
+    if ic % 32:
+        raise ValueError("pack_linear_v2 requires ic % 32 == 0")
+
+    w_q = jnp.asarray(w_q, jnp.float32)
+    salient = np.asarray(~jnp.asarray(mask, bool))  # [oc, ic]
+    n_rg = -(-oc // col_tile)
+
+    # validate column structure + gather per-row-group column lists
+    idx_cols = []
+    for t in range(n_rg):
+        blk = salient[t * col_tile : (t + 1) * col_tile]
+        if not (blk == blk[0:1]).all():
+            raise ValueError("mask is not column-structured within row groups; "
+                             "calibrate with mask_structure='column'")
+        idx_cols.append(np.nonzero(blk[0])[0])
+    k_max = max((len(c) for c in idx_cols), default=0)
+    k_pad = max(k_multiple, -(-k_max // k_multiple) * k_multiple) if k_max else k_multiple
+
+    side_idx = np.full((k_pad, n_rg), ic, np.int32)
+    for t, cols in enumerate(idx_cols):
+        side_idx[: len(cols), t] = cols
+
+    if method == "xnor":
+        low_mean = low_state["mean"].astype(jnp.float32)
+        low_scale = low_state["scale"].astype(jnp.float32)
+    else:
+        s = low_state["scale"].astype(jnp.float32)
+        if method == "prune":
+            s = jnp.zeros_like(s)
+        low_mean = s / 2.0
+        low_scale = s / 2.0
+    if low_scale.shape[0] != 1:
+        raise ValueError("v2 requires groupsize == -1 (whole-row low groups)")
+
+    hs = high_state["scale"].astype(jnp.float32)
+    hz = high_state["zero"].astype(jnp.float32)
+    maxq = float(high_state.get("maxq", 255.0))
+    codes = np.asarray(jnp.clip(jnp.round(w_q / hs[:, None] + hz[:, None]), 0, maxq)).astype(np.uint8)  # [oc, ic]
+
+    side_val = np.zeros((k_pad, oc), np.uint8)
+    for t, cols in enumerate(idx_cols):
+        lo, hi = t * col_tile, min((t + 1) * col_tile, oc)
+        side_val[: len(cols), lo:hi] = codes[lo:hi, cols].T
+
+    mean_rows = jnp.repeat(low_mean, ic, axis=0)[:ic]
+    bits = ((w_q.T - mean_rows) >= 0) & ~jnp.asarray(salient.T)
+    pack_block = pack_block or packing.default_pack_block(ic)
+
+    packed = PackedLinearV2(
+        sign_packed=packing.pack_bits(bits.astype(jnp.uint32), pack_block),
+        side_val=jnp.asarray(side_val),
+        side_idx=jnp.asarray(side_idx),
+        low_scale=low_scale,
+        low_mean=low_mean,
+        high_scale=hs,
+        high_zero=hz,
+        bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+        ic=ic, oc=oc, col_tile=col_tile, pack_block=pack_block,
+    )
+    w_rt = dequantize_v2(packed).T
+    diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6)),
+            "salient_frac": float(salient.mean()),
+            "effective_bits": packed.effective_bits()}
+    return packed, diag
+
+
+def dequantize_v2(p: PackedLinearV2) -> jnp.ndarray:
+    """Pure-XLA dequantization to dense f32 [ic, oc] (kernel oracle)."""
+    ic, oc = p.ic_local, p.oc_local
+    bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
+    w_bin = p.low_mean[0][None, :] + (2.0 * bits - 1.0) * p.low_scale[0][None, :]
+
+    codes = jnp.zeros((ic + 1, oc), jnp.float32)  # row ic = padding sink
+    m = jnp.zeros((ic + 1, oc), jnp.float32)
+    for t in range(p.n_row_groups):
+        lo, hi = t * p.col_tile, min((t + 1) * p.col_tile, oc)
+        colsel = jnp.zeros((ic + 1,), jnp.float32).at[p.side_idx[:, t]].set(1.0)
+        vals = jnp.zeros((ic + 1, hi - lo), jnp.float32).at[p.side_idx[:, t]].set(
+            p.side_val[:, lo:hi].astype(jnp.float32))
+        codes = codes.at[:, lo:hi].set(vals)
+        m = m.at[:, lo:hi].set(colsel[:, None])
+    codes, m = codes[:ic], m[:ic]
+    w_hi = p.high_scale[None, :] * (codes - p.high_zero[None, :])
+    return jnp.where(m > 0, w_hi, w_bin)
+
+
+def matmul_reference_v2(x: jnp.ndarray, p: PackedLinearV2) -> jnp.ndarray:
+    y = x.astype(jnp.float32) @ dequantize_v2(p)
+    if p.bias is not None:
+        y = y + p.bias
+    return y
+
+
+def gather_x_v2(x: jnp.ndarray, p: PackedLinearV2) -> jnp.ndarray:
+    """Per-row-group activation gather feeding the v2 kernel's sidecar dot:
+    [m, ic] → [m, k_pad, n_row_groups]; padding indices hit an appended zero
+    column, so padded slots contribute nothing to either the value dot or the
+    γ·rowsum term."""
+    x_aug = jnp.concatenate([x, jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+    return x_aug[:, p.side_idx]  # [m, k_pad, n_rg]
+
+
+# ---------------------------------------------------------------------------
 # Serialization: one .npz of planes + a json manifest of static meta.
 # (The reference's closest analogues are the mask pickles `gptq_pb/gptq.py:108-114`
 # and the {meta.json, weights.pth} format of `utils.py:87-124`.)
 # ---------------------------------------------------------------------------
 
 _FIELDS = ("sign_packed", "mask_packed", "sidecar", "low_scale", "low_mean", "high_scale", "high_zero", "bias")
+_FIELDS_V2 = ("sign_packed", "side_val", "side_idx", "low_scale", "low_mean", "high_scale", "high_zero", "bias")
 
 
 def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[dict] = None) -> None:
@@ -261,12 +487,20 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
     arrays = {}
     meta = {"layers": {}, "extra": extra_meta or {}}
     for name, p in layers.items():
-        meta["layers"][name] = {
-            "ic": p.ic, "oc": p.oc, "groupsize": p.groupsize,
-            "pack_block": p.pack_block, "sidecar_bits": p.sidecar_bits,
-            "low_bits": p.low_bits, "has_bias": p.bias is not None,
-        }
-        for f in _FIELDS:
+        if isinstance(p, PackedLinearV2):
+            meta["layers"][name] = {
+                "format": "v2", "ic": p.ic, "oc": p.oc, "col_tile": p.col_tile,
+                "pack_block": p.pack_block, "has_bias": p.bias is not None,
+            }
+            fields = _FIELDS_V2
+        else:
+            meta["layers"][name] = {
+                "ic": p.ic, "oc": p.oc, "groupsize": p.groupsize,
+                "pack_block": p.pack_block, "sidecar_bits": p.sidecar_bits,
+                "low_bits": p.low_bits, "has_bias": p.bias is not None,
+            }
+            fields = _FIELDS
+        for f in fields:
             v = getattr(p, f)
             if v is not None:
                 arrays[f"{name}::{f}"] = np.asarray(v)
@@ -294,6 +528,15 @@ def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
     z = np.load(os.path.join(path, "planes.npz"))
     layers = {}
     for name, lm in meta["layers"].items():
+        if lm.get("format") == "v2":
+            kw = {f: jnp.asarray(z[f"{name}::{f}"]) for f in _FIELDS_V2 if f"{name}::{f}" in z}
+            if "bias" not in kw:
+                kw["bias"] = None
+            layers[name] = PackedLinearV2(
+                ic=lm["ic"], oc=lm["oc"], col_tile=lm["col_tile"],
+                pack_block=lm.get("pack_block", packing.PACK_BLOCK), **kw,
+            )
+            continue
         kw = {f: jnp.asarray(z[f"{name}::{f}"]) for f in _FIELDS if f"{name}::{f}" in z}
         if "bias" not in kw:
             kw["bias"] = None

@@ -26,8 +26,10 @@ def _dense_leaf(lin) -> Dict[str, Any]:
     """Materialize any linear leaf (dense dict / PackedLinear / QATLinear) to
     {"w": [ic, oc], "b": [oc]|None} — the reference's `to_regular_linear`
     (`qat/run_qat.py:69-80`) / post-`fasterquant` writeback equivalent."""
-    from ..core.pbw import PackedLinear, dequantize
+    from ..core.pbw import PackedLinear, PackedLinearV2, dequantize, dequantize_v2
 
+    if isinstance(lin, PackedLinearV2):
+        return {"w": dequantize_v2(lin), "b": lin.bias}
     if isinstance(lin, PackedLinear):
         return {"w": dequantize(lin), "b": lin.bias}
     if type(lin).__name__ == "QATLinear":

@@ -19,7 +19,7 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from ..core.pbw import PackedLinear
+from ..core.pbw import PackedLinear, PackedLinearV2
 
 # set by ops.binary_matmul at import time to avoid a circular import
 _packed_matmul: Optional[Callable] = None
@@ -40,12 +40,12 @@ def apply_linear(lin, x: jnp.ndarray) -> jnp.ndarray:
         from ..quant.qat import apply_qat_linear
 
         return apply_qat_linear(lin, x)
-    if isinstance(lin, PackedLinear):
+    if isinstance(lin, (PackedLinear, PackedLinearV2)):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         if _packed_matmul is None:
-            from ..core.pbw import matmul_reference
-            y = matmul_reference(x2, lin)
+            from ..core.pbw import matmul_reference, matmul_reference_v2
+            y = (matmul_reference_v2 if isinstance(lin, PackedLinearV2) else matmul_reference)(x2, lin)
         else:
             y = _packed_matmul(x2, lin)
         return y.reshape(*lead, -1).astype(x.dtype)
@@ -61,6 +61,6 @@ def named_linear_fn(lin, x, name=None):  # pragma: no cover - convenience alias
 
 def linear_shape(lin) -> tuple[int, int]:
     """(ic, oc) of either representation."""
-    if isinstance(lin, PackedLinear):
+    if isinstance(lin, (PackedLinear, PackedLinearV2)):
         return lin.ic_local, lin.oc_local
     return lin["w"].shape

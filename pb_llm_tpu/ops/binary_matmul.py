@@ -11,7 +11,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..core.pbw import PackedLinear, matmul_reference
+from ..core.pbw import PackedLinear, PackedLinearV2, matmul_reference, matmul_reference_v2
 from ..models import linear as _linear
 from . import pallas_pb
 
@@ -34,18 +34,22 @@ def _on_tpu() -> bool:
         return False
 
 
-def pb_matmul(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
+def pb_matmul(x: jnp.ndarray, p) -> jnp.ndarray:
     """y = x @ dequant(p) (+ bias) with the best available backend."""
+    v2 = isinstance(p, PackedLinearV2)
+    supported = pallas_pb.pallas_supported_v2(p) if v2 else pallas_pb.pallas_supported(p)
     mode = _MODE
     if mode == "auto":
-        mode = "pallas" if (_on_tpu() and pallas_pb.pallas_supported(p)) else "xla"
-    if mode == "pallas" and not pallas_pb.pallas_supported(p):
+        mode = "pallas" if (_on_tpu() and supported) else "xla"
+    if mode == "pallas" and not supported:
         mode = "xla"
     if mode == "pallas":
-        return pallas_pb.pb_matmul_pallas(x, p, prefill_bf16=_PREFILL_BF16)
+        fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas
+        return fn(x, p, prefill_bf16=_PREFILL_BF16)
     if mode == "pallas_interpret":
-        return pallas_pb.pb_matmul_pallas(x, p, interpret=True, prefill_bf16=_PREFILL_BF16)
-    return matmul_reference(x, p)
+        fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas
+        return fn(x, p, interpret=True, prefill_bf16=_PREFILL_BF16)
+    return (matmul_reference_v2 if v2 else matmul_reference)(x, p)
 
 
 _linear.register_packed_matmul(pb_matmul)

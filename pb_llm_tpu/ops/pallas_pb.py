@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import packing
-from ..core.pbw import PackedLinear
+from ..core.pbw import PackedLinear, PackedLinearV2, gather_x_v2
 
 WORD_BITS = 32
 
@@ -143,6 +143,140 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
         interpret=interpret,
     )(xp, sign3, p.mask_packed, p.sidecar, coef)
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# planar kernel, v2 column-structured format
+# ---------------------------------------------------------------------------
+#
+# y = rowsum(x)·β + (x@B′)·α + (xg@V)·hs + rowsum(xg)·γ + bias
+#
+# where xg [m, k_pad] is the activation slice at this row group's salient
+# columns (gathered OUTSIDE the kernel — tiny at decode batch) and V is the
+# [k_pad, oc_tile] uint8 code plane.  Compared with v1 the dense 8-bit
+# sidecar dot and the mask-plane bit dots disappear: the γ-term's
+# Σ_{j∈salient} x_j is exactly rowsum(xg) because padded slots gather an
+# appended zero column.  Streamed bits/weight: 1 (sign) + 8·salient_frac.
+
+
+def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
+                      oc_tile: int, pack_block: int, chunk: int, dot_dtype):
+    xb = x_ref[:]
+    mrows = xb.shape[0]
+    acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
+    w_off = r_off = 0
+    for rows in packing.block_sizes(ic, pack_block):
+        g = rows // WORD_BITS
+        ws = s_ref[w_off : w_off + g, :]
+        for b in range(WORD_BITS):
+            xs = xb[:, r_off + b * g : r_off + (b + 1) * g].astype(dot_dtype)
+            bits_s = ((ws >> b) & 1).astype(jnp.int32).astype(dot_dtype)
+            acc_b += jnp.dot(xs, bits_s, preferred_element_type=jnp.float32)
+        w_off += g
+        r_off += rows
+
+    n_chunks = oc_tile // chunk
+    parts = []
+    sums = []
+    for j in range(n_chunks):
+        xg = xg_ref[j]  # [m, k_pad]
+        v = v_ref[:, j * chunk : (j + 1) * chunk].astype(jnp.int32).astype(dot_dtype)
+        parts.append(jnp.dot(xg.astype(dot_dtype), v, preferred_element_type=jnp.float32))
+        sums.append(jnp.broadcast_to(jnp.sum(xg, axis=1, keepdims=True), (mrows, chunk)))
+    acc_v = jnp.concatenate(parts, axis=1) if n_chunks > 1 else parts[0]
+    rowsum_g = jnp.concatenate(sums, axis=1) if n_chunks > 1 else sums[0]
+
+    rowsum = jnp.sum(xb, axis=1, keepdims=True)
+    alpha = coef_ref[0:1, :]
+    beta = coef_ref[1:2, :]
+    gamma = coef_ref[2:3, :]
+    hs = coef_ref[3:4, :]
+    bias = coef_ref[4:5, :]
+    o_ref[:] = rowsum * beta + acc_b * alpha + acc_v * hs + rowsum_g * gamma + bias
+
+
+def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype=jnp.float32):
+    m, ic = x.shape
+    oc = p.oc_local
+    m_pad = _round_up(max(m, 8), 8)
+    m_tile = 256 if m_pad > 256 else m_pad
+    m_pad = _round_up(m_pad, m_tile)
+    n_m_tiles = m_pad // m_tile
+    xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
+
+    # chunk = columns sharing one row group inside a kernel invocation
+    chunk = min(oc_tile, p.col_tile)
+    gpt = oc_tile // chunk  # row groups spanned per oc tile
+
+    xg = jnp.transpose(gather_x_v2(xp, p), (2, 0, 1))  # [n_rg, m_pad, k_pad]
+
+    scale = p.low_scale[0].astype(jnp.float32)
+    mean = p.low_mean[0].astype(jnp.float32)
+    alpha = 2.0 * scale
+    beta = mean - scale
+    gamma = -p.high_scale * p.high_zero - beta
+    bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
+    coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)
+
+    kernel = functools.partial(
+        _planar_v2_kernel, ic=ic, oc_tile=oc_tile,
+        pack_block=p.pack_block_local, chunk=chunk, dot_dtype=dot_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
+        grid=(oc // oc_tile, n_m_tiles),
+        in_specs=[
+            pl.BlockSpec((m_tile, ic), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, m_tile, p.k_pad),
+                         lambda i, mi, _gpt=gpt, _ot=oc_tile, _ct=p.col_tile:
+                         (((i * _ot) // _ct) // _gpt, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.k_pad, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, mi: (mi, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * m_pad * ic * oc,
+            bytes_accessed=ic * oc // 8 + p.k_pad * oc + m_pad * (ic + oc) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, xg, p.sign_packed, p.side_val, coef)
+    return out[:m]
+
+
+def pallas_supported_v2(p: PackedLinearV2) -> bool:
+    ic, oc = p.ic_local, p.oc_local
+    if oc % 128 != 0 or ic % 32 != 0:
+        return False
+    if ic > p.pack_block_local and ic % p.pack_block_local != 0:
+        return False
+    oc_tile = _default_oc_tile(oc)
+    chunk = min(oc_tile, p.col_tile)
+    if oc_tile % chunk or p.col_tile % chunk:
+        return False
+    if oc_tile > p.col_tile and oc_tile % p.col_tile:
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "oc_tile", "prefill_bf16"))
+def pb_matmul_pallas_v2(
+    x: jnp.ndarray,
+    p: PackedLinearV2,
+    interpret: bool = False,
+    oc_tile: int | None = None,
+    prefill_bf16: bool = False,
+) -> jnp.ndarray:
+    """y = x @ dequant_v2(p) (+ bias); x [m, ic] → y [m, oc] float32."""
+    m, ic = x.shape
+    assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
+    if oc_tile is None:
+        oc_tile = _default_oc_tile(p.oc_local)
+    dot_dtype = jnp.bfloat16 if (prefill_bf16 and m >= 256) else jnp.float32
+    return _planar_v2_call(x, p, oc_tile, interpret, dot_dtype)
 
 
 # ---------------------------------------------------------------------------

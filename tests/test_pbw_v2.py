@@ -1,0 +1,230 @@
+"""PBW v2 (column-structured sidecar): pack/dequant exactness, budget,
+serialization, kernel parity (interpret mode), and the quality-delta bound
+of structured vs elementwise selection."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pb_llm_tpu.core import pbw
+from pb_llm_tpu.ops import pallas_pb
+from pb_llm_tpu.quant.high_quant import high_calibrate, high_quantize
+from pb_llm_tpu.quant.low_quant import low_calibrate, low_quantize
+
+
+def _make_v2(oc=64, ic=128, method="xnor", low_frac=0.8, col_tile=16, seed=0, bias=False):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    # column-heavy scales so the structured mask is a realistic selection
+    w *= (1.0 + 3.0 * (rng.random(ic) < 0.1))[None, :]
+    mask = np.asarray(pbw.column_structured_mask(jnp.abs(jnp.asarray(w)), low_frac, col_tile))
+    low_state = low_calibrate(jnp.asarray(w * mask), method, -1)
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    q_low = np.asarray(low_quantize(jnp.asarray(w), low_state, method, -1))
+    q_high = np.asarray(high_quantize(jnp.asarray(w), high_state))
+    w_q = np.where(mask, q_low, q_high)
+    b = rng.standard_normal(oc).astype(np.float32) if bias else None
+    p, diag = pbw.pack_linear_v2(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state,
+                                 method, col_tile=col_tile,
+                                 bias=None if b is None else jnp.asarray(b))
+    return w_q, mask, p, diag, b
+
+
+def test_column_mask_structure_and_budget():
+    rng = np.random.default_rng(1)
+    metric = jnp.asarray(rng.random((64, 128)).astype(np.float32))
+    mask = np.asarray(pbw.column_structured_mask(metric, 0.9, 16))
+    # exactly round(0.1*128)=13 salient columns per 16-row group
+    sal = ~mask
+    for t in range(4):
+        blk = sal[t * 16 : (t + 1) * 16]
+        assert (blk == blk[0:1]).all()
+        assert blk[0].sum() == 13
+
+
+@pytest.mark.parametrize("method", ["xnor", "sign", "rtn", "prune"])
+def test_v2_pack_dequant_exact(method):
+    w_q, mask, p, diag, _ = _make_v2(method=method)
+    assert diag["pack_mismatch"] == 0.0
+    w_rt = np.asarray(pbw.dequantize_v2(p)).T
+    np.testing.assert_allclose(w_rt, w_q, rtol=1e-6, atol=1e-7)
+
+
+def test_v2_effective_bits():
+    _, _, p, diag, _ = _make_v2(oc=256, ic=512, low_frac=0.9, col_tile=64)
+    # 1 (sign) + ~0.1·8 (values, padded) + small index/scale overhead
+    assert diag["effective_bits"] < 3.5
+    assert diag["salient_frac"] == pytest.approx(0.1, abs=0.01)
+
+
+def test_v2_matmul_reference_matches_dense():
+    w_q, _, p, _, b = _make_v2(bias=True)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, p.ic)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        y = np.asarray(pbw.matmul_reference_v2(x, p))
+        ref = np.asarray(x) @ w_q.T + b
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("oc_tile,col_tile", [(128, 128), (128, 256), (256, 128)])
+def test_v2_kernel_interpret_matches_reference(oc_tile, col_tile):
+    w_q, _, p, _, b = _make_v2(oc=256, ic=256, col_tile=col_tile, bias=True)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((8, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=oc_tile))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_v2_kernel_interpret_prefill_m_tiling():
+    w_q, _, p, _, _ = _make_v2(oc=256, ic=256, col_tile=128)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((300, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_v2_serialization_roundtrip(tmp_path):
+    _, _, p, _, b = _make_v2(bias=True)
+    pbw.save_pbw(str(tmp_path / "ck"), {"layer_0/q_proj": p})
+    loaded, _ = pbw.load_pbw(str(tmp_path / "ck"))
+    q = loaded["layer_0/q_proj"]
+    assert isinstance(q, pbw.PackedLinearV2)
+    assert q.col_tile == p.col_tile and q.k_pad == p.k_pad
+    np.testing.assert_array_equal(np.asarray(q.side_idx), np.asarray(p.side_idx))
+    np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(q)), np.asarray(pbw.dequantize_v2(p)))
+
+
+def test_v2_rejects_unstructured_mask():
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((32, 64)).astype(np.float32)
+    mask = rng.random((32, 64)) < 0.9  # elementwise-random
+    low_state = low_calibrate(jnp.asarray(w * mask), "xnor", -1)
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    with pytest.raises(ValueError, match="column-structured"):
+        pbw.pack_linear_v2(jnp.asarray(w), jnp.asarray(mask), low_state, high_state,
+                           "xnor", col_tile=16)
+
+
+def test_structured_vs_elementwise_output_mse():
+    """The structured selection's RTN output-MSE penalty vs the reference's
+    elementwise mask must stay bounded on column-heavy weights (the regime
+    real LLMs are in; GPTQ error feedback shrinks it further)."""
+    rng = np.random.default_rng(9)
+    oc, ic, low_frac = 128, 256, 0.9
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    w *= (1.0 + 4.0 * (rng.random(ic) < 0.08))[None, :]
+
+    def quantize_with(mask):
+        low_state = low_calibrate(jnp.asarray(w * mask), "xnor", -1)
+        high_state = high_calibrate(jnp.asarray(w), bits=8)
+        q = np.where(mask,
+                     np.asarray(low_quantize(jnp.asarray(w), low_state, "xnor", -1)),
+                     np.asarray(high_quantize(jnp.asarray(w), high_state)))
+        x = rng.standard_normal((64, ic)).astype(np.float32)
+        return float(((x @ (q - w).T) ** 2).mean())
+
+    # reference: elementwise magnitude quantile (gptq_pb/gptq.py:84-101)
+    thresh = np.quantile(np.abs(w), low_frac)
+    mask_elem = np.abs(w) <= thresh
+    mask_col = np.asarray(pbw.column_structured_mask(jnp.abs(jnp.asarray(w)), low_frac, 32))
+    mse_elem = quantize_with(mask_elem)
+    mse_col = quantize_with(mask_col)
+    # structured selection costs at most 2x the elementwise output MSE here
+    assert mse_col < 2.0 * mse_elem, (mse_elem, mse_col)
+
+
+# ---------------------------------------------------------------------------
+# solver + pipeline integration
+# ---------------------------------------------------------------------------
+
+
+def test_solver_column_mask_structure():
+    from pb_llm_tpu.calib.solver import SolverConfig, gptq_pb
+
+    rng = np.random.default_rng(11)
+    oc, ic = 64, 128
+    w = jnp.asarray(rng.standard_normal((oc, ic)).astype(np.float32))
+    x = rng.standard_normal((256, ic)).astype(np.float32)
+    h = jnp.asarray((2.0 / 256) * x.T @ x)
+
+    cfg = SolverConfig(low_method="xnor", low_frac=0.9, salient_metric="hessian",
+                       mask_structure="column", col_tile=16)
+    out = gptq_pb(w, h, cfg)
+    sal = ~np.asarray(out["mask"])
+    for t in range(oc // 16):
+        blk = sal[t * 16 : (t + 1) * 16]
+        assert (blk == blk[0:1]).all()
+        assert blk[0].sum() == round(ic * 0.1)
+    # GPTQ error feedback still produces a finite, nontrivial solution
+    assert np.isfinite(float(out["error"]))
+
+
+def test_solver_column_vs_element_error_bounded():
+    """GPTQ compensation: the structured mask's reconstruction error must stay
+    within a small factor of the elementwise mask's on column-heavy weights."""
+    from pb_llm_tpu.calib.solver import SolverConfig, gptq_pb
+
+    rng = np.random.default_rng(13)
+    oc, ic = 64, 128
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    w *= (1.0 + 4.0 * (rng.random(ic) < 0.1))[None, :]
+    x = rng.standard_normal((256, ic)).astype(np.float32)
+    h = jnp.asarray((2.0 / 256) * x.T @ x)
+
+    base = dict(low_method="xnor", low_frac=0.9, salient_metric="hessian")
+    err_elem = float(gptq_pb(jnp.asarray(w), h, SolverConfig(**base))["error"])
+    err_col = float(gptq_pb(jnp.asarray(w), h, SolverConfig(**base, mask_structure="column", col_tile=16))["error"])
+    assert err_col < 2.5 * err_elem, (err_elem, err_col)
+
+
+def test_pipeline_packed_v2_end_to_end():
+    """quantize_model_ptq(fmt='packed_v2') → PackedLinearV2 leaves → forward
+    runs through the packed dispatch and matches the sim-format model."""
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.registry import family_for
+    import pb_llm_tpu.ops.binary_matmul  # registers packed dispatch
+
+    cfg = jllama.LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=4, max_position_embeddings=64)
+    fam = family_for("huggyllama/llama-7b")
+    rng = np.random.default_rng(17)
+    calib = rng.integers(0, 64, size=(2, 16))
+
+    scfg = SolverConfig(low_method="xnor", low_frac=0.8, salient_metric="magnitude",
+                        mask_structure="column", col_tile=16)
+
+    params_sim = jllama.init_params(cfg, jax.random.PRNGKey(3))
+    params_sim, _ = quantize_model_ptq(params_sim, cfg, fam, calib, scfg, fmt="sim", log=None)
+
+    params_v2 = jllama.init_params(cfg, jax.random.PRNGKey(3))
+    params_v2, rep = quantize_model_ptq(params_v2, cfg, fam, calib, scfg, fmt="packed_v2", log=None)
+    assert isinstance(params_v2["layers"][0]["q_proj"], pbw.PackedLinearV2)
+
+    ids = jnp.asarray(rng.integers(0, 64, size=(1, 8)))
+    with jax.default_matmul_precision("float32"):
+        y_sim, _ = jllama.forward(params_sim, ids, cfg)
+        y_v2, _ = jllama.forward(params_v2, ids, cfg)
+    np.testing.assert_allclose(np.asarray(y_v2), np.asarray(y_sim), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_packed_v2_requires_column_masks():
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.registry import family_for
+
+    cfg = jllama.LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=1, num_attention_heads=4,
+                             num_key_value_heads=4, max_position_embeddings=64)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="mask_structure"):
+        quantize_model_ptq(params, cfg, family_for("huggyllama/llama-7b"),
+                           np.zeros((1, 8), np.int64),
+                           SolverConfig(low_frac=0.5), fmt="packed_v2", log=None)
