@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval-text construction flavor (the two reference pipelines differ)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--metrics", type=str, default=None)
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over stacked layers for the ppl forward "
+                        "(one compiled body; large models compile in seconds)")
     p.add_argument("--vocab_limit", type=int, default=50257,
                    help="slice logits to the first N rows during task scoring "
                         "(reference evaluate.py:79 does this unconditionally; "
@@ -80,6 +83,11 @@ def main(argv=None) -> int:
 
         params, extra = load_dense_checkpoint(args.checkpoint)
         log.log("loaded_checkpoint", path=args.checkpoint, **{k: str(v) for k, v in extra.items()})
+
+    if args.scan_layers:
+        from ..models.stacking import stack_layers
+
+        params = stack_layers(params)
 
     for ds in [d for d in args.eval_ppl.split(",") if d]:
         if args.flavor == "qat":

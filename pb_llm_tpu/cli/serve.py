@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--kv_int8", action="store_true", help="absmax-quantized int8 KV cache (halves cache HBM)")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over stacked decoder layers: one compiled "
+                        "decode body instead of num_layers unrolled copies")
     p.add_argument("--prompts", type=str, default=None, help="file with one prompt per line")
     p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--synthetic", action="store_true")
@@ -88,6 +91,7 @@ def main(argv=None) -> int:
         EngineConfig(
             n_slots=args.slots, max_seq=max_seq, prefill_buckets=(32, 128, 512, max_seq),
             cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
+            scan_layers=args.scan_layers,
         ),
         SamplingParams(temperature=args.temperature),
     )

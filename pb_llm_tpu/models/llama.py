@@ -176,6 +176,24 @@ def forward(
     positions = (p[..., None] if p.ndim else p) + jnp.arange(input_ids.shape[1])
     cos, sin = rope_tables(cfg, positions)
     cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
+    if "layers_stacked" in params:
+        # one scan body compiled once instead of num_layers unrolled copies
+        # (stack with models.stacking.stack_layers; calibration capture needs
+        # the unrolled path)
+        assert linear_fn is None, "linear_fn capture requires unrolled layers"
+
+        def body(h, xs):
+            lp, cache = xs
+            h, cache = decoder_layer(lp, h, cfg, cos, sin, None, cache, pos)
+            return h, cache
+
+        if kv_caches is not None:
+            x, new_caches = jax.lax.scan(body, x, (params["layers_stacked"], kv_caches))
+        else:
+            x, _ = jax.lax.scan(lambda h, lp: body(h, (lp, None)), x, params["layers_stacked"])
+            new_caches = None
+        x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+        return apply_linear(params["lm_head"], x), new_caches
     new_caches = [] if kv_caches is not None else None
     for i, lp in enumerate(params["layers"]):
         cache_i = kv_caches[i] if kv_caches is not None else None

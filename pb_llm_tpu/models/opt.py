@@ -186,6 +186,20 @@ def forward(
     pos: int | jnp.ndarray = 0,
 ) -> Tuple[jnp.ndarray, Optional[List[Dict[str, jnp.ndarray]]]]:
     x = embed(params, input_ids, cfg, pos)
+    if "layers_stacked" in params:
+        assert linear_fn is None, "linear_fn capture requires unrolled layers"
+
+        def body(h, xs):
+            lp, cache = xs
+            h, cache = decoder_layer(lp, h, cfg, None, cache, pos)
+            return h, cache
+
+        if kv_caches is not None:
+            x, new_caches = jax.lax.scan(body, x, (params["layers_stacked"], kv_caches))
+        else:
+            x, _ = jax.lax.scan(lambda h, lp: body(h, (lp, None)), x, params["layers_stacked"])
+            new_caches = None
+        return head(params, x, cfg), new_caches
     new_caches = [] if kv_caches is not None else None
     for i, lp in enumerate(params["layers"]):
         cache_i = kv_caches[i] if kv_caches is not None else None

@@ -37,6 +37,9 @@ class EngineConfig:
     max_seq: int = 2048
     prefill_buckets: Sequence[int] = (32, 128, 512, 2048)
     cache_dtype: Any = jnp.float32
+    # scan the layer loop (models.stacking): one compiled decode body instead
+    # of num_layers unrolled copies — large models compile in seconds
+    scan_layers: bool = False
 
 
 class Engine:
@@ -50,6 +53,12 @@ class Engine:
         self.sampling = sampling
         n_layers, kv_heads, head_dim = kvmod.cache_spec_for(cfg, fam.name)
         self.caches = kvmod.make_caches(cfg, ecfg.n_slots, ecfg.max_seq, n_layers, kv_heads, head_dim, ecfg.cache_dtype)
+        if ecfg.scan_layers:
+            from ..models import stacking
+
+            if "layers_stacked" not in self.params:
+                self.params = stacking.stack_layers(self.params)
+            self.caches = stacking.stack_caches(self.caches)
         self.lengths = np.zeros(ecfg.n_slots, np.int32)
         self.active = np.zeros(ecfg.n_slots, bool)
         self.last_token = np.zeros(ecfg.n_slots, np.int32)
@@ -80,17 +89,22 @@ class Engine:
 
         def prefill(params, caches, ids_padded, slot, true_len):
             # run the model over the bucket with batch=1 cache rows at `slot`
-            slot_caches = [
-                {"k": jax.lax.dynamic_slice_in_dim(c["k"], slot, 1, 0),
-                 "v": jax.lax.dynamic_slice_in_dim(c["v"], slot, 1, 0)}
-                for c in caches
-            ]
-            logits, new_slot_caches = fam.forward(params, ids_padded[None, :], cfg, kv_caches=slot_caches, pos=0)
-            caches = [
-                {"k": jax.lax.dynamic_update_slice_in_dim(c["k"], nc["k"], slot, 0),
-                 "v": jax.lax.dynamic_update_slice_in_dim(c["v"], nc["v"], slot, 0)}
-                for c, nc in zip(caches, new_slot_caches)
-            ]
+            if isinstance(caches, dict):  # stacked [L, slots, ...] (scan_layers)
+                slot_caches = jax.tree_util.tree_map(
+                    lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, 1), caches)
+                logits, new_slot = fam.forward(params, ids_padded[None, :], cfg, kv_caches=slot_caches, pos=0)
+                caches = jax.tree_util.tree_map(
+                    lambda c, nc: jax.lax.dynamic_update_slice_in_dim(c, nc, slot, 1), caches, new_slot)
+            else:
+                slot_caches = [
+                    {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
+                    for c in caches
+                ]
+                logits, new_slot_caches = fam.forward(params, ids_padded[None, :], cfg, kv_caches=slot_caches, pos=0)
+                caches = [
+                    {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
+                    for c, nc in zip(caches, new_slot_caches)
+                ]
             next_logits = logits[0, true_len - 1]
             return caches, next_logits
 
