@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--kv_int8", action="store_true", help="absmax-quantized int8 KV cache (halves cache HBM)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways: shard packed weights + KV over a tp mesh "
+                        "(one shard_map per program; same batcher interface)")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over stacked decoder layers: one compiled "
                         "decode body instead of num_layers unrolled copies")
@@ -86,15 +89,19 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    eng = Engine(
-        params, cfg, fam,
-        EngineConfig(
-            n_slots=args.slots, max_seq=max_seq, prefill_buckets=(32, 128, 512, max_seq),
-            cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
-            scan_layers=args.scan_layers,
-        ),
-        SamplingParams(temperature=args.temperature),
+    ecfg = EngineConfig(
+        n_slots=args.slots, max_seq=max_seq, prefill_buckets=(32, 128, 512, max_seq),
+        cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
+        scan_layers=args.scan_layers,
     )
+    if args.tp > 1:
+        from ..parallel.mesh import make_mesh
+        from ..runtime.tp_engine import TPEngine
+
+        eng = TPEngine(params, cfg, fam, ecfg, make_mesh(dp=1, tp=args.tp),
+                       SamplingParams(temperature=args.temperature))
+    else:
+        eng = Engine(params, cfg, fam, ecfg, SamplingParams(temperature=args.temperature))
     batcher = ContinuousBatcher(eng)
     reqs = [
         Request(request_id=i, prompt_ids=tokenizer.encode(t)[: max_seq // 2], max_new_tokens=args.max_new_tokens)

@@ -21,7 +21,7 @@ final pack block per shard; pack blocks are per-shard after re-packing, see
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -98,8 +98,13 @@ def _leaf_spec(name: str, leaf: Any) -> Any:
     return None
 
 
-def param_specs(params: Dict[str, Any], family_name: str) -> Dict[str, Any]:
-    """PartitionSpec tree matching the model param tree."""
+def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+    """PartitionSpec tree matching the model param tree.
+
+    With ``mesh`` given, any leaf whose sharded dimension is not divisible by
+    the mesh axis falls back to replication (e.g. odd vocab sizes under
+    vocab-parallel lm_head) — placement and shard_map in_specs must use the
+    SAME sanitized tree."""
     specs: Dict[str, Any] = {}
     for key, val in params.items():
         if key == "layers":
@@ -118,12 +123,30 @@ def param_specs(params: Dict[str, Any], family_name: str) -> Dict[str, Any]:
             specs[key] = P()  # replicated; vocab sharding is a later optimization
         else:
             specs[key] = None if val is None else jax.tree_util.tree_map(lambda _: P(), val)
+
+    if mesh is not None:
+        sizes = dict(mesh.shape)
+
+        def _san(leaf, spec):
+            if leaf is None or spec is None:
+                return spec
+            for d, ax in enumerate(spec):
+                if ax is None:
+                    continue
+                n = 1
+                for a in (ax if isinstance(ax, tuple) else (ax,)):
+                    n *= sizes.get(a, 1)
+                if d >= getattr(leaf, "ndim", 0) or leaf.shape[d] % n:
+                    return P()
+            return spec
+
+        specs = jax.tree_util.tree_map(_san, params, specs, is_leaf=lambda x: x is None)
     return specs
 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh, family_name: str) -> Dict[str, Any]:
     """device_put the tree with the TP/DP NamedShardings."""
-    specs = param_specs(params, family_name)
+    specs = param_specs(params, family_name, mesh)
 
     def put(leaf, spec):
         if leaf is None:

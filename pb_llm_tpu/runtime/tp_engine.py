@@ -69,16 +69,25 @@ def _tp_linear_fn(name, lin, x):
     return apply_linear(lin, x)
 
 
-def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree) -> Callable:
+def _cache_specs_like(caches) -> List[Dict[str, Any]]:
+    """Head-sharded spec per cache field (k/v and any int8 scale planes all
+    carry heads on axis 2)."""
+    return [{k: CACHE_SPEC for k in c} for c in caches]
+
+
+def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree=None) -> Callable:
     """Jitted TP decode step over sharded params + caches.
 
     step(params, caches, last_tokens [S], lengths [S]) → (caches, logits [S, V])
     """
     tp = mesh.shape["tp"]
     lcfg = _local_cfg(cfg, fam, tp)
-    pspecs = param_specs(params_tree, fam.name)
+    pspecs = param_specs(params_tree, fam.name, mesh)
     n_layers = len(params_tree["layers"])
-    cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC} for _ in range(n_layers)]
+    if caches_tree is not None:
+        cache_specs = _cache_specs_like(caches_tree)
+    else:
+        cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC} for _ in range(n_layers)]
 
     def local_step(params, caches, last_tokens, lengths):
         logits, caches = fam.forward(
@@ -101,7 +110,7 @@ def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree) -> Callable:
     return jax.jit(fn)
 
 
-def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int) -> Callable:
+def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree=None) -> Callable:
     """Jitted TP prefill for one slot over a padded prompt bucket.
 
     prefill(params, caches, ids_padded [bucket], slot, true_len)
@@ -109,14 +118,16 @@ def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int) -> C
     """
     tp = mesh.shape["tp"]
     lcfg = _local_cfg(cfg, fam, tp)
-    pspecs = param_specs(params_tree, fam.name)
+    pspecs = param_specs(params_tree, fam.name, mesh)
     n_layers = len(params_tree["layers"])
-    cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC} for _ in range(n_layers)]
+    if caches_tree is not None:
+        cache_specs = _cache_specs_like(caches_tree)
+    else:
+        cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC} for _ in range(n_layers)]
 
     def local_prefill(params, caches, ids_padded, slot, true_len):
         slot_caches = [
-            {"k": jax.lax.dynamic_slice_in_dim(c["k"], slot, 1, 0),
-             "v": jax.lax.dynamic_slice_in_dim(c["v"], slot, 1, 0)}
+            {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
             for c in caches
         ]
         logits, new_slot = fam.forward(
@@ -124,8 +135,7 @@ def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int) -> C
             linear_fn=_tp_linear_fn, kv_caches=slot_caches, pos=0,
         )
         caches = [
-            {"k": jax.lax.dynamic_update_slice_in_dim(c["k"], nc["k"], slot, 0),
-             "v": jax.lax.dynamic_update_slice_in_dim(c["v"], nc["v"], slot, 0)}
+            {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
             for c, nc in zip(caches, new_slot)
         ]
         next_logits = logits[0, true_len - 1]
@@ -149,11 +159,69 @@ def make_caches_tp(cfg, fam: Family, mesh: Mesh, n_slots: int, max_seq: int, dty
     from . import kv_cache as kvmod
 
     n_layers, kv_heads, head_dim = kvmod.cache_spec_for(cfg, fam.name)
+    caches = kvmod.make_caches(cfg, n_slots, max_seq, n_layers, kv_heads, head_dim, dtype)
     sharding = NamedSharding(mesh, CACHE_SPEC)
-    return [
-        {
-            "k": jax.device_put(jnp.zeros((n_slots, max_seq, kv_heads, head_dim), dtype), sharding),
-            "v": jax.device_put(jnp.zeros((n_slots, max_seq, kv_heads, head_dim), dtype), sharding),
-        }
-        for _ in range(n_layers)
-    ]
+    return [{k: jax.device_put(v, sharding) for k, v in c.items()} for c in caches]
+
+
+# ---------------------------------------------------------------------------
+# Engine-compatible TP wrapper — the "one serving program": TP-sharded packed
+# weights + slot-pool continuous batching + (multi-host) scheduling all
+# compose, because TPEngine only swaps the two jitted programs the base
+# Engine builds for shard_map'd ones; ContinuousBatcher/MultiHostBatcher see
+# the identical slot/step interface.
+# ---------------------------------------------------------------------------
+
+
+class TPEngine:
+    """Drop-in Engine over a tp mesh (usable by runtime.batching schedulers).
+
+    Construct with an UNSHARDED param tree (packed v1 leaves must be packed
+    with pack_block | ic/tp for the row-parallel layers); weights are placed
+    with Megatron shardings, caches head-sharded, and every program is one
+    shard_map over the mesh."""
+
+    def __init__(self, params, cfg, fam: Family, ecfg, mesh: Mesh, sampling=None, shard: bool = True):
+        from ..parallel.sharding import shard_params
+        from .engine import Engine
+        from .sampler import SamplingParams
+
+        if getattr(ecfg, "scan_layers", False):
+            raise NotImplementedError("scan_layers under TP shard_map is not supported yet")
+        tp = mesh.shape["tp"]
+        kvh = cfg.kv_heads if fam.name == "llama" else cfg.num_attention_heads
+        if cfg.num_attention_heads % tp or kvh % tp:
+            raise ValueError(f"tp={tp} must divide attention heads "
+                             f"({cfg.num_attention_heads} q / {kvh} kv)")
+        self.mesh = mesh
+        params_sh = shard_params(params, mesh, fam.name) if shard else params
+        self._base = Engine(params_sh, cfg, fam, ecfg, sampling or SamplingParams())
+        self._base.caches = make_caches_tp(cfg, fam, mesh, ecfg.n_slots, ecfg.max_seq, ecfg.cache_dtype)
+        base = self._base
+
+        def make_prefill(bucket):
+            return make_tp_prefill(cfg, fam, mesh, params_sh, bucket, caches_tree=base.caches)
+
+        def make_decode():
+            import functools
+
+            from .sampler import sample
+
+            step = make_tp_step(cfg, fam, mesh, params_sh, caches_tree=base.caches)
+            sampling_ = base.sampling
+
+            @jax.jit
+            def decode(params, caches, last_tokens, lengths, active, key):
+                caches, logits = step(params, caches, last_tokens, lengths)
+                toks = sample(logits, key, sampling_)
+                toks = jnp.where(active, toks, 0)
+                lengths = jnp.where(active, lengths + 1, lengths)
+                return caches, toks, lengths
+
+            return decode
+
+        base._make_prefill = make_prefill
+        base._make_decode = make_decode
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)

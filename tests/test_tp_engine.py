@@ -127,3 +127,58 @@ def test_tp_prefill_then_decode_matches_single_device(packed_llama):
         lengths += 1
     assert outs[0] == refs[0]
     assert outs[1] == refs[1]
+
+
+def test_tpengine_continuous_batching_matches_single_device(packed_llama):
+    """The one-serving-program composition (VERDICT r1 item 5): TP-sharded
+    packed weights + slot-pool continuous batching produce token streams
+    identical to the single-device Engine."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama
+    rng = np.random.default_rng(7)
+    reqs = lambda: [
+        Request(request_id=i, prompt_ids=list(rng_i), max_new_tokens=6)
+        for i, rng_i in enumerate(np.random.default_rng(7).integers(0, 128, size=(5, 4)))
+    ]
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,))
+
+    eng_ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+    done_ref = ContinuousBatcher(eng_ref).run(reqs())
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng_tp = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    done_tp = ContinuousBatcher(eng_tp).run(reqs())
+
+    assert all(r.done for r in done_tp)
+    for a, b in zip(done_ref, done_tp):
+        assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
+
+
+def test_tpengine_multihost_batcher(packed_llama):
+    from pb_llm_tpu.runtime.batching import Request
+    from pb_llm_tpu.runtime.engine import EngineConfig
+    from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
+
+    packed, cfg, fam = packed_llama
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,))
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    reqs = [Request(request_id=i, prompt_ids=[3 + i, 7, 11], max_new_tokens=4) for i in range(3)]
+    done = MultiHostBatcher(eng, max_prompt=8).run(reqs)
+    assert all(r.done for r in done)
+    assert all(len(r.output_ids) == 4 for r in done)
+
+
+def test_tpengine_int8_kv(packed_llama):
+    from pb_llm_tpu.runtime.engine import EngineConfig
+
+    packed, cfg, fam = packed_llama
+    ecfg = EngineConfig(n_slots=1, max_seq=32, prefill_buckets=(8,), cache_dtype=jnp.int8)
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    assert "k_scale" in eng.caches[0]
+    tok = eng.prefill(0, [5, 17, 42])
+    toks = [tok] + [eng.decode_step()[0] for _ in range(3)]
+    assert all(isinstance(t, int) for t in toks)
