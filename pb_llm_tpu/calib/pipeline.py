@@ -165,6 +165,7 @@ def quantize_model_ptq(
                     out["w_q"], out["mask"], out["low_state"], out["high_state"],
                     solver_cfg.low_method, col_tile=solver_cfg.col_tile,
                     bias=lin.get("b"), pack_block=pack_block,
+                    ic_shards=solver_cfg.ic_shards,
                 )
                 if diag["pack_mismatch"] > 0 and log:
                     log(f"{key}: pack mismatch fraction {diag['pack_mismatch']:.2e}")

@@ -63,6 +63,9 @@ class SolverConfig:
     # budget — GPTQ error feedback compensates the coarser selection
     mask_structure: str = "element"
     col_tile: int = 256
+    # balance column selection per contiguous ic shard (row-parallel TP
+    # deployments pack with ic_shards = tp); 1 = unconstrained
+    ic_shards: int = 1
 
 
 def _block_size_for(ic: int, requested: int) -> int:
@@ -98,6 +101,7 @@ def salient_masks(
     metric: str,
     structure: str = "element",
     col_tile: int = 256,
+    ic_shards: int = 1,
 ) -> jnp.ndarray:
     """Step 5: per-ic-group mask [oc, ic]; True ⇔ binarized.
 
@@ -123,15 +127,19 @@ def salient_masks(
             cols.append(saliency <= thresh)
         elif structure == "column":
             ncols = ed - st
-            k_sal = int(round(ncols * (1.0 - low_frac)))
+            if ncols % ic_shards:
+                raise ValueError("ic_shards must divide the group width; use groupsize=-1")
+            seg = ncols // ic_shards
+            k_sal = int(round(seg * (1.0 - low_frac)))
             rows = []
             for t in range(-(-oc // col_tile)):
                 lo, hi = t * col_tile, min((t + 1) * col_tile, oc)
                 agg = jnp.sum(saliency[lo:hi], axis=0)
                 sal_cols = jnp.zeros((ncols,), bool)
                 if k_sal:
-                    order = jnp.argsort(-agg)
-                    sal_cols = sal_cols.at[order[:k_sal]].set(True)
+                    for s in range(ic_shards):
+                        order = jnp.argsort(-agg[s * seg : (s + 1) * seg])
+                        sal_cols = sal_cols.at[s * seg + order[:k_sal]].set(True)
                 rows.append(jnp.broadcast_to(~sal_cols, (hi - lo, ncols)))
             cols.append(jnp.concatenate(rows, axis=0))
         else:
@@ -141,7 +149,7 @@ def salient_masks(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("low_method", "low_frac", "high_bit", "groupsize", "salient_metric", "blocksize", "percdamp", "disable_gptq", "high_sym", "high_mse", "mask_structure", "col_tile"),
+    static_argnames=("low_method", "low_frac", "high_bit", "groupsize", "salient_metric", "blocksize", "percdamp", "disable_gptq", "high_sym", "high_mse", "mask_structure", "col_tile", "ic_shards"),
 )
 def _solve(
     w0: jnp.ndarray,
@@ -159,6 +167,7 @@ def _solve(
     high_mse: bool,
     mask_structure: str = "element",
     col_tile: int = 256,
+    ic_shards: int = 1,
 ):
     with jax.default_matmul_precision("float32"):
         oc, ic = w0.shape
@@ -169,7 +178,7 @@ def _solve(
         high_state = high_calibrate(w0, bits=high_bit, sym=high_sym, mse=high_mse)  # step 1 (pre-dead-zero)
         hinv, w = prepare_hinv(h, w0, percdamp)                 # steps 2-4
         mask = salient_masks(w, hinv, low_frac, groupsize, salient_metric,
-                             mask_structure, col_tile)  # step 5
+                             mask_structure, col_tile, ic_shards)  # step 5
         low_state = low_calibrate(w * mask, low_method, groupsize)          # step 6
 
         bsz = _block_size_for(ic, blocksize)
@@ -258,5 +267,6 @@ def gptq_pb(w: jnp.ndarray, h: jnp.ndarray, cfg: SolverConfig) -> Dict[str, jnp.
         high_mse=cfg.high_mse,
         mask_structure=cfg.mask_structure,
         col_tile=cfg.col_tile,
+        ic_shards=cfg.ic_shards,
     )
     return {"w_q": wq, "mask": mask, "low_state": low_state, "high_state": high_state, "error": error}

@@ -283,11 +283,18 @@ def matmul_reference(x: jnp.ndarray, p: PackedLinear) -> jnp.ndarray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PackedLinearV2:
-    """Column-structured partially-binarized linear (PBW v2)."""
+    """Column-structured partially-binarized linear (PBW v2).
+
+    ``ic_shards > 1`` lays the sidecar out shard-major for row-parallel TP:
+    the ic axis is split into contiguous shards, each with its own exactly-k
+    column selection, **shard-local** indices (sentinel = shard width) and
+    its own k_pad_shard slot rows — so `P("tp", None)` over sign/side_val/
+    side_idx yields per-device local views that are ordinary single-shard v2
+    layers and the kernel runs unmodified inside shard_map."""
 
     sign_packed: jnp.ndarray  # uint32 [ic//32, oc], zeroed at salient (B')
-    side_val: jnp.ndarray     # uint8  [k_pad, oc]
-    side_idx: jnp.ndarray     # int32  [k_pad, n_row_groups], pad = ic
+    side_val: jnp.ndarray     # uint8  [ic_shards * k_pad_shard, oc]
+    side_idx: jnp.ndarray     # int32  [ic_shards * k_pad_shard, n_row_groups], pad = shard width
     low_scale: jnp.ndarray    # f32 [1, oc] (groupsize == -1 only)
     low_mean: jnp.ndarray     # f32 [1, oc]
     high_scale: jnp.ndarray   # f32 [oc]
@@ -297,6 +304,7 @@ class PackedLinearV2:
     oc: int = dataclasses.field(metadata=dict(static=True))
     col_tile: int = dataclasses.field(metadata=dict(static=True))
     pack_block: int = dataclasses.field(metadata=dict(static=True), default=packing.PACK_BLOCK)
+    k_pad_shard: int = dataclasses.field(metadata=dict(static=True), default=0)  # 0 → side_val.shape[0]
 
     @property
     def ic_local(self) -> int:
@@ -308,7 +316,21 @@ class PackedLinearV2:
 
     @property
     def k_pad(self) -> int:
+        """Total sidecar slot rows in this (possibly shard-local) view."""
         return self.side_val.shape[0]
+
+    @property
+    def k_pad_shard_local(self) -> int:
+        return self.k_pad_shard or self.side_val.shape[0]
+
+    @property
+    def shards_local(self) -> int:
+        """ic shards visible in this view (1 inside a shard_map local view)."""
+        return self.side_val.shape[0] // self.k_pad_shard_local
+
+    @property
+    def ic_shard_local(self) -> int:
+        return self.ic_local // self.shards_local
 
     @property
     def n_row_groups(self) -> int:
@@ -316,7 +338,7 @@ class PackedLinearV2:
 
     @property
     def pack_block_local(self) -> int:
-        return min(self.pack_block, self.ic_local)
+        return min(self.pack_block, self.ic_shard_local)
 
     def effective_bits(self) -> float:
         n = self.ic * self.oc
@@ -325,28 +347,34 @@ class PackedLinearV2:
         return bits / n
 
 
-def column_structured_mask(metric: jnp.ndarray, low_frac: float, col_tile: int) -> jnp.ndarray:
+def column_structured_mask(metric: jnp.ndarray, low_frac: float, col_tile: int,
+                           ic_shards: int = 1) -> jnp.ndarray:
     """Structured salient selection: per row group of ``col_tile`` output
     channels, the top round((1-low_frac)·ic) input-channel columns by the
     row-group-summed metric are salient.  Returns mask [oc, ic] bool with the
     GPTQ-PB convention (True ⇔ binarized), constant within each row group —
     the budget matches the reference's elementwise quantile
-    (`gptq_pb/gptq.py:84-101`), only the selection is column-granular."""
+    (`gptq_pb/gptq.py:84-101`), only the selection is column-granular.
+
+    ``ic_shards > 1``: selection is balanced per contiguous ic shard (exactly
+    round(shard_width·(1-low_frac)) columns each) so the resulting layer
+    packs into the row-parallel TP layout."""
     metric = jnp.asarray(metric, jnp.float32)
     oc, ic = metric.shape
+    if ic % ic_shards:
+        raise ValueError(f"ic {ic} not divisible by ic_shards {ic_shards}")
+    ic_s = ic // ic_shards
     n_groups = -(-oc // col_tile)
-    k = int(round(ic * (1.0 - low_frac)))
+    k = int(round(ic_s * (1.0 - low_frac)))
     rows = []
     for t in range(n_groups):
         agg = jnp.sum(metric[t * col_tile : (t + 1) * col_tile], axis=0)  # [ic]
-        if k == 0:
-            salient_cols = jnp.zeros((ic,), bool)
-        else:
-            thresh = jnp.sort(agg)[ic - k]
-            salient_cols = agg >= thresh
-            # float ties can over-select; trim deterministically to exactly k
-            order = jnp.argsort(-agg)
-            salient_cols = jnp.zeros((ic,), bool).at[order[:k]].set(True)
+        salient_cols = jnp.zeros((ic,), bool)
+        if k:
+            for s in range(ic_shards):
+                seg = agg[s * ic_s : (s + 1) * ic_s]
+                order = jnp.argsort(-seg)
+                salient_cols = salient_cols.at[s * ic_s + order[:k]].set(True)
         rows.append(jnp.broadcast_to(~salient_cols, (metric[t * col_tile : (t + 1) * col_tile].shape[0], ic)))
     return jnp.concatenate(rows, axis=0)
 
@@ -361,36 +389,44 @@ def pack_linear_v2(
     bias: Optional[jnp.ndarray] = None,
     pack_block: Optional[int] = None,
     k_multiple: int = 32,
+    ic_shards: int = 1,
 ) -> Tuple[PackedLinearV2, Dict[str, float]]:
     """Pack into the v2 column-structured layout.
 
     ``mask`` [oc, ic] (True ⇔ binarized) must be column-structured per
     ``col_tile`` row group (use :func:`column_structured_mask` during
-    calibration); raises if it is not, so numerics stay exact."""
+    calibration); raises if it is not, so numerics stay exact.
+
+    ``ic_shards``: shard-major sidecar layout for row-parallel TP (local
+    column indices per contiguous ic shard; see PackedLinearV2)."""
     if method not in ("xnor", "sign", "rtn", "prune"):
         raise ValueError(f"v2 packs 1-bit low methods only, got {method!r}")
     oc, ic = w_q.shape
     if ic % 32:
         raise ValueError("pack_linear_v2 requires ic % 32 == 0")
+    if ic % ic_shards:
+        raise ValueError(f"ic {ic} not divisible by ic_shards {ic_shards}")
+    ic_s = ic // ic_shards
 
     w_q = jnp.asarray(w_q, jnp.float32)
     salient = np.asarray(~jnp.asarray(mask, bool))  # [oc, ic]
     n_rg = -(-oc // col_tile)
 
-    # validate column structure + gather per-row-group column lists
-    idx_cols = []
+    # validate column structure + gather per-(row-group, shard) column lists
+    idx_cols: list = []  # [n_rg][ic_shards] -> local col indices
     for t in range(n_rg):
         blk = salient[t * col_tile : (t + 1) * col_tile]
         if not (blk == blk[0:1]).all():
             raise ValueError("mask is not column-structured within row groups; "
                              "calibrate with mask_structure='column'")
-        idx_cols.append(np.nonzero(blk[0])[0])
-    k_max = max((len(c) for c in idx_cols), default=0)
+        idx_cols.append([np.nonzero(blk[0, s * ic_s : (s + 1) * ic_s])[0] for s in range(ic_shards)])
+    k_max = max((len(c) for cols in idx_cols for c in cols), default=0)
     k_pad = max(k_multiple, -(-k_max // k_multiple) * k_multiple) if k_max else k_multiple
 
-    side_idx = np.full((k_pad, n_rg), ic, np.int32)
+    side_idx = np.full((ic_shards * k_pad, n_rg), ic_s, np.int32)  # sentinel = shard width
     for t, cols in enumerate(idx_cols):
-        side_idx[: len(cols), t] = cols
+        for s, c in enumerate(cols):
+            side_idx[s * k_pad : s * k_pad + len(c), t] = c
 
     if method == "xnor":
         low_mean = low_state["mean"].astype(jnp.float32)
@@ -409,14 +445,19 @@ def pack_linear_v2(
     maxq = float(high_state.get("maxq", 255.0))
     codes = np.asarray(jnp.clip(jnp.round(w_q / hs[:, None] + hz[:, None]), 0, maxq)).astype(np.uint8)  # [oc, ic]
 
-    side_val = np.zeros((k_pad, oc), np.uint8)
+    side_val = np.zeros((ic_shards * k_pad, oc), np.uint8)
     for t, cols in enumerate(idx_cols):
         lo, hi = t * col_tile, min((t + 1) * col_tile, oc)
-        side_val[: len(cols), lo:hi] = codes[lo:hi, cols].T
+        for s, c in enumerate(cols):
+            side_val[s * k_pad : s * k_pad + len(c), lo:hi] = codes[lo:hi, s * ic_s + c].T
 
     mean_rows = jnp.repeat(low_mean, ic, axis=0)[:ic]
     bits = ((w_q.T - mean_rows) >= 0) & ~jnp.asarray(salient.T)
-    pack_block = pack_block or packing.default_pack_block(ic)
+    pack_block = pack_block or packing.default_pack_block(ic_s)
+    # shard-splittable sign plane: pack blocks must never straddle a shard
+    # boundary (the bit layout is block-local)
+    if ic_shards > 1 and ic_s % pack_block:
+        raise ValueError(f"pack_block {pack_block} must divide the ic shard width {ic_s}")
 
     packed = PackedLinearV2(
         sign_packed=packing.pack_bits(bits.astype(jnp.uint32), pack_block),
@@ -427,7 +468,7 @@ def pack_linear_v2(
         high_scale=hs,
         high_zero=hz,
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
-        ic=ic, oc=oc, col_tile=col_tile, pack_block=pack_block,
+        ic=ic, oc=oc, col_tile=col_tile, pack_block=pack_block, k_pad_shard=k_pad,
     )
     w_rt = dequantize_v2(packed).T
     diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6)),
@@ -437,21 +478,29 @@ def pack_linear_v2(
 
 
 def dequantize_v2(p: PackedLinearV2) -> jnp.ndarray:
-    """Pure-XLA dequantization to dense f32 [ic, oc] (kernel oracle)."""
+    """Pure-XLA dequantization to dense f32 [ic, oc] (kernel oracle).
+
+    Works on shard-local views (shards_local == 1) and on global shard-major
+    layouts alike — per shard, local indices scatter into that shard's ic
+    range (sentinel rows land in a per-shard sink row)."""
     ic, oc = p.ic_local, p.oc_local
+    shards, ic_s, kps = p.shards_local, p.ic_shard_local, p.k_pad_shard_local
     bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
     w_bin = p.low_mean[0][None, :] + (2.0 * bits - 1.0) * p.low_scale[0][None, :]
 
-    codes = jnp.zeros((ic + 1, oc), jnp.float32)  # row ic = padding sink
-    m = jnp.zeros((ic + 1, oc), jnp.float32)
+    codes = jnp.zeros((ic_s + 1, shards, oc), jnp.float32)  # row ic_s = sink
+    m = jnp.zeros((ic_s + 1, shards, oc), jnp.float32)
     for t in range(p.n_row_groups):
         lo, hi = t * p.col_tile, min((t + 1) * p.col_tile, oc)
-        colsel = jnp.zeros((ic + 1,), jnp.float32).at[p.side_idx[:, t]].set(1.0)
-        vals = jnp.zeros((ic + 1, hi - lo), jnp.float32).at[p.side_idx[:, t]].set(
-            p.side_val[:, lo:hi].astype(jnp.float32))
-        codes = codes.at[:, lo:hi].set(vals)
-        m = m.at[:, lo:hi].set(colsel[:, None])
-    codes, m = codes[:ic], m[:ic]
+        for s in range(shards):
+            idx = p.side_idx[s * kps : (s + 1) * kps, t]
+            colsel = jnp.zeros((ic_s + 1,), jnp.float32).at[idx].set(1.0)
+            vals = jnp.zeros((ic_s + 1, hi - lo), jnp.float32).at[idx].set(
+                p.side_val[s * kps : (s + 1) * kps, lo:hi].astype(jnp.float32))
+            codes = codes.at[:, s, lo:hi].set(vals)
+            m = m.at[:, s, lo:hi].set(colsel[:, None])
+    codes = codes[:ic_s].transpose(1, 0, 2).reshape(ic, oc)
+    m = m[:ic_s].transpose(1, 0, 2).reshape(ic, oc)
     w_hi = p.high_scale[None, :] * (codes - p.high_zero[None, :])
     return jnp.where(m > 0, w_hi, w_bin)
 
@@ -465,11 +514,19 @@ def matmul_reference_v2(x: jnp.ndarray, p: PackedLinearV2) -> jnp.ndarray:
 
 def gather_x_v2(x: jnp.ndarray, p: PackedLinearV2) -> jnp.ndarray:
     """Per-row-group activation gather feeding the v2 kernel's sidecar dot:
-    [m, ic] → [m, k_pad, n_row_groups]; padding indices hit an appended zero
-    column, so padded slots contribute nothing to either the value dot or the
-    γ·rowsum term."""
-    x_aug = jnp.concatenate([x, jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
-    return x_aug[:, p.side_idx]  # [m, k_pad, n_rg]
+    [m, ic] → [m, total_k_pad, n_row_groups]; padding indices hit an appended
+    zero column per shard, so padded slots contribute nothing to either the
+    value dot or the γ·rowsum term."""
+    shards, ic_s, kps = p.shards_local, p.ic_shard_local, p.k_pad_shard_local
+    if shards == 1:
+        x_aug = jnp.concatenate([x, jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+        return x_aug[:, p.side_idx]  # [m, k_pad, n_rg]
+    m = x.shape[0]
+    xs = x.reshape(m, shards, ic_s)
+    x_aug = jnp.concatenate([xs, jnp.zeros((m, shards, 1), x.dtype)], axis=2)  # [m, S, ic_s+1]
+    idx = p.side_idx.reshape(shards, kps, p.n_row_groups)
+    gat = jnp.take_along_axis(x_aug[:, :, :, None], idx[None, :, :, :], axis=2)  # [m, S, kps, n_rg]
+    return gat.reshape(m, shards * kps, p.n_row_groups)
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +547,8 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
         if isinstance(p, PackedLinearV2):
             meta["layers"][name] = {
                 "format": "v2", "ic": p.ic, "oc": p.oc, "col_tile": p.col_tile,
-                "pack_block": p.pack_block, "has_bias": p.bias is not None,
+                "pack_block": p.pack_block, "k_pad_shard": p.k_pad_shard_local,
+                "has_bias": p.bias is not None,
             }
             fields = _FIELDS_V2
         else:
@@ -534,7 +592,8 @@ def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
                 kw["bias"] = None
             layers[name] = PackedLinearV2(
                 ic=lm["ic"], oc=lm["oc"], col_tile=lm["col_tile"],
-                pack_block=lm.get("pack_block", packing.PACK_BLOCK), **kw,
+                pack_block=lm.get("pack_block", packing.PACK_BLOCK),
+                k_pad_shard=lm.get("k_pad_shard", 0), **kw,
             )
             continue
         kw = {f: jnp.asarray(z[f"{name}::{f}"]) for f in _FIELDS if f"{name}::{f}" in z}

@@ -26,7 +26,7 @@ from typing import Any, Dict, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.pbw import PackedLinear
+from ..core.pbw import PackedLinear, PackedLinearV2
 from ..quant.qat import QATLinear
 
 # which linears shard which way, per family
@@ -62,6 +62,29 @@ def _packed_spec(name: str) -> PackedLinear:
     raise ValueError(name)
 
 
+def _packed_v2_spec(name: str) -> PackedLinearV2:
+    if name in COL_PARALLEL:
+        # oc axis shards every plane; side_idx row groups shard with oc —
+        # requires (oc/tp) % col_tile == 0, checked by the mesh sanitizer
+        return PackedLinearV2(
+            sign_packed=P(None, "tp"), side_val=P(None, "tp"), side_idx=P(None, "tp"),
+            low_scale=P(None, "tp"), low_mean=P(None, "tp"),
+            high_scale=P("tp"), high_zero=P("tp"), bias=P("tp"),
+            ic=0, oc=0, col_tile=0,
+        )
+    if name in ROW_PARALLEL:
+        # shard-major sidecar (pack with ic_shards=tp): axis 0 of
+        # side_val/side_idx splits into per-shard [k_pad_shard, ·] views with
+        # local indices; sign word-rows split on shard boundaries
+        return PackedLinearV2(
+            sign_packed=P("tp", None), side_val=P("tp", None), side_idx=P("tp", None),
+            low_scale=P(), low_mean=P(),
+            high_scale=P(), high_zero=P(), bias=P(),
+            ic=0, oc=0, col_tile=0,
+        )
+    raise ValueError(name)
+
+
 def _qat_spec(name: str) -> QATLinear:
     # QAT weight is [oc, ic]: column-parallel shards axis 0, row-parallel axis 1
     if name in COL_PARALLEL:
@@ -74,6 +97,14 @@ def _qat_spec(name: str) -> QATLinear:
 def _leaf_spec(name: str, leaf: Any) -> Any:
     import dataclasses
 
+    if isinstance(leaf, PackedLinearV2):
+        spec = _packed_v2_spec(name)
+        return dataclasses.replace(
+            spec,
+            bias=None if leaf.bias is None else spec.bias,
+            ic=leaf.ic, oc=leaf.oc, col_tile=leaf.col_tile,
+            pack_block=leaf.pack_block, k_pad_shard=leaf.k_pad_shard,
+        )
     if isinstance(leaf, PackedLinear):
         spec = _packed_spec(name)
         return dataclasses.replace(
@@ -125,23 +156,71 @@ def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] =
             specs[key] = None if val is None else jax.tree_util.tree_map(lambda _: P(), val)
 
     if mesh is not None:
-        sizes = dict(mesh.shape)
-
-        def _san(leaf, spec):
-            if leaf is None or spec is None:
-                return spec
-            for d, ax in enumerate(spec):
-                if ax is None:
-                    continue
-                n = 1
-                for a in (ax if isinstance(ax, tuple) else (ax,)):
-                    n *= sizes.get(a, 1)
-                if d >= getattr(leaf, "ndim", 0) or leaf.shape[d] % n:
-                    return P()
-            return spec
-
-        specs = jax.tree_util.tree_map(_san, params, specs, is_leaf=lambda x: x is None)
+        specs = sanitize_specs(params, specs, mesh)
     return specs
+
+
+def sanitize_specs(params: Dict[str, Any], specs: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Replicate any leaf whose sharded dims don't divide the mesh axes.
+
+    Structured leaves (PackedLinear/PackedLinearV2/QATLinear/dense dicts) are
+    sanitized ALL-OR-NOTHING: a partially-replicated packed layer would have
+    inconsistent local plane shapes inside shard_map."""
+    import dataclasses
+
+    sizes = dict(mesh.shape)
+
+    def _arr_ok(arr, spec) -> bool:
+        if arr is None or spec is None or not isinstance(spec, P):
+            return True
+        for d, ax in enumerate(spec):
+            if ax is None:
+                continue
+            n = 1
+            for a in (ax if isinstance(ax, tuple) else (ax,)):
+                n *= sizes.get(a, 1)
+            if d >= getattr(arr, "ndim", 0) or arr.shape[d] % n:
+                return False
+        return True
+
+    def _replicate_like(spec):
+        if spec is None:
+            return None
+        if isinstance(spec, P):
+            return P()
+        if dataclasses.is_dataclass(spec):
+            repl = {f.name: P() for f in dataclasses.fields(spec)
+                    if isinstance(getattr(spec, f.name), P)}
+            return dataclasses.replace(spec, **repl)
+        if isinstance(spec, dict):
+            return {k: (P() if isinstance(v, P) else v) for k, v in spec.items()}
+        return spec
+
+    def _san(leaf, spec):
+        if leaf is None or spec is None:
+            return spec
+        if dataclasses.is_dataclass(spec):
+            pairs = [(getattr(leaf, f.name, None), getattr(spec, f.name))
+                     for f in dataclasses.fields(spec)]
+            if all(_arr_ok(a, s) for a, s in pairs):
+                return spec
+            return _replicate_like(spec)
+        if isinstance(spec, dict):
+            if all(_arr_ok(leaf.get(k), v) for k, v in spec.items()):
+                return spec
+            return _replicate_like(spec)
+        return spec if _arr_ok(leaf, spec) else P()
+
+    out: Dict[str, Any] = {}
+    for key, spec in specs.items():
+        if key == "layers":
+            out["layers"] = [
+                {n: _san(lp[n], s) for n, s in lspec.items()}
+                for lp, lspec in zip(params["layers"], spec)
+            ]
+        else:
+            out[key] = _san(params.get(key), spec)
+    return out
 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh, family_name: str) -> Dict[str, Any]:

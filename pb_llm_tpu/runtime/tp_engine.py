@@ -53,9 +53,9 @@ def _local_cfg(cfg, fam: Family, tp: int):
 def _tp_linear_fn(name, lin, x):
     """Row-parallel linears: matmul partials → psum → bias once."""
     if name in ROW_PARALLEL:
-        from ..core.pbw import PackedLinear
+        from ..core.pbw import PackedLinear, PackedLinearV2
 
-        if isinstance(lin, PackedLinear):
+        if isinstance(lin, (PackedLinear, PackedLinearV2)):
             bias = lin.bias
             lin = dataclasses.replace(lin, bias=None)
         else:

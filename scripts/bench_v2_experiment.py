@@ -5,6 +5,7 @@ distinct weights, two loop lengths, median reps). Run ONE at a time on the
 tunnel.  Usage: python scripts/bench_v2_experiment.py [oc_tile ...]
 """
 
+import os
 import sys
 import time
 
@@ -18,7 +19,9 @@ IC, OC = 4096, 11008
 K = 8
 L_SHORT, L_LONG = 16, 272
 FRAC_BINARY = 0.9
-COL_TILE = 256
+# COL_TILE=11008 (== OC) → one global salient column set: the activation
+# gather shrinks from n_rg·k_pad to k_pad elements
+COL_TILE = int(os.environ.get("COL_TILE", "256"))
 
 
 def log(msg):
@@ -75,18 +78,21 @@ def make_v2_planes(seed):
     ), pack_block
 
 
-def slope_time(loop_maker, args, reps=6):
+def slope_time(loop_maker, args, reps=6, tag=""):
     xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32)) for i in range(reps + 2)]
     res = {}
     for L in (L_SHORT, L_LONG):
         f = loop_maker(L)
+        t0 = time.perf_counter()
         float(f(xs[0], *args))
+        log(f"  [{tag}] L={L} compile+first: {time.perf_counter()-t0:.1f}s")
         ts = []
         for i in range(1, reps + 1):
             t0 = time.perf_counter()
             float(f(xs[i], *args))
             ts.append(time.perf_counter() - t0)
         res[L] = float(np.median(ts))
+        log(f"  [{tag}] L={L} median: {res[L]*1e3:.1f}ms")
     return (res[L_LONG] - res[L_SHORT]) / (L_LONG - L_SHORT)
 
 
@@ -103,7 +109,7 @@ def bench_dense():
             return jnp.sum(c)
         return loop
 
-    return slope_time(mk, (W,))
+    return slope_time(mk, (W,), tag="dense")
 
 
 def bench_v2(oc_tile):
@@ -131,15 +137,16 @@ def bench_v2(oc_tile):
             return jnp.sum(c)
         return loop
 
-    _, pack_block = make_v2_planes(0)
-    return slope_time(mk, stk)
+    return slope_time(mk, stk, tag=f"v2 ot={oc_tile}")
 
 
 def main():
-    log(f"backend: {jax.default_backend()}")
+    log(f"backend: {jax.default_backend()}, col_tile={COL_TILE}")
     oc_tiles = [int(a) for a in sys.argv[1:]] or [512, 256]
 
-    t_dense = bench_dense()
+    t_dense = float(os.environ.get("DENSE_US", "0")) * 1e-6
+    if not t_dense:
+        t_dense = bench_dense()
     log(f"dense bf16: {t_dense*1e6:.1f} us ({IC*OC*2/t_dense/1e9:.0f} GB/s)")
 
     k_pad = -(-int(round(IC * (1 - FRAC_BINARY))) // 32) * 32

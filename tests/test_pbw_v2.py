@@ -228,3 +228,101 @@ def test_pipeline_packed_v2_requires_column_masks():
         quantize_model_ptq(params, cfg, family_for("huggyllama/llama-7b"),
                            np.zeros((1, 8), np.int64),
                            SolverConfig(low_frac=0.5), fmt="packed_v2", log=None)
+
+
+# ---------------------------------------------------------------------------
+# ic_shards (row-parallel TP layout)
+# ---------------------------------------------------------------------------
+
+
+def _make_v2_sharded(oc=64, ic=128, ic_shards=4, low_frac=0.8, col_tile=16, seed=21):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    mask = np.asarray(pbw.column_structured_mask(jnp.abs(jnp.asarray(w)), low_frac, col_tile,
+                                                 ic_shards=ic_shards))
+    low_state = low_calibrate(jnp.asarray(w * mask), "xnor", -1)
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    w_q = np.where(mask, np.asarray(low_quantize(jnp.asarray(w), low_state, "xnor", -1)),
+                   np.asarray(high_quantize(jnp.asarray(w), high_state)))
+    p, diag = pbw.pack_linear_v2(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state,
+                                 "xnor", col_tile=col_tile, ic_shards=ic_shards,
+                                 pack_block=ic // ic_shards, k_multiple=8)
+    return w_q, mask, p, diag
+
+
+def test_v2_ic_shards_pack_dequant_exact():
+    w_q, mask, p, diag = _make_v2_sharded()
+    assert diag["pack_mismatch"] == 0.0
+    assert p.shards_local == 4 and p.ic_shard_local == 32
+    np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(p)).T, w_q, rtol=1e-6, atol=1e-7)
+
+
+def test_v2_ic_shards_kernel_interpret():
+    w_q, _, p, _ = _make_v2_sharded(oc=256, ic=256, ic_shards=4, col_tile=128)
+    x = jnp.asarray(np.random.default_rng(22).standard_normal((8, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_v2_local_shard_view_is_plain_v2():
+    """Slicing the shard-major planes by shard (what P('tp', None) does under
+    shard_map) yields a normal single-shard v2 whose dequant equals the
+    corresponding ic rows of the global dequant."""
+    import dataclasses as dc
+
+    w_q, _, p, _ = _make_v2_sharded()
+    full = np.asarray(pbw.dequantize_v2(p))  # [ic, oc]
+    S, kps, ic_s = p.shards_local, p.k_pad_shard_local, p.ic_shard_local
+    wpp = p.sign_packed.shape[0] // S
+    for s in range(S):
+        local = dc.replace(
+            p,
+            sign_packed=p.sign_packed[s * wpp : (s + 1) * wpp],
+            side_val=p.side_val[s * kps : (s + 1) * kps],
+            side_idx=p.side_idx[s * kps : (s + 1) * kps],
+        )
+        assert local.shards_local == 1
+        np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(local)),
+                                   full[s * ic_s : (s + 1) * ic_s], rtol=1e-6, atol=1e-7)
+
+
+def test_tpengine_with_v2_leaves():
+    """The flagship composition: v2-packed weights (ic_shards=tp for the
+    row-parallel layers) under TP shard_map + continuous batching, token-
+    exact vs the single-device Engine."""
+    import copy
+
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.parallel import mesh as pmesh
+    from pb_llm_tpu.runtime import tp_engine
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    TP = 4
+    cfg = jllama.LlamaConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                             num_hidden_layers=2, num_attention_heads=8,
+                             num_key_value_heads=8, max_position_embeddings=64)
+    fam = family_for("huggyllama/llama-7b")
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    calib = np.random.default_rng(0).integers(0, 128, size=(2, 16))
+    scfg = SolverConfig(low_frac=0.8, blocksize=32, mask_structure="column",
+                        col_tile=16, ic_shards=TP)
+    packed, _ = quantize_model_ptq(params, cfg, fam, calib, scfg,
+                                   fmt="packed_v2", log=None, pack_block=32)
+    assert isinstance(packed["layers"][0]["down_proj"], pbw.PackedLinearV2)
+
+    reqs = lambda: [Request(request_id=i, prompt_ids=[3 + i, 7, 11, 2], max_new_tokens=5)
+                    for i in range(4)]
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,))
+    done_ref = ContinuousBatcher(Engine(copy.deepcopy(packed), cfg, fam, ecfg)).run(reqs())
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng_tp = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    done_tp = ContinuousBatcher(eng_tp).run(reqs())
+    for a, b in zip(done_ref, done_tp):
+        assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
