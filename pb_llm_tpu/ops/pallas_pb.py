@@ -45,6 +45,22 @@ from ..core.pbw import PackedLinear, PackedLinearV2, gather_x_v2
 
 WORD_BITS = 32
 
+def _bit_plane_two(ws: jnp.ndarray, b: int) -> jnp.ndarray:
+    """{0.0, 2.0} f32 plane for bit ``b`` of uint32 words ws [g, oc_tile].
+
+    f32 2.0 = 0x40000000 has a SINGLE bit set, so one shift + one AND + a
+    free bitcast turn bit b of a packed word into the float 2.0 (or 0.0) —
+    2 VPU ops per extracted element vs 3 for shift+and+int→float convert.
+    (1.0 = 0x3F800000 needs 7 exponent bits and cannot be built with a
+    single AND.)  Callers fold the 2x into their per-oc coefficients.
+    Scalar constants are built in-trace: pallas rejects captured arrays."""
+    exp_two = jnp.uint32(0x40000000)
+    if b <= 30:
+        shifted = jax.lax.shift_left(ws, jnp.uint32(30 - b))
+    else:
+        shifted = jax.lax.shift_right_logical(ws, jnp.uint32(b - 30))
+    return jax.lax.bitcast_convert_type(shifted & exp_two, jnp.float32)
+
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
@@ -68,9 +84,9 @@ def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_t
         for b in range(WORD_BITS):
             xs = xb[:, r_off + b * g : r_off + (b + 1) * g]
             for j, ws in enumerate(planes):
-                bits_s = ((ws >> b) & 1).astype(jnp.int32).astype(jnp.float32)
+                bits_s = _bit_plane_two(ws, b)  # {0, 2.0}; 2x folded into alpha
                 acc_b += (2.0**j) * jnp.dot(xs, bits_s, preferred_element_type=jnp.float32)
-            bits_m = ((wm >> b) & 1).astype(jnp.int32).astype(jnp.float32)
+            bits_m = _bit_plane_two(wm, b)  # {0, 2.0}; 2x folded into gamma
             acc_m += jnp.dot(xs, bits_m, preferred_element_type=jnp.float32)
         w_off += g
         r_off += rows
@@ -106,13 +122,15 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
 
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
+    # kernel bit planes carry {0, 2.0} (see _bit_plane_two): alpha/gamma are
+    # written pre-halved relative to the w = beta + alpha·bit decomposition
     if p.low_bits == 1:
-        alpha = 2.0 * scale           # w_bin = alpha·bit + beta
+        alpha = scale                  # w_bin = (2·scale)·bit + beta
         beta = mean - scale
     else:
-        alpha = scale                  # w_bin = scale·(code − zero); low_mean = zero
+        alpha = 0.5 * scale            # w_bin = scale·(code − zero); low_mean = zero
         beta = -scale * mean
-    gamma = -p.high_scale * p.high_zero - beta
+    gamma = 0.5 * (-p.high_scale * p.high_zero - beta)
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)  # [5, oc]
 
@@ -170,7 +188,9 @@ def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
         ws = s_ref[w_off : w_off + g, :]
         for b in range(WORD_BITS):
             xs = xb[:, r_off + b * g : r_off + (b + 1) * g].astype(dot_dtype)
-            bits_s = ((ws >> b) & 1).astype(jnp.int32).astype(dot_dtype)
+            bits_s = _bit_plane_two(ws, b)  # {0, 2.0}; 2x folded into alpha
+            if dot_dtype != jnp.float32:
+                bits_s = bits_s.astype(dot_dtype)
             acc_b += jnp.dot(xs, bits_s, preferred_element_type=jnp.float32)
         w_off += g
         r_off += rows
@@ -212,7 +232,7 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
 
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
-    alpha = 2.0 * scale
+    alpha = scale  # w_bin = beta + 2·scale·bit; kernel's bit planes carry {0,2}
     beta = mean - scale
     gamma = -p.high_scale * p.high_zero - beta
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)

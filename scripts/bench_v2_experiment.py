@@ -18,7 +18,7 @@ M = 8
 IC, OC = 4096, 11008
 K = 8
 L_SHORT, L_LONG = 16, 272
-FRAC_BINARY = 0.9
+FRAC_BINARY = float(os.environ.get("FRAC_BINARY", "0.9"))  # 1.0 → sign-only floor
 # COL_TILE=11008 (== OC) → one global salient column set: the activation
 # gather shrinks from n_rg·k_pad to k_pad elements
 COL_TILE = int(os.environ.get("COL_TILE", "256"))
@@ -39,7 +39,7 @@ def make_v2_planes(seed):
 
     n_rg = OC // COL_TILE
     k = int(round(IC * (1 - FRAC_BINARY)))
-    k_pad = -(-k // 32) * 32
+    k_pad = max(32, -(-k // 32) * 32)  # min one sentinel-only slot row block
 
     salient = np.zeros((OC, IC), bool)
     side_idx = np.full((k_pad, n_rg), IC, np.int32)
