@@ -41,13 +41,26 @@ def log(msg):
 
 
 def make_planes(seed):
+    """PBW v2 planes, global column selection (the flagship decode format:
+    1 sign bit/weight + a [k_pad, oc] uint8 sidecar at the shared salient
+    columns ≈ 1.8 bits/weight at low_frac=0.9)."""
     from pb_llm_tpu.core import packing
 
     pack_block = packing.default_pack_block(IC)
     r = np.random.default_rng(seed)
     w = r.standard_normal((OC, IC)).astype(np.float32)
-    thresh = np.quantile(np.abs(w), FRAC_BINARY)
-    mask = np.abs(w) <= thresh
+    w *= (1.0 + 3.0 * (r.random(IC) < 0.1))[None, :]  # outlier input channels
+
+    k = int(round(IC * (1 - FRAC_BINARY)))
+    k_pad = max(32, -(-k // 32) * 32)
+    agg = np.abs(w).sum(0)
+    cols = np.sort(np.argsort(-agg)[:k])
+    side_idx = np.full((k_pad, 1), IC, np.int32)
+    side_idx[:k, 0] = cols
+    salient = np.zeros((OC, IC), bool)
+    salient[:, cols] = True
+
+    mask = ~salient
     wm = (w * mask).astype(np.float32)
     mean = wm.mean(-1)
     scale = np.abs(wm - mean[:, None]).mean(-1)
@@ -55,18 +68,20 @@ def make_planes(seed):
     xmax = np.maximum(w.max(1), 0)
     hs = ((xmax - xmin) / 255).astype(np.float32)
     hz = np.round(-xmin / hs).astype(np.float32)
-    codes = np.clip(np.round(w / hs[:, None]) + hz[:, None], 0, 255)
-    salient = (~mask).T
-    bits = (((w - mean[:, None]) >= 0).T) & ~salient  # B' plane: zeroed at salient
+    codes = np.clip(np.round(w / hs[:, None]) + hz[:, None], 0, 255).astype(np.uint8)
+    side_val = np.zeros((k_pad, OC), np.uint8)
+    side_val[:k] = codes[:, cols].T
+
+    bits = (((w - mean[:, None]) >= 0).T) & ~salient.T  # B' plane: zeroed at salient
     return (
         packing.pack_bits_np(bits.astype(np.uint32), pack_block),
-        packing.pack_bits_np(salient.astype(np.uint32), pack_block),
-        np.where(salient, codes.T, 0).astype(np.uint8),
+        side_val,
+        side_idx,
         scale[None, :].astype(np.float32),
         mean[None, :].astype(np.float32),
         hs,
         hz,
-    )
+    ), pack_block, k_pad
 
 
 def slope_time(loop_maker, args, reps=6):
@@ -109,28 +124,28 @@ def bench_packed():
     from pb_llm_tpu.core import pbw
     from pb_llm_tpu.ops import pallas_pb
 
-    from pb_llm_tpu.core.packing import default_pack_block
-
-    pack_block = default_pack_block(IC)
-    planes = [make_planes(s) for s in range(K)]
+    planes = []
+    for s in range(K):
+        p, pack_block, k_pad = make_planes(s)
+        planes.append(p)
     stk = tuple(jnp.asarray(np.stack([p[i] for p in planes])) for i in range(7))
 
     def mk(L):
         @jax.jit
         def loop(x, s0, s1, s2, s3, s4, s5, s6):
             def body(c, k):
-                p = pbw.PackedLinear(
-                    sign_packed=s0[k], mask_packed=s1[k], sidecar=s2[k],
+                p = pbw.PackedLinearV2(
+                    sign_packed=s0[k], side_val=s1[k], side_idx=s2[k],
                     low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
-                    bias=None, ic=IC, oc=OC, groupsize=IC, pack_block=pack_block,
+                    bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
                 )
-                y = pallas_pb.pb_matmul_pallas(c, p)
+                y = pallas_pb.pb_matmul_pallas_v2(c, p)  # default: whole-oc tile
                 return c + y[:, :IC] * 1e-8, ()
             c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
             return jnp.sum(c)
         return loop
 
-    return slope_time(mk, stk)
+    return slope_time(mk, stk), k_pad
 
 
 def _retry(fn, tag):
@@ -148,22 +163,24 @@ def main():
     t_dense = _retry(bench_dense, "dense")
     if t_dense:
         log(f"dense bf16: {t_dense*1e6:.1f} us/matmul ({IC*OC*2/t_dense/1e9:.0f} GB/s weight stream)")
-    t_packed = _retry(bench_packed, "packed")
-    if t_packed is None:
+    res = _retry(bench_packed, "packed")
+    if res is None:
         print(json.dumps({
             "metric": "fused PB-matmul decode throughput (bench failed; see stderr)",
             "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
         }))
         return
-    pbits = IC * OC * 10 / 8
-    log(f"packed pb: {t_packed*1e6:.1f} us/matmul ({pbits/t_packed/1e9:.0f} GB/s packed stream)")
+    t_packed, k_pad = res
+    pbits = IC * OC / 8 + k_pad * OC + k_pad * 4
+    log(f"packed pb v2: {t_packed*1e6:.1f} us/matmul ({pbits/t_packed/1e9:.0f} GB/s packed stream, "
+        f"{pbits*8/(IC*OC):.2f} bits/weight)")
     if t_dense is None:
         t_dense = IC * OC * 2 / (666e9)  # fall back to the measured-typical dense rate
         log("dense arm failed; using 666 GB/s reference rate for vs_baseline")
     print(
         json.dumps(
             {
-                "metric": f"fused PB-matmul decode throughput, llama-7b MLP shape {IC}x{OC}, m={M}, low_frac={FRAC_BINARY} (bf16-equivalent GB/s)",
+                "metric": f"fused PBW-v2 matmul decode throughput, llama-7b MLP shape {IC}x{OC}, m={M}, low_frac={FRAC_BINARY} (bf16-equivalent GB/s)",
                 "value": round(IC * OC * 2 / t_packed / 1e9, 1),
                 "unit": "GB/s",
                 "vs_baseline": round(t_dense / t_packed, 3),

@@ -23,16 +23,32 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def build_packed_llama(cfg, key, sidecar_bits=8):
+def build_packed_llama(cfg, key, sidecar_bits=8, fmt="v2", low_frac=0.9):
     """Random PBW planes, generated on device per layer."""
     from pb_llm_tpu.core.packing import default_pack_block
-    from pb_llm_tpu.core.pbw import PackedLinear
+    from pb_llm_tpu.core.pbw import PackedLinear, PackedLinearV2
 
     h, ffn = cfg.hidden_size, cfg.intermediate_size
 
     def packed(key, ic, oc):
         ks = jax.random.split(key, 4)
         pb = default_pack_block(ic)
+        if fmt == "v2":
+            # global column selection (n_rg=1): the flagship ~1.8 b/w layout
+            k = int(round(ic * (1 - low_frac)))
+            k_pad = max(32, -(-k // 32) * 32)
+            idx = np.full((k_pad, 1), ic, np.int32)
+            idx[:k, 0] = np.sort(np.random.default_rng(7 * ic + oc).choice(ic, k, replace=False))
+            return PackedLinearV2(
+                sign_packed=jax.random.bits(ks[0], (ic // 32, oc), jnp.uint32),
+                side_val=jax.random.randint(ks[2], (k_pad, oc), 0, 255, jnp.int32).astype(jnp.uint8),
+                side_idx=jnp.asarray(idx),
+                low_scale=jnp.full((1, oc), 0.01, jnp.float32),
+                low_mean=jnp.zeros((1, oc), jnp.float32),
+                high_scale=jnp.full((oc,), 0.004, jnp.float32),
+                high_zero=jnp.full((oc,), 128.0, jnp.float32),
+                bias=None, ic=ic, oc=oc, col_tile=oc, pack_block=pb,
+            )
         side_rows = ic // 2 if sidecar_bits == 4 else ic
         return PackedLinear(
             sign_packed=jax.random.bits(ks[0], (ic // 32, oc), jnp.uint32),
@@ -75,6 +91,8 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--sidecar_bits", type=int, default=8, choices=[4, 8])
+    ap.add_argument("--fmt", type=str, default="v2", choices=["v1", "v2"])
+    ap.add_argument("--low_frac", type=float, default=0.9)
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -84,7 +102,8 @@ def main():
     cfg = LlamaConfig(num_hidden_layers=args.layers)  # llama-7b dims by default
     fam = family_for("llama")
     log(f"building packed llama ({args.layers} layers)...")
-    params = build_packed_llama(cfg, jax.random.PRNGKey(0), args.sidecar_bits)
+    params = build_packed_llama(cfg, jax.random.PRNGKey(0), args.sidecar_bits,
+                                fmt=args.fmt, low_frac=args.low_frac)
 
     B, S = args.slots, args.ctx
     caches = [
@@ -123,11 +142,12 @@ def main():
     step_s = (times[12] - times[4]) / 8
     toks = args.slots / step_s
     n_params = args.layers * (4 * cfg.hidden_size**2 + 3 * cfg.hidden_size * cfg.intermediate_size)
-    stream_gb = n_params * (2 + args.sidecar_bits) / 8 / 1e9
+    bits_w = (1 + 8 * (1 - args.low_frac) if args.fmt == "v2" else 2 + args.sidecar_bits)
+    stream_gb = n_params * bits_w / 8 / 1e9
     log(f"decode step: {step_s*1e3:.1f}ms, {toks:.1f} tokens/s/chip (B={B}), "
         f"weight stream {stream_gb/step_s:.0f} GB/s of {stream_gb:.1f} GB/step")
     print(json.dumps({
-        "metric": f"llama-7b-shape packed decode throughput (B={B} slots, {args.layers} layers, {2 + args.sidecar_bits} bits/w)",
+        "metric": f"llama-7b-shape packed decode throughput (B={B} slots, {args.layers} layers, {args.fmt}, ~{bits_w:.1f} bits/w)",
         "value": round(toks, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": None,

@@ -62,7 +62,9 @@ class SolverConfig:
     # col_tile output-row group (PBW v2's format constraint) with the same
     # budget — GPTQ error feedback compensates the coarser selection
     mask_structure: str = "element"
-    col_tile: int = 256
+    # 0 = one global salient column set per layer (fastest v2 kernel layout;
+    # measured quality-neutral vs 256 — scripts/mse_col_tile.py)
+    col_tile: int = 0
     # balance column selection per contiguous ic shard (row-parallel TP
     # deployments pack with ic_shards = tp); 1 = unconstrained
     ic_shards: int = 1
@@ -107,8 +109,13 @@ def salient_masks(
 
     ``structure="column"``: within each ic-group, select exactly
     round((1-low_frac)·cols) whole salient columns per ``col_tile``
-    output-row group by the row-group-summed metric (PBW v2's constraint)."""
+    output-row group by the row-group-summed metric (PBW v2's constraint).
+    ``col_tile=0`` (or ≥ oc) → one global column set for the whole layer —
+    the fastest v2 kernel layout (no per-row-group activation gather), with
+    measured-negligible output-MSE cost vs ct=256 (scripts/mse_col_tile.py)."""
     oc, ic = w.shape
+    if col_tile <= 0 or col_tile > oc:
+        col_tile = oc
     gs = ic if groupsize == -1 else groupsize
     cols = []
     diag = jnp.diag(hinv)

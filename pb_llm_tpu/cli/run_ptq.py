@@ -47,7 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", dest="fmt", type=str, default="sim", choices=["sim", "packed", "packed_v2"])
     p.add_argument("--mask_structure", type=str, default=None, choices=["element", "column"],
                    help="salient-mask granularity (default: element; packed_v2 implies column)")
-    p.add_argument("--col_tile", type=int, default=256, help="output-row group width for column masks")
+    p.add_argument("--col_tile", type=int, default=0,
+                   help="output-row group width for column masks; 0 = one global "
+                        "column set per layer (fastest kernel layout, default)")
     p.add_argument("--save_pbw", type=str, default=None, help="directory for the packed PBW checkpoint")
     p.add_argument("--mask_out", type=str, default=None, help="npz path for GPTQ masks (QAT handoff)")
     p.add_argument("--synthetic", action="store_true", help="offline: synthetic corpus + byte tokenizer + random-init model")

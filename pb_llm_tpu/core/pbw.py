@@ -361,6 +361,8 @@ def column_structured_mask(metric: jnp.ndarray, low_frac: float, col_tile: int,
     packs into the row-parallel TP layout."""
     metric = jnp.asarray(metric, jnp.float32)
     oc, ic = metric.shape
+    if col_tile <= 0 or col_tile > oc:
+        col_tile = oc  # global selection: one shared column set (fastest kernel)
     if ic % ic_shards:
         raise ValueError(f"ic {ic} not divisible by ic_shards {ic_shards}")
     ic_s = ic // ic_shards
@@ -385,7 +387,7 @@ def pack_linear_v2(
     low_state: Dict[str, jnp.ndarray],
     high_state: Dict[str, jnp.ndarray],
     method: str,
-    col_tile: int = 256,
+    col_tile: int = 0,
     bias: Optional[jnp.ndarray] = None,
     pack_block: Optional[int] = None,
     k_multiple: int = 32,
@@ -402,6 +404,8 @@ def pack_linear_v2(
     if method not in ("xnor", "sign", "rtn", "prune"):
         raise ValueError(f"v2 packs 1-bit low methods only, got {method!r}")
     oc, ic = w_q.shape
+    if col_tile <= 0 or col_tile > oc:
+        col_tile = oc  # global selection sentinel (see column_structured_mask)
     if ic % 32:
         raise ValueError("pack_linear_v2 requires ic % 32 == 0")
     if ic % ic_shards:

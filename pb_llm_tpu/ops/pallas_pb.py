@@ -267,6 +267,143 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
     return out[:m]
 
 
+def _v2_prefill_kernel(x_ref, s_ref, v_ref, idx_ref, coef_ref, o_ref, w_scratch,
+                       *, ic: int, oc_tile: int, pack_block: int, chunk: int,
+                       kps: int, ic_s: int, dot_dtype):
+    """Large-m (prefill) v2 kernel: reconstruct the dense weight tile ONCE per
+    oc tile into scratch (grid m innermost), then plain dense dots — the one
+    MXU-shaped matmul XLA would run on a dense model, at 1.8-bit streaming.
+
+    The salient sidecar is folded in with an MXU one-hot scatter instead of a
+    gather: w = beta + alpha·bits2 everywhere (B′ is zeroed at salient, so
+    those rows read beta), the salient rows are zeroed with the eq-derived
+    row mask, then  w += eqᵀ @ (hs·(V − hz))  installs the FINAL salient
+    weight in one rounding step (adding hs·V + gamma to beta instead would
+    round beta and the correction separately in bf16 mode — catastrophic
+    cancellation on small salient weights).  Sentinel slots (idx == shard
+    width) match no row and vanish."""
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _():
+        alpha = coef_ref[0:1, :]
+        beta = coef_ref[1:2, :]
+        gamma = coef_ref[2:3, :]
+        hs = coef_ref[3:4, :]
+
+        strips = []
+        w_off = 0
+        for rows in packing.block_sizes(ic, pack_block):
+            g = rows // WORD_BITS
+            ws = s_ref[w_off : w_off + g, :]
+            for b in range(WORD_BITS):
+                strips.append(_bit_plane_two(ws, b))  # rows land in natural order
+            w_off += g
+        bits2 = jnp.concatenate(strips, axis=0)  # [ic, oc_tile] {0, 2.0}
+        w = beta + alpha * bits2
+
+        k_total = idx_ref.shape[0]
+        idx = idx_ref[:]  # [k_total, gpt] shard-local indices, sentinel = ic_s
+        # global target row per slot: shard offset + local index
+        shard_off = (jax.lax.broadcasted_iota(jnp.int32, (k_total, 1), 0) // kps) * ic_s
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_total, ic), 1)
+        n_chunks = oc_tile // chunk
+        for j in range(n_chunks):
+            tgt = idx[:, j : j + 1] + shard_off          # [k_total, 1]
+            valid = idx[:, j : j + 1] != ic_s
+            eq = ((row_iota == tgt) & valid).astype(jnp.float32)  # [k_total, ic]
+            cols = slice(j * chunk, (j + 1) * chunk)
+            # hs·(v − hz) = hs·v + gamma + beta — the final salient weight,
+            # rounded once at the dot input
+            vals = (v_ref[:, cols].astype(jnp.int32).astype(jnp.float32)
+                    * hs[:, cols] + gamma[:, cols] + beta[:, cols])
+            # contract the slot dim (dim 0 of both) — no transpose relayout
+            corr = jax.lax.dot_general(
+                eq.astype(dot_dtype), vals.astype(dot_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sal_row = jnp.max(eq, axis=0)                # [ic] 1.0 at salient
+            w_scratch[:, cols] = (w[:, cols] * (1.0 - sal_row[:, None])
+                                  + corr).astype(dot_dtype)
+
+    o_ref[:] = (jnp.dot(x_ref[:].astype(dot_dtype), w_scratch[:],
+                        preferred_element_type=jnp.float32)
+                + coef_ref[4:5, :])
+
+
+def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype):
+    m, ic = x.shape
+    oc = p.oc_local
+    m_tile = 256
+    m_pad = _round_up(max(m, 8), m_tile)
+    n_m_tiles = m_pad // m_tile
+    xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
+
+    chunk = min(oc_tile, p.col_tile)
+    gpt = oc_tile // chunk
+
+    scale = p.low_scale[0].astype(jnp.float32)
+    mean = p.low_mean[0].astype(jnp.float32)
+    alpha = scale
+    beta = mean - scale
+    gamma = -p.high_scale * p.high_zero - beta
+    bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
+    coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)
+
+    kernel = functools.partial(
+        _v2_prefill_kernel, ic=ic, oc_tile=oc_tile, pack_block=p.pack_block_local,
+        chunk=chunk, kps=p.k_pad_shard_local, ic_s=p.ic_shard_local,
+        dot_dtype=dot_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
+        grid=(oc // oc_tile, n_m_tiles),
+        in_specs=[
+            pl.BlockSpec((m_tile, ic), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.k_pad, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.k_pad, gpt),
+                         lambda i, mi, _gpt=gpt, _ot=oc_tile, _ct=p.col_tile:
+                         (0, ((i * _ot) // _ct) // _gpt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, mi: (mi, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ic, oc_tile), dot_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # the one-time reconstruction's intermediates (bits2, w, the
+            # one-hot eq scatter) legitimately exceed the 16 MB scoped
+            # default; v5e has 128 MB VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * ic * oc,
+            bytes_accessed=ic * oc // 8 + p.k_pad * oc + m_pad * (ic + oc) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, p.sign_packed, p.side_val, p.side_idx, coef)
+    return out[:m]
+
+
+# decode path stays planar below this m; prefill reconstructs into scratch
+_V2_PREFILL_M = 256
+
+
+def _decode_oc_tile_v2(p: PackedLinearV2, m: int) -> int:
+    """One whole-oc tile when the planes fit VMEM (measured 39.8 vs 51.8 µs
+    at 4096×11008 m=8 on v5e — a 43-tile grid costs ~12 µs of overhead);
+    otherwise the generic tile."""
+    oc = p.oc_local
+    m_tile = min(_round_up(max(m, 8), 8), 256)
+    vmem = ((p.ic_local // 32) * oc * 4 + p.k_pad * oc
+            + m_tile * (p.ic_local + oc) * 4 + 5 * oc * 4)
+    if vmem < _PLANAR_VMEM_CAP and p.col_tile >= oc:
+        return oc
+    return _default_oc_tile(oc)
+
+
 def pallas_supported_v2(p: PackedLinearV2) -> bool:
     ic, oc = p.ic_local, p.oc_local
     if oc % 128 != 0 or ic % 32 != 0:
@@ -293,10 +430,14 @@ def pb_matmul_pallas_v2(
     """y = x @ dequant_v2(p) (+ bias); x [m, ic] → y [m, oc] float32."""
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
+    if m >= _V2_PREFILL_M:
+        if oc_tile is None:
+            oc_tile = _default_oc_tile(p.oc_local)  # scratch [ic, oc_tile] caps the tile
+        dot_dtype = jnp.bfloat16 if prefill_bf16 else jnp.float32
+        return _v2_prefill_call(x, p, oc_tile, interpret, dot_dtype)
     if oc_tile is None:
-        oc_tile = _default_oc_tile(p.oc_local)
-    dot_dtype = jnp.bfloat16 if (prefill_bf16 and m >= 256) else jnp.float32
-    return _planar_v2_call(x, p, oc_tile, interpret, dot_dtype)
+        oc_tile = _decode_oc_tile_v2(p, m)
+    return _planar_v2_call(x, p, oc_tile, interpret, jnp.float32)
 
 
 # ---------------------------------------------------------------------------

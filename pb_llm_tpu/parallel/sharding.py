@@ -62,12 +62,15 @@ def _packed_spec(name: str) -> PackedLinear:
     raise ValueError(name)
 
 
-def _packed_v2_spec(name: str) -> PackedLinearV2:
+def _packed_v2_spec(name: str, n_row_groups: int = 0) -> PackedLinearV2:
     if name in COL_PARALLEL:
         # oc axis shards every plane; side_idx row groups shard with oc —
-        # requires (oc/tp) % col_tile == 0, checked by the mesh sanitizer
+        # requires (oc/tp) % col_tile == 0, checked by the mesh sanitizer.
+        # Global column selection (n_row_groups == 1) shares ONE column set
+        # across all oc shards: side_idx replicates.
         return PackedLinearV2(
-            sign_packed=P(None, "tp"), side_val=P(None, "tp"), side_idx=P(None, "tp"),
+            sign_packed=P(None, "tp"), side_val=P(None, "tp"),
+            side_idx=P() if n_row_groups == 1 else P(None, "tp"),
             low_scale=P(None, "tp"), low_mean=P(None, "tp"),
             high_scale=P("tp"), high_zero=P("tp"), bias=P("tp"),
             ic=0, oc=0, col_tile=0,
@@ -98,7 +101,7 @@ def _leaf_spec(name: str, leaf: Any) -> Any:
     import dataclasses
 
     if isinstance(leaf, PackedLinearV2):
-        spec = _packed_v2_spec(name)
+        spec = _packed_v2_spec(name, leaf.n_row_groups)
         return dataclasses.replace(
             spec,
             bias=None if leaf.bias is None else spec.bias,

@@ -1,0 +1,157 @@
+"""TPU experiment: PBW v2 PREFILL kernel vs dense bf16 at llama-7b MLP m=2048.
+
+Measures the scratch-reconstruction prefill path (`_v2_prefill_call`):
+dense weight tile rebuilt once per oc tile, then plain MXU dots — the
+VERDICT round-1 item 6 target is >= 0.9x dense bf16 at m=2048, 4096x11008.
+
+Same slope methodology as bench.py (axon tunnel: in-graph scan over K
+distinct weights, two loop lengths, median reps). Run ONE at a time on the
+tunnel.  Usage: python scripts/bench_v2_prefill.py [oc_tile ...]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+M = int(os.environ.get("M", "2048"))
+IC, OC = 4096, 11008
+K = 8
+L_SHORT, L_LONG = 8, 40
+FRAC_BINARY = float(os.environ.get("FRAC_BINARY", "0.9"))
+PREFILL_BF16 = os.environ.get("PREFILL_BF16", "1") == "1"
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def make_v2_planes(seed):
+    """Global-column v2 planes (n_rg=1), same construction as bench.py."""
+    from pb_llm_tpu.core import packing
+
+    pack_block = packing.default_pack_block(IC)
+    r = np.random.default_rng(seed)
+    w = r.standard_normal((OC, IC)).astype(np.float32)
+    w *= (1.0 + 3.0 * (r.random(IC) < 0.1))[None, :]
+
+    k = int(round(IC * (1 - FRAC_BINARY)))
+    k_pad = max(32, -(-k // 32) * 32)
+    agg = np.abs(w).sum(0)
+    cols = np.sort(np.argsort(-agg)[:k])
+    side_idx = np.full((k_pad, 1), IC, np.int32)
+    side_idx[:k, 0] = cols
+    salient = np.zeros((OC, IC), bool)
+    salient[:, cols] = True
+
+    mask = ~salient
+    wm = (w * mask).astype(np.float32)
+    mean = wm.mean(-1)
+    scale = np.abs(wm - mean[:, None]).mean(-1)
+    xmin = np.minimum(w.min(1), 0)
+    xmax = np.maximum(w.max(1), 0)
+    hs = ((xmax - xmin) / 255).astype(np.float32)
+    hz = np.round(-xmin / hs).astype(np.float32)
+    codes = np.clip(np.round(w / hs[:, None]) + hz[:, None], 0, 255).astype(np.uint8)
+    side_val = np.zeros((k_pad, OC), np.uint8)
+    side_val[:k] = codes[:, cols].T
+
+    bits = (((w - mean[:, None]) >= 0).T) & ~salient.T
+    return (
+        packing.pack_bits_np(bits.astype(np.uint32), pack_block),
+        side_val,
+        side_idx,
+        scale[None, :].astype(np.float32),
+        mean[None, :].astype(np.float32),
+        hs,
+        hz,
+    ), pack_block, k_pad
+
+
+def slope_time(loop_maker, args, reps=5, tag=""):
+    xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32))
+          for i in range(reps + 2)]
+    res = {}
+    for L in (L_SHORT, L_LONG):
+        f = loop_maker(L)
+        t0 = time.perf_counter()
+        float(f(xs[0], *args))
+        log(f"  [{tag}] L={L} compile+first: {time.perf_counter()-t0:.1f}s")
+        ts = []
+        for i in range(1, reps + 1):
+            t0 = time.perf_counter()
+            float(f(xs[i], *args))
+            ts.append(time.perf_counter() - t0)
+        res[L] = float(np.median(ts))
+        log(f"  [{tag}] L={L} median: {res[L]*1e3:.1f}ms")
+    return (res[L_LONG] - res[L_SHORT]) / (L_LONG - L_SHORT)
+
+
+def bench_dense():
+    W = jnp.asarray(np.random.default_rng(1).standard_normal((K, IC, OC)), jnp.bfloat16)
+
+    def mk(L):
+        @jax.jit
+        def loop(x, W):
+            def body(c, k):
+                y = (c.astype(jnp.bfloat16) @ W[k]).astype(jnp.float32)
+                return c + y[:, :IC] * 1e-8, ()
+            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+            return jnp.sum(c)
+        return loop
+
+    return slope_time(mk, (W,), tag="dense")
+
+
+def bench_v2_prefill(oc_tile):
+    from pb_llm_tpu.core import pbw
+    from pb_llm_tpu.ops import pallas_pb
+
+    planes = []
+    for s in range(K):
+        p, pack_block, k_pad = make_v2_planes(s)
+        planes.append(p)
+    stk = tuple(jnp.asarray(np.stack([p[i] for p in planes])) for i in range(7))
+
+    def mk(L):
+        @jax.jit
+        def loop(x, s0, s1, s2, s3, s4, s5, s6):
+            def body(c, k):
+                p = pbw.PackedLinearV2(
+                    sign_packed=s0[k], side_val=s1[k], side_idx=s2[k],
+                    low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
+                    bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
+                )
+                y = pallas_pb.pb_matmul_pallas_v2(c, p, oc_tile=oc_tile,
+                                                  prefill_bf16=PREFILL_BF16)
+                return c + y[:, :IC] * 1e-8, ()
+            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+            return jnp.sum(c)
+        return loop
+
+    return slope_time(mk, stk, tag=f"v2pf ot={oc_tile}"), k_pad
+
+
+def main():
+    log(f"backend: {jax.default_backend()}, M={M}, bf16={PREFILL_BF16}")
+    oc_tiles = [int(a) for a in sys.argv[1:]] or [256]
+
+    t_dense = float(os.environ.get("DENSE_US", "0")) * 1e-6
+    if not t_dense:
+        t_dense = bench_dense()
+    flops = 2 * M * IC * OC
+    log(f"dense bf16 m={M}: {t_dense*1e6:.1f} us ({flops/t_dense/1e12:.1f} TFLOP/s)")
+
+    for ot in oc_tiles:
+        (t, k_pad) = bench_v2_prefill(ot)
+        stream = IC * OC / 8 + k_pad * OC + k_pad * 4
+        log(f"v2 prefill oc_tile={ot}: {t*1e6:.1f} us | vs dense {t_dense/t:.3f}x | "
+            f"{flops/t/1e12:.1f} TFLOP/s | packed stream {stream/t/1e9:.0f} GB/s")
+
+
+if __name__ == "__main__":
+    main()

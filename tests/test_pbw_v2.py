@@ -326,3 +326,62 @@ def test_tpengine_with_v2_leaves():
     done_tp = ContinuousBatcher(eng_tp).run(reqs())
     for a, b in zip(done_ref, done_tp):
         assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
+
+
+# ---------------------------------------------------------------------------
+# global column selection (col_tile=0 → whole layer, the default layout)
+# ---------------------------------------------------------------------------
+
+
+def test_v2_global_columns_pack_dequant_and_kernel():
+    w_q, mask, p, diag, b = _make_v2(oc=256, ic=256, col_tile=0, bias=True)
+    assert p.col_tile == 256 and p.n_row_groups == 1  # normalized to oc
+    assert diag["pack_mismatch"] == 0.0
+    sal = ~mask
+    assert (sal == sal[0:1]).all()  # one shared column set
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((8, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_v2_global_columns_col_parallel_spec_replicates_side_idx():
+    """Under TP, a global-selection layer sharded on oc shares ONE column
+    set: side_idx must replicate (not shard) or the all-or-nothing sanitizer
+    would replicate the whole layer."""
+    from pb_llm_tpu.parallel.sharding import _leaf_spec
+    from jax.sharding import PartitionSpec as P
+
+    _, _, p, _, _ = _make_v2(oc=256, ic=256, col_tile=0)
+    spec = _leaf_spec("up_proj", p)
+    assert spec.side_idx == P()
+    assert spec.side_val == P(None, "tp")
+    assert spec.sign_packed == P(None, "tp")
+
+    _, _, p_rg, _, _ = _make_v2(oc=256, ic=256, col_tile=64)
+    spec_rg = _leaf_spec("up_proj", p_rg)
+    assert spec_rg.side_idx == P(None, "tp")
+
+
+def test_v2_prefill_kernel_bf16_close():
+    w_q, _, p, _, b = _make_v2(oc=256, ic=256, col_tile=0, bias=True)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((300, 256)).astype(np.float32))
+    ref = np.asarray(pbw.matmul_reference_v2(x, p))
+    got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128,
+                                                   prefill_bf16=True))
+    # bound by the error a plain bf16 matmul of the dequantized weights makes
+    # (the kernel accumulates in f32, so it is typically BELOW this envelope)
+    wd = pbw.dequantize_v2(p)
+    oracle = np.asarray(x.astype(jnp.bfloat16) @ wd.astype(jnp.bfloat16)) + np.asarray(p.bias)
+    env = np.abs(oracle - ref).max()
+    assert np.abs(got - ref).max() < 2.0 * env, (np.abs(got - ref).max(), env)
+
+
+def test_v2_prefill_kernel_ic_shards():
+    w_q, _, p, _ = _make_v2_sharded(oc=256, ic=256, ic_shards=4, col_tile=128)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((300, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
