@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompts", type=str, default=None, help="file with one prompt per line")
     p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--demo", action="store_true",
+                   help="run the built-in prompt batch and exit (default when --http is not given)")
+    p.add_argument("--http", type=int, default=0, metavar="PORT",
+                   help="serve POST /generate over HTTP on this port (runtime.server)")
+    p.add_argument("--host", type=str, default="0.0.0.0")
     return p
 
 
@@ -102,6 +107,24 @@ def main(argv=None) -> int:
                        SamplingParams(temperature=args.temperature))
     else:
         eng = Engine(params, cfg, fam, ecfg, SamplingParams(temperature=args.temperature))
+    if args.http:
+        from ..runtime.server import serve_http
+
+        server = serve_http(eng, host=args.host, port=args.http,
+                            encode=tokenizer.encode, decode=tokenizer.decode)
+        print(f"serving on http://{args.host}:{args.http}  "
+              f"(POST /generate, GET /health, GET /stats)")
+        try:
+            import threading
+
+            threading.Event().wait()  # run until interrupted
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+            server.serving_loop.shutdown()
+        return 0
+
     batcher = ContinuousBatcher(eng)
     reqs = [
         Request(request_id=i, prompt_ids=tokenizer.encode(t)[: max_seq // 2], max_new_tokens=args.max_new_tokens)

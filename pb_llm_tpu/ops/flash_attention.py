@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_q, block_k, kv_len, n_kv_tiles, causal):
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_q, block_k, kv_len, n_kv_tiles, causal, dot_dtype):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -43,8 +43,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_q
 
     @pl.when(run)
     def _():
-        q = q_ref[0]  # [block_q, d]
-        k = k_ref[0]  # [block_k, d]
+        q = q_ref[0].astype(dot_dtype)  # [block_q, d]
+        k = k_ref[0].astype(dot_dtype)  # [block_k, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [block_q, block_k]
@@ -67,9 +67,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_q
         m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        v = v_ref[0]  # [block_k, d]
+        v = v_ref[0].astype(dot_dtype)  # [block_k, d]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(dot_dtype), v, preferred_element_type=jnp.float32
         )
 
     @pl.when(ki == n_kv_tiles - 1)
@@ -83,7 +83,7 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q", "block_k", "dots_bf16", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -92,9 +92,15 @@ def flash_attention(
     causal: bool = True,
     block_q: int = 128,
     block_k: int = 128,
+    dots_bf16: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q,k,v: [B, T, H, D] (equal head counts) → [B, T, H, D]."""
+    """q,k,v: [B, T, H, D] (equal head counts) → [B, T, H, D].
+
+    ``dots_bf16`` runs the QKᵀ and PV dots in bfloat16 with float32
+    accumulation/softmax statistics — the MXU's native rate (f32 dots issue
+    at ~1/4 throughput on v5e).  The error matches what a bf16 model forward
+    would make anyway; f32-strict callers (parity tests) leave it off."""
     b, t, h, d = q.shape
     s = k.shape[1]
     tp = _round_up(t, block_q)
@@ -110,6 +116,7 @@ def flash_attention(
     kernel = functools.partial(
         _kernel, scale=scale, block_q=block_q, block_k=block_k,
         kv_len=s, n_kv_tiles=n_kv_tiles, causal=causal,
+        dot_dtype=jnp.bfloat16 if dots_bf16 else jnp.float32,
     )
     out = pl.pallas_call(
         kernel,

@@ -1,0 +1,172 @@
+"""HTTP serving front-end over the continuous batcher.
+
+The reference has no serving path at all (SURVEY.md §3.5 — its "inference"
+is an eval loop).  This is the missing production surface: a background
+scheduler thread drives `ContinuousBatcher.step()` whenever work is queued,
+and a stdlib `ThreadingHTTPServer` exposes
+
+    POST /generate   {"prompt": "...", "max_new_tokens": 32, ...}
+                     or {"prompt_ids": [...]} → blocks until the request
+                     retires, returns {"request_id", "output_ids", "text"?}
+    GET  /health     {"status": "ok"}
+    GET  /stats      batcher counters (tokens, steps, prefills, tokens/s)
+
+Requests from concurrent HTTP handlers land in the one batcher queue and
+share decode steps — continuous batching across connections, not per-call
+generation.  Zero third-party dependencies by design (the environment has
+no uvicorn/fastapi); the handler model is threads + one condition variable,
+which a TPU program tolerates well because all device work stays on the
+single scheduler thread (JAX dispatch is not free-threaded).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional
+
+from .batching import ContinuousBatcher, Request
+from .engine import Engine
+
+
+class ServingLoop:
+    """Thread-safe wrapper: one scheduler thread owns all engine calls."""
+
+    def __init__(self, engine: Engine):
+        self.batcher = ContinuousBatcher(engine)
+        self._cond = threading.Condition()
+        self._stop = False
+        self._next_id = 0
+        self._thread: Optional[threading.Thread] = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "ServingLoop":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def _has_work(self) -> bool:
+        return bool(self.batcher.queue or self.batcher.slot_to_request)
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            with self._cond:
+                if self._stop:
+                    return
+                if not self._has_work():
+                    self._cond.wait(timeout=0.05)
+                    continue
+                t0 = time.time()
+                self.batcher.step()
+                self.batcher.stats.wall_seconds += time.time() - t0
+                self._cond.notify_all()
+
+    # -- request API -------------------------------------------------------
+
+    def submit(self, prompt_ids: List[int], max_new_tokens: int = 32,
+               eos_token_id: Optional[int] = None) -> Request:
+        with self._cond:
+            self._next_id += 1
+            req = Request(request_id=self._next_id, prompt_ids=list(prompt_ids),
+                          max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
+            self.batcher.submit(req)
+            self._cond.notify_all()
+            return req
+
+    def wait(self, req: Request, timeout: Optional[float] = None) -> Request:
+        with self._cond:
+            if not self._cond.wait_for(lambda: req.done or self._stop, timeout=timeout):
+                raise TimeoutError(f"request {req.request_id} timed out")
+        return req
+
+    def generate(self, prompt_ids: List[int], max_new_tokens: int = 32,
+                 eos_token_id: Optional[int] = None,
+                 timeout: Optional[float] = None) -> Request:
+        return self.wait(self.submit(prompt_ids, max_new_tokens, eos_token_id), timeout)
+
+
+def make_handler(loop: ServingLoop,
+                 encode: Optional[Callable[[str], List[int]]] = None,
+                 decode: Optional[Callable[[List[int]], str]] = None,
+                 request_timeout: float = 600.0):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/stats":
+                s = loop.batcher.stats
+                return self._reply(200, {
+                    "generated_tokens": s.generated_tokens,
+                    "decode_steps": s.decode_steps,
+                    "prefills": s.prefills,
+                    "wall_seconds": round(s.wall_seconds, 3),
+                    "tokens_per_second": round(s.tokens_per_second, 2),
+                })
+            return self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if "prompt_ids" in payload:
+                    ids = [int(t) for t in payload["prompt_ids"]]
+                elif "prompt" in payload and encode is not None:
+                    ids = encode(payload["prompt"])
+                else:
+                    return self._reply(400, {"error": "need prompt_ids (or prompt, when the server has a tokenizer)"})
+                req = loop.generate(
+                    ids,
+                    max_new_tokens=int(payload.get("max_new_tokens", 32)),
+                    eos_token_id=payload.get("eos_token_id"),
+                    timeout=request_timeout,
+                )
+            except TimeoutError as e:
+                return self._reply(504, {"error": str(e)})
+            except Exception as e:  # malformed JSON, bad types
+                return self._reply(400, {"error": str(e)})
+            out = {"request_id": req.request_id, "output_ids": req.output_ids}
+            if decode is not None:
+                out["text"] = decode(req.output_ids)
+            return self._reply(200, out)
+
+    return Handler
+
+
+def serve_http(engine: Engine, host: str = "0.0.0.0", port: int = 8000,
+               encode=None, decode=None) -> ThreadingHTTPServer:
+    """Start the scheduler loop + HTTP server; returns the (running) server.
+
+    Call `server.shutdown()` then `server.serving_loop.shutdown()` to stop.
+    """
+    loop = ServingLoop(engine).start()
+    server = ThreadingHTTPServer((host, port), make_handler(loop, encode, decode))
+    server.serving_loop = loop
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
