@@ -571,6 +571,51 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
         json.dump(meta, fh, indent=1)
 
 
+class PBWShardWriter:
+    """Incremental PBW writer: one npz per layer, appended as layers finish.
+
+    The monolithic `save_pbw` materializes every packed layer before writing
+    — fine up to host RAM, wrong for streamed >RAM conversion
+    (`models.hf_stream`).  This writer flushes each layer to its own
+    ``planes_XXXXX.npz`` the moment it is packed and frees it; ``finalize``
+    writes the same manifest schema with a ``files`` map that `load_pbw`
+    reads transparently."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._meta: Dict[str, dict] = {}
+        self._files: Dict[str, str] = {}
+        self._n = 0
+
+    def add_layer(self, name: str, p: "PackedLinear") -> None:
+        if isinstance(p, PackedLinearV2):
+            self._meta[name] = {
+                "format": "v2", "ic": p.ic, "oc": p.oc, "col_tile": p.col_tile,
+                "pack_block": p.pack_block, "k_pad_shard": p.k_pad_shard_local,
+                "has_bias": p.bias is not None,
+            }
+            fields = _FIELDS_V2
+        else:
+            self._meta[name] = {
+                "ic": p.ic, "oc": p.oc, "groupsize": p.groupsize,
+                "pack_block": p.pack_block, "sidecar_bits": p.sidecar_bits,
+                "low_bits": p.low_bits, "has_bias": p.bias is not None,
+            }
+            fields = _FIELDS
+        arrays = {f"{name}::{f}": np.asarray(getattr(p, f))
+                  for f in fields if getattr(p, f) is not None}
+        fname = f"planes_{self._n:05d}.npz"
+        np.savez(os.path.join(self.path, fname), **arrays)
+        self._files[name] = fname
+        self._n += 1
+
+    def finalize(self, extra_meta: Optional[dict] = None) -> None:
+        meta = {"layers": self._meta, "files": self._files, "extra": extra_meta or {}}
+        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+            json.dump(meta, fh, indent=1)
+
+
 def install_pbw(params: Dict, layers: Dict[str, "PackedLinear"]) -> Dict:
     """Install loaded PBW layers (keys "layer_{i}/{name}") into a model param
     tree, replacing the dense leaves. Non-mutating."""
@@ -584,10 +629,27 @@ def install_pbw(params: Dict, layers: Dict[str, "PackedLinear"]) -> Dict:
     return params
 
 
+class _ShardedNpz:
+    """planes.npz-compatible view over per-layer shard files (PBWShardWriter)."""
+
+    def __init__(self, path: str, files: Dict[str, str]):
+        self._zs = {name: np.load(os.path.join(path, fname)) for name, fname in files.items()}
+
+    def __contains__(self, key: str) -> bool:
+        name = key.split("::", 1)[0]
+        return name in self._zs and key in self._zs[name].files
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return self._zs[key.split("::", 1)[0]][key]
+
+
 def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
     with open(os.path.join(path, "manifest.json")) as fh:
         meta = json.load(fh)
-    z = np.load(os.path.join(path, "planes.npz"))
+    if "files" in meta:  # sharded layout (PBWShardWriter)
+        z = _ShardedNpz(path, meta["files"])
+    else:
+        z = np.load(os.path.join(path, "planes.npz"))
     layers = {}
     for name, lm in meta["layers"].items():
         if lm.get("format") == "v2":
