@@ -267,127 +267,136 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
     return out[:m]
 
 
-def _v2_prefill_kernel(x_ref, s_ref, v_ref, idx_ref, coef_ref, o_ref, w_scratch,
-                       *, ic: int, oc_tile: int, pack_block: int, chunk: int,
-                       kps: int, ic_s: int, dot_dtype):
-    """Large-m (prefill) v2 kernel: reconstruct the dense weight tile ONCE per
-    oc tile into scratch (grid m innermost), then plain dense dots — the one
-    MXU-shaped matmul XLA would run on a dense model, at 1.8-bit streaming.
-
-    The salient sidecar is folded in with an MXU one-hot scatter instead of a
-    gather: w = beta + alpha·bits2 everywhere (B′ is zeroed at salient, so
-    those rows read beta), the salient rows are zeroed with the eq-derived
-    row mask, then  w += eqᵀ @ (hs·(V − hz))  installs the FINAL salient
-    weight in one rounding step (adding hs·V + gamma to beta instead would
-    round beta and the correction separately in bf16 mode — catastrophic
-    cancellation on small salient weights).  Sentinel slots (idx == shard
-    width) match no row and vanish."""
-    mi = pl.program_id(1)
-
-    @pl.when(mi == 0)
-    def _():
-        alpha = coef_ref[0:1, :]
-        beta = coef_ref[1:2, :]
-        gamma = coef_ref[2:3, :]
-        hs = coef_ref[3:4, :]
-
-        strips = []
-        w_off = 0
-        for rows in packing.block_sizes(ic, pack_block):
-            g = rows // WORD_BITS
-            ws = s_ref[w_off : w_off + g, :]
-            for b in range(WORD_BITS):
-                strips.append(_bit_plane_two(ws, b))  # rows land in natural order
-            w_off += g
-        bits2 = jnp.concatenate(strips, axis=0)  # [ic, oc_tile] {0, 2.0}
-        w = beta + alpha * bits2
-
-        k_total = idx_ref.shape[0]
-        idx = idx_ref[:]  # [k_total, gpt] shard-local indices, sentinel = ic_s
-        # global target row per slot: shard offset + local index
-        shard_off = (jax.lax.broadcasted_iota(jnp.int32, (k_total, 1), 0) // kps) * ic_s
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_total, ic), 1)
-        n_chunks = oc_tile // chunk
-        for j in range(n_chunks):
-            tgt = idx[:, j : j + 1] + shard_off          # [k_total, 1]
-            valid = idx[:, j : j + 1] != ic_s
-            eq = ((row_iota == tgt) & valid).astype(jnp.float32)  # [k_total, ic]
-            cols = slice(j * chunk, (j + 1) * chunk)
-            # hs·(v − hz) = hs·v + gamma + beta — the final salient weight,
-            # rounded once at the dot input
-            vals = (v_ref[:, cols].astype(jnp.int32).astype(jnp.float32)
-                    * hs[:, cols] + gamma[:, cols] + beta[:, cols])
-            # contract the slot dim (dim 0 of both) — no transpose relayout
-            corr = jax.lax.dot_general(
-                eq.astype(dot_dtype), vals.astype(dot_dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sal_row = jnp.max(eq, axis=0)                # [ic] 1.0 at salient
-            w_scratch[:, cols] = (w[:, cols] * (1.0 - sal_row[:, None])
-                                  + corr).astype(dot_dtype)
-
-    o_ref[:] = (jnp.dot(x_ref[:].astype(dot_dtype), w_scratch[:],
-                        preferred_element_type=jnp.float32)
-                + coef_ref[4:5, :])
+def _v2_dequant_kernel(s_ref, coef_ref, w_ref, *, ic: int, oc_tile: int,
+                       pack_block: int):
+    """Binary-part dequant: w_bin = β + α·bits2 written tile-by-tile.  Pure
+    VPU + DMA (extraction ~40 µs for a full 4096x11008 layer; the 2-byte/w
+    write dominates).  Salient rows still carry β here — the caller installs
+    them with one XLA row scatter."""
+    strips = []
+    w_off = 0
+    for rows in packing.block_sizes(ic, pack_block):
+        g = rows // WORD_BITS
+        ws = s_ref[w_off : w_off + g, :]
+        for b in range(WORD_BITS):
+            strips.append(_bit_plane_two(ws, b))  # rows land in natural order
+        w_off += g
+    bits2 = jnp.concatenate(strips, axis=0)  # [ic, oc_tile] {0, 2.0}
+    alpha = coef_ref[0:1, :]
+    beta = coef_ref[1:2, :]
+    w_ref[:] = (beta + alpha * bits2).astype(w_ref.dtype)
 
 
-def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype):
-    m, ic = x.shape
-    oc = p.oc_local
-    m_tile = 256
-    m_pad = _round_up(max(m, 8), m_tile)
-    n_m_tiles = m_pad // m_tile
-    xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
-
-    chunk = min(oc_tile, p.col_tile)
-    gpt = oc_tile // chunk
-
+def _dequant_v2_binary(p: PackedLinearV2, dtype=jnp.bfloat16,
+                       oc_tile: Optional[int] = None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Binary-part weight [ic, oc] (salient rows carry β; see callers)."""
+    ic, oc = p.ic_local, p.oc_local
+    if oc_tile is None:
+        oc_tile = _default_oc_tile(oc)
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
-    alpha = scale
+    alpha = scale  # bit planes carry {0,2}: w_bin = (mean-scale) + 2·scale·bit
     beta = mean - scale
-    gamma = -p.high_scale * p.high_zero - beta
-    bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
-    coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)
+    coef = jnp.stack([alpha, beta], axis=0)
 
     kernel = functools.partial(
-        _v2_prefill_kernel, ic=ic, oc_tile=oc_tile, pack_block=p.pack_block_local,
-        chunk=chunk, kps=p.k_pad_shard_local, ic_s=p.ic_shard_local,
-        dot_dtype=dot_dtype,
+        _v2_dequant_kernel, ic=ic, oc_tile=oc_tile, pack_block=p.pack_block_local,
     )
-    out = pl.pallas_call(
+    w_bin = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
-        grid=(oc // oc_tile, n_m_tiles),
+        out_shape=jax.ShapeDtypeStruct((ic, oc), dtype),
+        grid=(oc // oc_tile,),
         in_specs=[
-            pl.BlockSpec((m_tile, ic), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.k_pad, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.k_pad, gpt),
-                         lambda i, mi, _gpt=gpt, _ot=oc_tile, _ct=p.col_tile:
-                         (0, ((i * _ot) // _ct) // _gpt), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, mi: (mi, i), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((ic, oc_tile), dot_dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            # the one-time reconstruction's intermediates (bits2, w, the
-            # one-hot eq scatter) legitimately exceed the 16 MB scoped
-            # default; v5e has 128 MB VMEM
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
+        out_specs=pl.BlockSpec((ic, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * ic * oc,
-            bytes_accessed=ic * oc // 8 + p.k_pad * oc + m_pad * (ic + oc) * 4,
+            flops=2 * ic * oc,
+            bytes_accessed=ic * oc // 8 + ic * oc * jnp.dtype(dtype).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, p.sign_packed, p.side_val, p.side_idx, coef)
-    return out[:m]
+    )(p.sign_packed, coef)
+    return w_bin
 
 
-# decode path stays planar below this m; prefill reconstructs into scratch
+def dequant_v2_pallas(p: PackedLinearV2, dtype=jnp.bfloat16,
+                      oc_tile: Optional[int] = None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Full dequantized weight [ic, oc] from v2 planes: Pallas extracts the
+    binary part, then one XLA row-scatter installs the salient columns
+    (global selection, n_row_groups == 1).  ~6x less HBM read than a dense
+    checkpoint.  NOTE: the functional scatter copies the tensor (~220 µs at
+    llama-7b MLP shape) — the prefill matmul path avoids it with a second
+    correction dot (`_v2_prefill_call`); use this helper for export /
+    materialization, not the hot path."""
+    ic = p.ic_local
+    w_bin = _dequant_v2_binary(p, dtype=dtype, oc_tile=oc_tile, interpret=interpret)
+
+    # salient rows: hs·(code − hz); sentinel slots (local idx == shard
+    # width) map out of range and drop
+    kps = p.k_pad_shard_local
+    ic_s = p.ic_shard_local
+    idx_l = p.side_idx[:, 0]  # [k_pad] (global selection: one row group)
+    shard_off = (jnp.arange(idx_l.shape[0], dtype=jnp.int32) // kps) * ic_s
+    idx_g = jnp.where(idx_l == ic_s, jnp.int32(ic), idx_l + shard_off)
+    vals = (p.side_val.astype(jnp.float32) - p.high_zero[None, :]) * p.high_scale[None, :]
+    return w_bin.at[idx_g, :].set(vals.astype(dtype), mode="drop")
+
+
+def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype):
+    """Hybrid prefill: Pallas extracts the binary weight (cheap HBM stream),
+    XLA runs the heavy dots at full MXU rate (Mosaic's large-m dot lowers
+    ~2.5x below XLA's matmul — scripts/bench_pallas_matmul.py).
+
+    Salient columns ride a SECOND small dot instead of a weight scatter
+    (a functional `.at[rows].set` copies the whole 90 MB tensor — measured
+    ~220 µs at llama-7b MLP shape):
+
+        y = x @ w_bin + x[:, cols] @ (hs·(V − hz) − β) + bias
+
+    w_bin rows at salient columns carry β (B′ is zeroed there), so the
+    correction matrix subtracts β once.  Sentinel slots gather an appended
+    zero column of x and vanish.  Falls back to the planar kernel for
+    row-grouped layouts (n_row_groups > 1), where the salient set differs
+    per oc group and no single correction dot exists."""
+    if p.n_row_groups != 1:
+        return _planar_v2_call(x, p, oc_tile, interpret, dot_dtype)
+    m, ic = x.shape
+    w_bin = _dequant_v2_binary(p, dtype=dot_dtype, oc_tile=oc_tile, interpret=interpret)
+
+    kps = p.k_pad_shard_local
+    ic_s = p.ic_shard_local
+    idx_l = p.side_idx[:, 0]  # [k_pad] shard-local, sentinel == ic_s
+    shard_off = (jnp.arange(idx_l.shape[0], dtype=jnp.int32) // kps) * ic_s
+    idx_g = jnp.where(idx_l == ic_s, jnp.int32(ic), idx_l + shard_off)
+
+    xf = x.astype(jnp.float32)
+    xpad = jnp.concatenate([xf, jnp.zeros((m, 1), jnp.float32)], axis=1)
+    xg = jnp.take(xpad, idx_g, axis=1)  # [m, k_pad]; sentinels hit the zero col
+
+    beta = p.low_mean[0].astype(jnp.float32) - p.low_scale[0].astype(jnp.float32)
+    corr = ((p.side_val.astype(jnp.float32) - p.high_zero[None, :])
+            * p.high_scale[None, :] - beta[None, :])
+
+    def dot(a, b):
+        a, b = a.astype(dot_dtype), b.astype(dot_dtype)
+        if dot_dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+            # CPU XLA has no bf16xbf16→f32 dot; bf16-rounded inputs with f32
+            # accumulation is numerically what the TPU MXU does anyway
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    y = dot(x, w_bin) + dot(xg, corr)
+    if p.bias is not None:
+        y = y + p.bias
+    return y
+
+
+# decode path stays planar below this m; prefill dequantizes + XLA-dots
 _V2_PREFILL_M = 256
 
 

@@ -153,5 +153,164 @@ def main():
             f"{flops/t/1e12:.1f} TFLOP/s | packed stream {stream/t/1e9:.0f} GB/s")
 
 
+
+
+# --------------------------------------------------------------------------
+# diagnostic arms (run with ARMS=diag): Pallas MXU ceiling + XLA fused path
+# --------------------------------------------------------------------------
+
+
+def bench_pallas_dense():
+    """Pure dense bf16 matmul as a Pallas kernel with the SAME structure as
+    the prefill kernel (x resident, grid over oc tiles) — isolates Pallas's
+    MXU dot rate from the quantization work."""
+    import functools
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    OT = int(os.environ.get("OT", "128"))
+
+    def kern(x_ref, w_ref, o_ref):
+        o_ref[:] = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def pmm(x, w):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((x.shape[0], OC), jnp.float32),
+            grid=(OC // OT,),
+            in_specs=[
+                pl.BlockSpec((x.shape[0], IC), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((IC, OT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((x.shape[0], OT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(x, w)
+
+    W = jnp.asarray(np.random.default_rng(1).standard_normal((K, IC, OC)), jnp.bfloat16)
+
+    def mk(L):
+        @jax.jit
+        def loop(x, W):
+            def body(c, k):
+                y = pmm(c.astype(jnp.bfloat16), W[k])
+                return c + y[:, :IC] * 1e-8, ()
+            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+            return jnp.sum(c)
+        return loop
+
+    return slope_time(mk, (W,), tag=f"pallas-dense ot={OT}")
+
+
+def bench_xla_fused():
+    """XLA does everything: y = x @ dequantize_v2(p) jitted whole."""
+    from pb_llm_tpu.core import pbw
+
+    planes = []
+    for s in range(K):
+        p, pack_block, k_pad = make_v2_planes(s)
+        planes.append(p)
+    stk = tuple(jnp.asarray(np.stack([p[i] for p in planes])) for i in range(7))
+
+    def mk(L):
+        @jax.jit
+        def loop(x, s0, s1, s2, s3, s4, s5, s6):
+            def body(c, k):
+                p = pbw.PackedLinearV2(
+                    sign_packed=s0[k], side_val=s1[k], side_idx=s2[k],
+                    low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
+                    bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
+                )
+                w = pbw.dequantize_v2(p).astype(jnp.bfloat16)
+                y = (c.astype(jnp.bfloat16) @ w).astype(jnp.float32)
+                return c + y[:, :IC] * 1e-8, ()
+            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+            return jnp.sum(c)
+        return loop
+
+    return slope_time(mk, stk, tag="xla-fused"), k_pad
+
+
+def diag():
+    log(f"backend: {jax.default_backend()}, M={M} (diag arms)")
+    t_dense = float(os.environ.get("DENSE_US", "0")) * 1e-6
+    flops = 2 * M * IC * OC
+    if not t_dense:
+        t_dense = bench_dense()
+    log(f"dense bf16 m={M}: {t_dense*1e6:.1f} us ({flops/t_dense/1e12:.1f} TFLOP/s)")
+    try:
+        t = bench_pallas_dense()
+        log(f"pallas dense: {t*1e6:.1f} us | vs dense {t_dense/t:.3f}x | {flops/t/1e12:.1f} TFLOP/s")
+    except Exception as e:
+        log(f"pallas dense failed: {e}")
+    try:
+        t, _ = bench_xla_fused()
+        log(f"xla fused dequant+dot: {t*1e6:.1f} us | vs dense {t_dense/t:.3f}x | {flops/t/1e12:.1f} TFLOP/s")
+    except Exception as e:
+        log(f"xla fused failed: {str(e)[:500]}")
+
+
+
+
+def bench_decomp():
+    """Time dequant alone / dequant+scatter / matmul-on-fresh-temp to locate
+    the hybrid path's overhead."""
+    from pb_llm_tpu.core import pbw
+    from pb_llm_tpu.ops import pallas_pb
+
+    planes = []
+    for s in range(K):
+        p, pack_block, k_pad = make_v2_planes(s)
+        planes.append(p)
+    stk = tuple(jnp.asarray(np.stack([p[i] for p in planes])) for i in range(7))
+
+    def mkp(k):
+        return pbw.PackedLinearV2(
+            sign_packed=stk[0][k], side_val=stk[1][k], side_idx=stk[2][k],
+            low_scale=stk[3][k], low_mean=stk[4][k], high_scale=stk[5][k], high_zero=stk[6][k],
+            bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
+        )
+
+    def arm(tag, body):
+        def mk(L):
+            @jax.jit
+            def loop(x, s0, s1, s2, s3, s4, s5, s6):
+                def step(c, k):
+                    p = pbw.PackedLinearV2(
+                        sign_packed=s0[k], side_val=s1[k], side_idx=s2[k],
+                        low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
+                        bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
+                    )
+                    return body(c, p)
+                c, _ = jax.lax.scan(step, x, jnp.tile(jnp.arange(K), L // K))
+                return jnp.sum(c)
+            return loop
+        t = slope_time(mk, stk, tag=tag)
+        log(f"{tag}: {t*1e6:.1f} us")
+        return t
+
+    def dequant_only(c, p):
+        import dataclasses
+        # binary part only: skip the scatter by zeroing... use internal kernel
+        w = pallas_pb.dequant_v2_pallas(p, dtype=jnp.bfloat16)
+        return c + jnp.sum(w.astype(jnp.float32), axis=1)[None, :IC] * 1e-8, ()
+
+    def dequant_dot(c, p):
+        w = pallas_pb.dequant_v2_pallas(p, dtype=jnp.bfloat16)
+        y = jnp.dot(c.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+        return c + y[:, :IC] * 1e-8, ()
+
+    arm("dequant+scatter+rowsum", dequant_only)
+    arm("dequant+scatter+dot", dequant_dot)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ARMS") == "diag":
+        diag()
+    elif os.environ.get("ARMS") == "decomp":
+        bench_decomp()
+    else:
+        main()

