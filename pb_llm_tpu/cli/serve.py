@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--kv_int8", action="store_true", help="absmax-quantized int8 KV cache (halves cache HBM)")
+    p.add_argument("--page_size", type=int, default=0,
+                   help="paged KV cache: page size in tokens (0 = fixed strips); "
+                        "HBM per request becomes proportional to its length")
+    p.add_argument("--n_pages", type=int, default=0,
+                   help="page-pool size (0 = full strip capacity; lower values "
+                        "oversubscribe slots under length variance)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways: shard packed weights + KV over a tp mesh "
                         "(one shard_map per program; same batcher interface)")
@@ -94,10 +100,15 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
+    buckets = tuple(b for b in (32, 128, 512) if b < max_seq) + (max_seq,)
+    if args.page_size:
+        buckets = tuple(sorted({min(-(-b // args.page_size) * args.page_size, max_seq)
+                                for b in buckets}))
     ecfg = EngineConfig(
-        n_slots=args.slots, max_seq=max_seq, prefill_buckets=(32, 128, 512, max_seq),
+        n_slots=args.slots, max_seq=max_seq, prefill_buckets=buckets,
         cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
         scan_layers=args.scan_layers,
+        page_size=args.page_size, n_pages=args.n_pages,
     )
     if args.tp > 1:
         from ..parallel.mesh import make_mesh

@@ -13,6 +13,7 @@ import os
 from typing import Dict, Optional, Tuple, Union
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 Pos = Union[int, jnp.ndarray]
@@ -29,11 +30,13 @@ def set_attention_impl(impl: str) -> None:
 
 
 def _flash_eligible(t: int, d: int) -> bool:
-    # Measured on v5e (T=2048, H=32, D=128): XLA's fused attention beats this
-    # flash kernel 2.42 ms vs 3.64 ms, so "auto" stays on XLA; flash remains
-    # opt-in (PB_TPU_ATTENTION=flash) pending block-size tuning. Its value is
-    # O(T) memory for long windows, not speed at 2048.
-    return False
+    # Measured (scripts/bench_flash.py, T=2048/4096, H=32, D=128): with
+    # 512x512 blocks the flash kernel beats XLA's fused attention 2.4-2.5x
+    # (2048: 1.08 vs 2.68 ms; 4096: 3.76 vs 9.20 ms, f32 dots).  Round 1's
+    # 128x128 blocks were the problem (0.9x), not the kernel.  Auto uses
+    # flash on TPU for windows >= 1024 where the big blocks fit without
+    # mostly-padding; shorter windows stay on XLA.
+    return t >= 1024 and d % 8 == 0 and jax.default_backend() == "tpu"
 
 
 def full_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale) -> jnp.ndarray:
@@ -105,7 +108,26 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
     "k_scale"/"v_scale") are detected by key; values are absmax-quantized on
     write and dequantized by `cache_kv` on read — the KV cache is the
     second-largest HBM consumer after the weights, and int8 halves it vs
-    bf16 (4x vs f32)."""
+    bf16 (4x vs f32).
+
+    Paged caches ("k_pages"/"v_pages" + "table", see `runtime.paged_kv`)
+    scatter into the global page pool instead: decode (t == 1, vector pos)
+    writes one token per slot at the table-directed page, prefill (t > 1,
+    single slot carrying "slot_pages") writes page-aligned blocks."""
+    if "k_pages" in cache:
+        from ..runtime import paged_kv
+
+        out = dict(cache)
+        page = cache["k_pages"].shape[1]
+        if "slot_pages" in cache:  # prefill: one slot, pos == 0, t % page == 0
+            out["k_pages"] = paged_kv.write_prompt(cache["k_pages"], k[0], cache["slot_pages"])
+            out["v_pages"] = paged_kv.write_prompt(cache["v_pages"], v[0], cache["slot_pages"])
+            return out
+        p = jnp.asarray(pos)  # [B] per-slot positions, t == 1
+        page_ids = jnp.take_along_axis(cache["table"], (p // page)[:, None], axis=1)[:, 0]
+        out["k_pages"] = paged_kv.write_token(cache["k_pages"], k[:, 0], page_ids, p % page)
+        out["v_pages"] = paged_kv.write_token(cache["v_pages"], v[:, 0], page_ids, p % page)
+        return out
     p = jnp.asarray(pos)
     out = dict(cache)
     if "k_scale" in cache:
@@ -119,6 +141,40 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
     out["k"] = _scatter(cache["k"], k, p)
     out["v"] = _scatter(cache["v"], v, p)
     return out
+
+
+def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
+                     k_new: jnp.ndarray, v_new: jnp.ndarray, pos: Pos,
+                     scale) -> jnp.ndarray:
+    """Attention over an already-updated cache (strip or paged).
+
+    q/k_new/v_new [B, t, H*, d]; returns [B, t, Hq, d].  Strip caches run
+    the masked-softmax path; paged caches run the Pallas paged-attention
+    decode kernel (t == 1) or plain causal attention over the fresh
+    prompt K/V (prefill: the prompt's own keys are all it can see)."""
+    b, t, hq, d = q.shape
+    if "k_pages" in kv_cache:
+        if t > 1:  # prefill (pos == 0): self-contained causal window
+            return full_causal_attention(q, k_new, v_new, scale)
+        from ..ops.paged_attention import paged_attention
+
+        kp, vp = kv_cache["k_pages"], kv_cache["v_pages"]
+        if kp.shape[2] != hq:
+            raise NotImplementedError(
+                "paged KV with GQA needs KV-head repetition at write time; "
+                "use the strip cache for GQA models")
+        lengths = jnp.asarray(pos) + 1  # includes the token just written
+        # the kernel takes scale statically; both model families use
+        # 1/sqrt(head_dim) (the `scale` operand is a traced constant)
+        out = paged_attention(
+            q[:, 0], kp, vp, kv_cache["table"], lengths, float(1.0 / np.sqrt(d)),
+            page_size=kp.shape[1], interpret=jax.default_backend() == "cpu",
+        )
+        return out[:, None].astype(q.dtype)
+    s = kv_cache["k"].shape[1]
+    allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
+    ck, cv = cache_kv(kv_cache, q.dtype)
+    return masked_softmax_attention(q, ck, cv, allowed, scale)
 
 
 def cache_kv(cache: Dict[str, jnp.ndarray], dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:

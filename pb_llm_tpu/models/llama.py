@@ -118,7 +118,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return x * cos + rotated * sin
 
 
-from .attention import cache_kv, cache_update, causal_allowed, full_causal_attention, masked_softmax_attention  # noqa: E402
+from .attention import cache_update, cached_attention, full_causal_attention  # noqa: E402
 
 
 def decoder_layer(
@@ -146,10 +146,7 @@ def decoder_layer(
     scale = jnp.asarray(1.0 / jnp.sqrt(jnp.float32(hd)), x.dtype)
     if kv_cache is not None:
         kv_cache = cache_update(kv_cache, k, v, pos)
-        s = kv_cache["k"].shape[1]
-        allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
-        ck, cv = cache_kv(kv_cache, q.dtype)
-        attn = masked_softmax_attention(q, ck, cv, allowed, scale)
+        attn = cached_attention(kv_cache, q, k, v, pos, scale)
     else:
         attn = full_causal_attention(q, k, v, scale)
     attn = attn.reshape(b, t, cfg.num_attention_heads * hd)

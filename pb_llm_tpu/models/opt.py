@@ -113,7 +113,7 @@ def layer_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], eps: float) -> jnp.nda
     return y.astype(x.dtype) * p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
-from .attention import cache_kv, cache_update, causal_allowed, full_causal_attention, masked_softmax_attention  # noqa: E402
+from .attention import cache_update, cached_attention, full_causal_attention  # noqa: E402
 
 
 def decoder_layer(
@@ -136,10 +136,7 @@ def decoder_layer(
     scale = jnp.asarray(hd**-0.5, x.dtype)
     if kv_cache is not None:
         kv_cache = cache_update(kv_cache, k, v, pos)
-        s = kv_cache["k"].shape[1]
-        allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
-        ck, cv = cache_kv(kv_cache, q.dtype)
-        attn = masked_softmax_attention(q, ck, cv, allowed, scale)
+        attn = cached_attention(kv_cache, q, k, v, pos, scale)
     else:
         attn = full_causal_attention(q, k, v, scale)
     attn = attn.reshape(b, t, nh * hd)  # == hsz globally; smaller on TP-local views

@@ -90,8 +90,8 @@ def flash_attention(
     v: jnp.ndarray,
     scale: float,
     causal: bool = True,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     dots_bf16: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:

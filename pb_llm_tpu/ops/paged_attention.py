@@ -1,0 +1,138 @@
+"""Paged-attention decode kernel (Pallas TPU, scalar-prefetched page table).
+
+KV lives in a global page pool ([n_pages, page_size, H, D] per layer) instead
+of per-slot max_seq strips; each slot owns a list of pages (`runtime.paged_kv`).
+HBM per request is then proportional to its actual length, so a pool serves
+far more concurrent requests than the fixed-strip layout when lengths vary —
+the vLLM PagedAttention idea, built TPU-style: the page table rides the
+grid's scalar-prefetch channel, so each (slot, page) grid step DMAs exactly
+the page the table names (`pltpu.PrefetchScalarGridSpec`), and the softmax
+runs online over pages (same recurrence as `ops.flash_attention`).
+
+Decode-only (one query token per slot): prefill writes pages densely and has
+no need for table-directed reads.  Equal Q/KV heads — GQA callers repeat KV
+heads first (same contract as the flash kernel).  Prior art: jax ships
+`pallas.ops.tpu.paged_attention`; this kernel is written for this repo's
+layouts and tested against a NumPy oracle like the rest of `ops/`.
+
+Reference counterpart: none (the reference has no serving path at all,
+SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, page_size: int, n_pages_per_slot: int, scale: float):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b]
+    start = p * page_size
+
+    @pl.when(start < length)
+    def _():
+        q = q_ref[0]  # [H, D]
+        k = k_ref[0]  # [page, H, D]
+        v = v_ref[0]
+        # [H, page]: batch over heads, contract D
+        s = jax.lax.dot_general(
+            q, k, (((1,), (2,)), ((0,), (1,))), preferred_element_type=jnp.float32
+        ) * scale
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        pw = jnp.exp(s - m_next)
+        pw = jnp.where(pos < length, pw, 0.0)
+        l_ref[:] = jnp.broadcast_to(alpha * l_prev + jnp.sum(pw, axis=1, keepdims=True),
+                                    l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+        # [H, D]: batch over heads, contract page
+        pv = jax.lax.dot_general(
+            pw, v, (((1,), (0,)), ((0,), (1,))), preferred_element_type=jnp.float32
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(p == n_pages_per_slot - 1)
+    def _():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "page_size", "interpret"))
+def paged_attention(
+    q: jnp.ndarray,            # [B, H, D] one query token per slot
+    k_pages: jnp.ndarray,      # [P, page, H, D]
+    v_pages: jnp.ndarray,      # [P, page, H, D]
+    page_table: jnp.ndarray,   # [B, maxp] int32; entries past the length may be any valid index
+    lengths: jnp.ndarray,      # [B] int32 valid KV length per slot
+    scale: float,
+    page_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, d = q.shape
+    maxp = page_table.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, maxp),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+            pl.BlockSpec((1, page_size, h, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
+            pl.BlockSpec((1, page_size, h, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),  # running max
+            pltpu.VMEM((h, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((h, d), jnp.float32),    # output accumulator
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, page_size=page_size, n_pages_per_slot=maxp, scale=scale,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
+      q, k_pages, v_pages)
+
+
+def paged_attention_reference(q, k_pages, v_pages, page_table, lengths, scale,
+                              page_size):
+    """NumPy-style oracle: gather pages densely, full masked softmax."""
+    b, h, d = q.shape
+    maxp = page_table.shape[1]
+    k = k_pages[page_table].reshape(b, maxp * page_size, h, d)
+    v = v_pages[page_table].reshape(b, maxp * page_size, h, d)
+    s = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    pos = jnp.arange(maxp * page_size)[None, None, :]
+    s = jnp.where(pos < lengths[:, None, None], s, NEG_INF)
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhs,bshd->bhd", w, v.astype(jnp.float32)).astype(q.dtype)

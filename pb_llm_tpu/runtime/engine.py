@@ -40,6 +40,13 @@ class EngineConfig:
     # scan the layer loop (models.stacking): one compiled decode body instead
     # of num_layers unrolled copies — large models compile in seconds
     scan_layers: bool = False
+    # paged KV cache (runtime.paged_kv + ops.paged_attention): page_size > 0
+    # switches the strip pool to a global page pool; n_pages 0 sizes it to
+    # full strip capacity (set lower to oversubscribe slots under length
+    # variance).  Requires scan_layers=False, equal Q/KV heads, and every
+    # prefill bucket divisible by page_size.
+    page_size: int = 0
+    n_pages: int = 0
 
 
 class Engine:
@@ -52,7 +59,24 @@ class Engine:
         self.ecfg = ecfg
         self.sampling = sampling
         n_layers, kv_heads, head_dim = kvmod.cache_spec_for(cfg, fam.name)
-        self.caches = kvmod.make_caches(cfg, ecfg.n_slots, ecfg.max_seq, n_layers, kv_heads, head_dim, ecfg.cache_dtype)
+        self.pool = None
+        if ecfg.page_size:
+            from . import paged_kv
+
+            if ecfg.scan_layers:
+                raise ValueError("paged KV and scan_layers are mutually exclusive (for now)")
+            for b in ecfg.prefill_buckets:
+                if b % ecfg.page_size:
+                    raise ValueError(f"prefill bucket {b} not divisible by page_size {ecfg.page_size}")
+            if ecfg.cache_dtype == jnp.int8:
+                raise ValueError("int8 paged KV not implemented; use strip cache for int8")
+            if kv_heads != getattr(cfg, "num_attention_heads", kv_heads):
+                raise ValueError("paged KV needs equal Q/KV heads (GQA: use strip cache)")
+            n_pages = ecfg.n_pages or ecfg.n_slots * ecfg.max_seq // ecfg.page_size
+            self.pool = paged_kv.PagePool(n_pages, ecfg.page_size, ecfg.n_slots, ecfg.max_seq)
+            self.caches = self.pool.make_layer_cache(n_layers, kv_heads, head_dim, ecfg.cache_dtype)
+        else:
+            self.caches = kvmod.make_caches(cfg, ecfg.n_slots, ecfg.max_seq, n_layers, kv_heads, head_dim, ecfg.cache_dtype)
         if ecfg.scan_layers:
             from ..models import stacking
 
@@ -75,6 +99,20 @@ class Engine:
     def release(self, slot: int) -> None:
         self.active[slot] = False
         self.lengths[slot] = 0
+        if self.pool is not None:
+            self.pool.release(slot)
+            self._refresh_table()
+
+    def _refresh_table(self) -> None:
+        """Push the host page table into every layer's cache dict."""
+        table = self.pool.table_device()
+        self.caches = [dict(c, table=table) for c in self.caches]
+
+    def _ensure_pages(self, slot: int, length: int) -> None:
+        before = list(self.pool.owned[slot])
+        self.pool.ensure(slot, length)
+        if self.pool.owned[slot] != before:
+            self._refresh_table()
 
     # ---------------- prefill ----------------
 
@@ -110,6 +148,18 @@ class Engine:
 
         return jax.jit(prefill)
 
+    def _make_prefill_paged(self, bucket: int):
+        fam, cfg = self.fam, self.cfg
+
+        def prefill(params, caches, ids_padded, slot_pages, true_len):
+            # full pool rides along; the slot's page list directs the writes
+            pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+            logits, new = fam.forward(params, ids_padded[None, :], cfg, kv_caches=pcaches, pos=0)
+            new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
+            return new, logits[0, true_len - 1]
+
+        return jax.jit(prefill)
+
     def prefill(self, slot: int, prompt_ids: Sequence[int]) -> int:
         """Fill a slot's cache with the prompt; returns the first generated token."""
         n = len(prompt_ids)
@@ -117,12 +167,24 @@ class Engine:
             raise ValueError("prompt longer than max_seq")
         bucket = self._bucket(n)
         if bucket not in self._prefill_jit:
-            self._prefill_jit[bucket] = self._make_prefill(bucket)
+            self._prefill_jit[bucket] = (
+                self._make_prefill_paged(bucket) if self.pool is not None
+                else self._make_prefill(bucket)
+            )
         ids = np.zeros(bucket, np.int32)
         ids[:n] = prompt_ids
-        self.caches, next_logits = self._prefill_jit[bucket](
-            self.params, self.caches, jnp.asarray(ids), slot, n
-        )
+        if self.pool is not None:
+            # pages for the whole bucket: page-aligned writes, and decode
+            # grows into the already-owned tail before allocating more
+            self._ensure_pages(slot, bucket)
+            self.caches, next_logits = self._prefill_jit[bucket](
+                self.params, self.caches, jnp.asarray(ids),
+                jnp.asarray(self.pool.table[slot]), n,
+            )
+        else:
+            self.caches, next_logits = self._prefill_jit[bucket](
+                self.params, self.caches, jnp.asarray(ids), slot, n
+            )
         self._key, sub = jax.random.split(self._key)
         tok = int(sample(next_logits[None, :], sub, self.sampling)[0])
         self.lengths[slot] = n
@@ -172,6 +234,8 @@ class Engine:
             self._forced_jit = self._make_forced()
         nll = 0.0
         for t in tokens:
+            if self.pool is not None:
+                self._ensure_pages(slot, int(self.lengths[slot]) + 1)
             forced = np.zeros(self.ecfg.n_slots, np.int32)
             forced[slot] = t
             self.caches, tok_lp, lengths = self._forced_jit(
@@ -189,6 +253,10 @@ class Engine:
             return {}
         if self._decode_jit is None:
             self._decode_jit = self._make_decode()
+        if self.pool is not None:
+            for i in range(self.ecfg.n_slots):
+                if self.active[i]:
+                    self._ensure_pages(i, int(self.lengths[i]) + 1)
         self._key, sub = jax.random.split(self._key)
         self.caches, toks, lengths = self._decode_jit(
             self.params,

@@ -1,0 +1,119 @@
+"""Paged KV-cache pool: global page arrays + host-side page tables.
+
+Replaces the fixed [n_slots, max_seq] strip layout (`runtime.kv_cache`) with
+a pool of fixed-size pages shared by all slots: HBM per request is
+ceil(len/page)·page instead of max_seq, so the same memory serves many more
+concurrent requests under length variance.  Device side stays fully static
+(jit-friendly): pages live in [n_pages, page, H, D] arrays per layer, slots
+reference them through an int32 page table that rides the decode kernel's
+scalar-prefetch channel (`ops.paged_attention`).
+
+Allocation is host-side and incremental: `ensure(slot, length)` grows the
+slot's page list from a free list; `release(slot)` returns pages.  Table
+rows always contain VALID page indices (freed/unused entries keep index 0)
+because the kernel masks by length, not by table sentinel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class PagePool:
+    def __init__(self, n_pages: int, page_size: int, n_slots: int, max_seq: int):
+        """Host-side page bookkeeping; the page ARRAYS live in the engine's
+        per-layer cache dicts (jit-functional), only the table/free-list are
+        mutable host state."""
+        if max_seq % page_size:
+            raise ValueError(f"max_seq {max_seq} not divisible by page_size {page_size}")
+        self.page_size = page_size
+        self.n_pages = n_pages
+        self.max_pages_per_slot = max_seq // page_size
+        self.n_slots = n_slots
+        self.table = np.zeros((n_slots, self.max_pages_per_slot), np.int32)
+        self.owned: List[List[int]] = [[] for _ in range(n_slots)]
+        self.free_list: List[int] = list(range(n_pages - 1, -1, -1))
+
+    # -- host-side bookkeeping ----------------------------------------------
+
+    def pages_needed(self, length: int) -> int:
+        return -(-length // self.page_size)
+
+    def can_admit(self, length: int) -> bool:
+        return len(self.free_list) >= self.pages_needed(length)
+
+    def ensure(self, slot: int, length: int) -> None:
+        """Grow slot's page list to cover ``length`` tokens."""
+        need = self.pages_needed(length)
+        if need > self.max_pages_per_slot:
+            raise ValueError(f"length {length} exceeds max_seq")
+        while len(self.owned[slot]) < need:
+            if not self.free_list:
+                raise RuntimeError("page pool exhausted")
+            pg = self.free_list.pop()
+            self.table[slot, len(self.owned[slot])] = pg
+            self.owned[slot].append(pg)
+
+    def release(self, slot: int) -> None:
+        self.free_list.extend(reversed(self.owned[slot]))
+        self.owned[slot] = []
+        self.table[slot, :] = 0
+
+    @property
+    def free_pages(self) -> int:
+        return len(self.free_list)
+
+    def table_device(self) -> jnp.ndarray:
+        return jnp.asarray(self.table)
+
+    def make_layer_cache(self, n_layers: int, kv_heads: int, head_dim: int,
+                         dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+        """Per-layer paged cache dicts (the shape `models.attention` expects).
+        The page table is replicated into each dict (tiny int32) so the
+        whole cache rides `fam.forward(kv_caches=...)` unchanged."""
+        table = self.table_device()
+        return [
+            {
+                "k_pages": jnp.zeros((self.n_pages, self.page_size, kv_heads, head_dim), dtype),
+                "v_pages": jnp.zeros((self.n_pages, self.page_size, kv_heads, head_dim), dtype),
+                "table": table,
+            }
+            for _ in range(n_layers)
+        ]
+
+
+# -- device-side writes (functional; per-layer arrays; call under jit) ------
+
+
+def write_token(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
+                offsets: jnp.ndarray) -> jnp.ndarray:
+    """Scatter one new KV token per slot: pages [P, page, H, D],
+    new [B, H, D], page_ids/offsets [B] int32."""
+    def per_slot(pages, xs):
+        pg, off, val = xs
+        return jax.lax.dynamic_update_slice(pages, val[None, None], (pg, off, 0, 0)), None
+
+    pages, _ = jax.lax.scan(per_slot, pages, (page_ids, offsets, new))
+    return pages
+
+
+def write_prompt(pages: jnp.ndarray, seq: jnp.ndarray, slot_pages: jnp.ndarray) -> jnp.ndarray:
+    """Write a whole (padded) prompt into one slot's pages: pages
+    [P, page, H, D], seq [T_pad, H, D] with T_pad % page == 0, slot_pages
+    [>= T_pad/page] int32.  Positions past the true length land in their
+    page too — masked by `lengths` at read time and overwritten by decode."""
+    page = pages.shape[1]
+    n = seq.shape[0] // page
+    blocks = seq.reshape(n, page, *seq.shape[1:])
+
+    def per_page(pages, xs):
+        pg, blk = xs
+        return jax.lax.dynamic_update_slice(pages, blk[None], (pg, 0, 0, 0)), None
+
+    pages, _ = jax.lax.scan(per_page, pages, (slot_pages[:n], blocks))
+    return pages
