@@ -104,6 +104,35 @@ def slope_time(loop_maker, args, reps=6):
     return (res[L_LONG] - res[L_SHORT]) / (L_LONG - L_SHORT)
 
 
+def interleaved_slopes(arms, reps=6):
+    """Slope per arm with the arms' timing rounds INTERLEAVED (A,B,A,B...).
+
+    The tunnel/chip drifts over minutes (measured: the same dense matmul
+    465-637 µs across one session), so sequential whole-arm measurement can
+    skew a ratio by 30%+; interleaving exposes every arm to the same drift
+    and the median recovers a comparable slope."""
+    xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32)) for i in range(reps + 2)]
+    fns = {}
+    for tag, (mk, args) in arms.items():
+        fns[tag] = {}
+        for L in (L_SHORT, L_LONG):
+            f = mk(L)
+            float(f(xs[0], *args))  # compile + warm
+            fns[tag][L] = f
+    times = {tag: {L: [] for L in (L_SHORT, L_LONG)} for tag in arms}
+    for i in range(1, reps + 1):
+        for tag, (mk, args) in arms.items():
+            for L in (L_SHORT, L_LONG):
+                t0 = time.perf_counter()
+                float(fns[tag][L](xs[i], *args))
+                times[tag][L].append(time.perf_counter() - t0)
+    out = {}
+    for tag in arms:
+        med = {L: float(np.median(times[tag][L])) for L in (L_SHORT, L_LONG)}
+        out[tag] = (med[L_LONG] - med[L_SHORT]) / (L_LONG - L_SHORT)
+    return out
+
+
 def bench_dense():
     W = jnp.asarray(np.random.default_rng(1).standard_normal((K, IC, OC)), jnp.bfloat16)
 
@@ -117,7 +146,7 @@ def bench_dense():
             return jnp.sum(c)
         return loop
 
-    return slope_time(mk, (W,))
+    return mk, (W,)
 
 
 def bench_packed():
@@ -145,7 +174,7 @@ def bench_packed():
             return jnp.sum(c)
         return loop
 
-    return slope_time(mk, stk), k_pad
+    return mk, stk, k_pad
 
 
 def _retry(fn, tag):
@@ -160,23 +189,25 @@ def _retry(fn, tag):
 def main():
     backend = jax.default_backend()
     log(f"backend: {backend}")
-    t_dense = _retry(bench_dense, "dense")
-    if t_dense:
-        log(f"dense bf16: {t_dense*1e6:.1f} us/matmul ({IC*OC*2/t_dense/1e9:.0f} GB/s weight stream)")
-    res = _retry(bench_packed, "packed")
+
+    def build():
+        mk_d, args_d = bench_dense()
+        mk_p, args_p, k_pad = bench_packed()
+        return interleaved_slopes({"dense": (mk_d, args_d), "packed": (mk_p, args_p)}), k_pad
+
+    res = _retry(build, "bench")
     if res is None:
         print(json.dumps({
             "metric": "fused PB-matmul decode throughput (bench failed; see stderr)",
             "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
         }))
         return
-    t_packed, k_pad = res
+    slopes, k_pad = res
+    t_dense, t_packed = slopes["dense"], slopes["packed"]
+    log(f"dense bf16: {t_dense*1e6:.1f} us/matmul ({IC*OC*2/t_dense/1e9:.0f} GB/s weight stream)")
     pbits = IC * OC / 8 + k_pad * OC + k_pad * 4
     log(f"packed pb v2: {t_packed*1e6:.1f} us/matmul ({pbits/t_packed/1e9:.0f} GB/s packed stream, "
         f"{pbits*8/(IC*OC):.2f} bits/weight)")
-    if t_dense is None:
-        t_dense = IC * OC * 2 / (666e9)  # fall back to the measured-typical dense rate
-        log("dense arm failed; using 666 GB/s reference rate for vs_baseline")
     print(
         json.dumps(
             {
