@@ -93,6 +93,9 @@ def main():
     ap.add_argument("--sidecar_bits", type=int, default=8, choices=[4, 8])
     ap.add_argument("--fmt", type=str, default="v2", choices=["v1", "v2"])
     ap.add_argument("--low_frac", type=float, default=0.9)
+    ap.add_argument("--scan_layers", action="store_true",
+                    help="lax.scan over stacked layers (one compiled body; "
+                         "measures the compile-time win of models.stacking)")
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -111,6 +114,11 @@ def main():
          "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16)}
         for _ in range(cfg.num_hidden_layers)
     ]
+    if args.scan_layers:
+        from pb_llm_tpu.models import stacking
+
+        params = stacking.stack_layers(params)
+        caches = stacking.stack_caches(caches)
 
     def decode_scan(params, caches, tokens0, lengths0, n_steps):
         def body(carry, _):

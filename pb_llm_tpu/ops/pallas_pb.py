@@ -256,7 +256,13 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
             pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, mi: (mi, i), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # in larger programs XLA may pin the kernel OUTPUT in VMEM
+            # (S(1)), pushing the whole-oc decode tile past the 16 MB scoped
+            # default by <1 MB — give headroom (v5e: 128 MB VMEM)
+            vmem_limit_bytes=40 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * m_pad * ic * oc,
             bytes_accessed=ic * oc // 8 + p.k_pad * oc + m_pad * (ic + oc) * 4,

@@ -182,3 +182,38 @@ def test_tpengine_int8_kv(packed_llama):
     tok = eng.prefill(0, [5, 17, 42])
     toks = [tok] + [eng.decode_step()[0] for _ in range(3)]
     assert all(isinstance(t, int) for t in toks)
+
+
+def test_tpengine_http_serving(packed_llama):
+    """The full composition: TP shard_map packed decode + continuous
+    batching + HTTP front-end, one program."""
+    import json
+    import urllib.request
+
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+    from pb_llm_tpu.runtime.server import serve_http
+
+    packed, cfg, fam = packed_llama
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,))
+
+    ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+    want = [ref.prefill(0, [5, 17, 42])]
+    for _ in range(3):
+        want.append(ref.decode_step()[0])
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    server = serve_http(eng, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt_ids": [5, 17, 42], "max_new_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert out["output_ids"] == want, (out, want)
+    finally:
+        server.shutdown()
+        server.serving_loop.shutdown()
