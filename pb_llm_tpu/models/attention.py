@@ -159,10 +159,6 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
         from ..ops.paged_attention import paged_attention
 
         kp, vp = kv_cache["k_pages"], kv_cache["v_pages"]
-        if kp.shape[2] != hq:
-            raise NotImplementedError(
-                "paged KV with GQA needs KV-head repetition at write time; "
-                "use the strip cache for GQA models")
         lengths = jnp.asarray(pos) + 1  # includes the token just written
         # the kernel takes scale statically; both model families use
         # 1/sqrt(head_dim) (the `scale` operand is a traced constant)

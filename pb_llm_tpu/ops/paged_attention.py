@@ -32,7 +32,7 @@ NEG_INF = -1e30
 
 
 def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, page_size: int, n_pages_per_slot: int, scale: float):
+            *, page_size: int, n_pages_per_slot: int, scale: float, n_groups: int):
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -47,31 +47,35 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_re
 
     @pl.when(start < length)
     def _():
-        q = q_ref[0]  # [H, D]
-        k = k_ref[0]  # [page, H, D]
+        hq, d = q_ref.shape[1], q_ref.shape[2]
+        hkv = hq // n_groups
+        # GQA grouped in-kernel: q heads [Hkv, G, D]; q head i reads kv head
+        # i // G — same convention as jnp.repeat(k, G, axis=2) outside
+        q = q_ref[0].reshape(hkv, n_groups, d)
+        k = k_ref[0]  # [page, Hkv, D]
         v = v_ref[0]
-        # [H, page]: batch over heads, contract D
+        # [Hkv, G, page]: batch over kv heads, contract D
         s = jax.lax.dot_general(
-            q, k, (((1,), (2,)), ((0,), (1,))), preferred_element_type=jnp.float32
+            q, k, (((2,), (2,)), ((0,), (1,))), preferred_element_type=jnp.float32
         ) * scale
-        pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_ref[:, :1].reshape(hkv, n_groups, 1)
+        l_prev = l_ref[:, :1].reshape(hkv, n_groups, 1)
+        m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         pw = jnp.exp(s - m_next)
         pw = jnp.where(pos < length, pw, 0.0)
-        l_ref[:] = jnp.broadcast_to(alpha * l_prev + jnp.sum(pw, axis=1, keepdims=True),
-                                    l_ref.shape)
-        m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
-        # [H, D]: batch over heads, contract page
+        l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
+        l_ref[:] = jnp.broadcast_to(l_next.reshape(hq, 1), l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_next.reshape(hq, 1), m_ref.shape)
+        # [Hkv, G, D]: batch over kv heads, contract page
         pv = jax.lax.dot_general(
-            pw, v, (((1,), (0,)), ((0,), (1,))), preferred_element_type=jnp.float32
+            pw, v, (((2,), (0,)), ((0,), (1,))), preferred_element_type=jnp.float32
         )
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        acc_ref[:] = acc_ref[:] * alpha.reshape(hq, 1) + pv.reshape(hq, d)
 
     @pl.when(p == n_pages_per_slot - 1)
     def _():
@@ -91,30 +95,34 @@ def paged_attention(
     page_size: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    b, h, d = q.shape
+    b, hq, d = q.shape
+    hkv = k_pages.shape[2]
+    if hq % hkv:
+        raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
     maxp = page_table.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, maxp),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
-            pl.BlockSpec((1, page_size, h, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
-            pl.BlockSpec((1, page_size, h, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
+            pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+            pl.BlockSpec((1, page_size, hkv, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
+            pl.BlockSpec((1, page_size, hkv, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((h, 128), jnp.float32),  # running max
-            pltpu.VMEM((h, 128), jnp.float32),  # running normalizer
-            pltpu.VMEM((h, d), jnp.float32),    # output accumulator
+            pltpu.VMEM((hq, 128), jnp.float32),  # running max
+            pltpu.VMEM((hq, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((hq, d), jnp.float32),    # output accumulator
         ],
     )
     kernel = functools.partial(
         _kernel, page_size=page_size, n_pages_per_slot=maxp, scale=scale,
+        n_groups=hq // hkv,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -126,8 +134,13 @@ def paged_attention(
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths, scale,
                               page_size):
-    """NumPy-style oracle: gather pages densely, full masked softmax."""
+    """NumPy-style oracle: gather pages densely, full masked softmax.
+    Handles GQA by repeating KV heads."""
     b, h, d = q.shape
+    hkv = k_pages.shape[2]
+    if h != hkv:
+        k_pages = jnp.repeat(k_pages, h // hkv, axis=2)
+        v_pages = jnp.repeat(v_pages, h // hkv, axis=2)
     maxp = page_table.shape[1]
     k = k_pages[page_table].reshape(b, maxp * page_size, h, d)
     v = v_pages[page_table].reshape(b, maxp * page_size, h, d)

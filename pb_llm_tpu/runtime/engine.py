@@ -70,8 +70,6 @@ class Engine:
                     raise ValueError(f"prefill bucket {b} not divisible by page_size {ecfg.page_size}")
             if ecfg.cache_dtype == jnp.int8:
                 raise ValueError("int8 paged KV not implemented; use strip cache for int8")
-            if kv_heads != getattr(cfg, "num_attention_heads", kv_heads):
-                raise ValueError("paged KV needs equal Q/KV heads (GQA: use strip cache)")
             n_pages = ecfg.n_pages or ecfg.n_slots * ecfg.max_seq // ecfg.page_size
             self.pool = paged_kv.PagePool(n_pages, ecfg.page_size, ecfg.n_slots, ecfg.max_seq)
             self.caches = self.pool.make_layer_cache(n_layers, kv_heads, head_dim, ecfg.cache_dtype)

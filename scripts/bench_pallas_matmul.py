@@ -199,5 +199,70 @@ def main():
             log(f"{name} FAILED: {str(e)[:300]}")
 
 
+
+
+def xres_int8(ot):
+    """x resident int8 x int8 -> int32, grid over oc tiles."""
+    def kern(x_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def pmm(x, w):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((M, OC), jnp.int32),
+            grid=(OC // ot,),
+            in_specs=[
+                pl.BlockSpec((M, IC), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((IC, ot), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, ot), lambda i: (0, i), memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(x, w)
+    return pmm
+
+
+def _loop_over_int8(pmm):
+    r = np.random.default_rng(1)
+    W = jnp.asarray(r.integers(-127, 127, size=(K, IC, OC)), jnp.int8)
+
+    def mk(L):
+        @jax.jit
+        def loop(x, W):
+            def body(c, k):
+                xq = jnp.clip(jnp.round(c * 12.7), -127, 127).astype(jnp.int8)
+                y = pmm(xq, W[k])
+                return c + y[:, :IC].astype(jnp.float32) * 1e-8, ()
+            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+            return jnp.sum(c)
+        return loop
+
+    return mk, (W,)
+
+
+VARIANTS["xres_int8_256"] = lambda: xres_int8(256)
+VARIANTS["xres_int8_128"] = lambda: xres_int8(128)
+
+
+def main_int8():
+    flops = 2 * M * IC * OC
+    t_dense = float(os.environ.get("DENSE_US", "581.1")) * 1e-6
+    log(f"dense bf16 reference: {t_dense*1e6:.1f} us ({flops/t_dense/1e12:.1f} TFLOP/s)")
+    for name in ["xres_int8_256", "xres_int8_128"]:
+        try:
+            mk, args = _loop_over_int8(VARIANTS[name]())
+            t = slope_time(mk, args, tag=name)
+            log(f"{name}: {t*1e6:.1f} us | vs XLA bf16 {t_dense/t:.3f}x | {flops/t/1e12:.1f} TOP/s")
+        except Exception as e:
+            log(f"{name} FAILED: {str(e)[:300]}")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ARMS") == "int8":
+        main_int8()
+    else:
+        main()

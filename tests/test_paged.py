@@ -121,3 +121,36 @@ def test_paged_engine_rejects_bad_config(tiny_opt):
     with pytest.raises(ValueError):
         Engine(params, cfg, fam, EngineConfig(
             prefill_buckets=(8,), page_size=8, scan_layers=True))
+
+
+def test_paged_attention_kernel_gqa():
+    """Grouped-head (GQA) paged decode: q heads share kv heads in-kernel."""
+    r = np.random.default_rng(1)
+    B, HQ, HKV, D, PS, MAXP, P = 2, 8, 2, 32, 16, 3, 12
+    q = jnp.asarray(r.standard_normal((B, HQ, D)).astype(np.float32))
+    kp = jnp.asarray(r.standard_normal((P, PS, HKV, D)).astype(np.float32))
+    vp = jnp.asarray(r.standard_normal((P, PS, HKV, D)).astype(np.float32))
+    table = jnp.asarray(r.integers(0, P, size=(B, MAXP)).astype(np.int32))
+    lengths = jnp.asarray(np.array([11, 40], np.int32))
+    ref = paged_attention_reference(q, kp, vp, table, lengths, 0.25, PS)
+    got = paged_attention(q, kp, vp, table, lengths, 0.25, PS, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_engine_gqa_llama():
+    """End-to-end paged decode on a GQA llama (kv_heads < heads)."""
+    from pb_llm_tpu.models.llama import LlamaConfig, init_params
+
+    cfg = LlamaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=2, max_position_embeddings=64,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    fam = family_for("llama")
+    strip = Engine(params, cfg, fam, EngineConfig(n_slots=1, max_seq=48, prefill_buckets=(8,)))
+    paged = Engine(params, cfg, fam, EngineConfig(
+        n_slots=1, max_seq=48, prefill_buckets=(8,), page_size=8))
+    prompt = [5, 17, 42, 3]
+    want = _greedy_tokens(strip, prompt, 6)
+    got = _greedy_tokens(paged, prompt, 6)
+    assert got == want, (got, want)
