@@ -96,6 +96,8 @@ def main():
     ap.add_argument("--scan_layers", action="store_true",
                     help="lax.scan over stacked layers (one compiled body; "
                          "measures the compile-time win of models.stacking)")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="absmax int8 KV cache (halves the KV read per step)")
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -109,11 +111,20 @@ def main():
                                 fmt=args.fmt, low_frac=args.low_frac)
 
     B, S = args.slots, args.ctx
-    caches = [
-        {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
-         "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16)}
-        for _ in range(cfg.num_hidden_layers)
-    ]
+    if args.kv_int8:
+        caches = [
+            {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
+             "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
+             "k_scale": jnp.zeros((B, S, cfg.kv_heads, 1), jnp.float32),
+             "v_scale": jnp.zeros((B, S, cfg.kv_heads, 1), jnp.float32)}
+            for _ in range(cfg.num_hidden_layers)
+        ]
+    else:
+        caches = [
+            {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
+             "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16)}
+            for _ in range(cfg.num_hidden_layers)
+        ]
     if args.scan_layers:
         from pb_llm_tpu.models import stacking
 

@@ -133,22 +133,13 @@ def salient_masks(
             thresh = jnp.sort(saliency.reshape(-1))[k]
             cols.append(saliency <= thresh)
         elif structure == "column":
-            ncols = ed - st
-            if ncols % ic_shards:
+            # one selection rule for the whole v2 format: the packer's
+            # structure validation and this calibration path must agree
+            from ..core.pbw import column_structured_mask
+
+            if (ed - st) % ic_shards:
                 raise ValueError("ic_shards must divide the group width; use groupsize=-1")
-            seg = ncols // ic_shards
-            k_sal = int(round(seg * (1.0 - low_frac)))
-            rows = []
-            for t in range(-(-oc // col_tile)):
-                lo, hi = t * col_tile, min((t + 1) * col_tile, oc)
-                agg = jnp.sum(saliency[lo:hi], axis=0)
-                sal_cols = jnp.zeros((ncols,), bool)
-                if k_sal:
-                    for s in range(ic_shards):
-                        order = jnp.argsort(-agg[s * seg : (s + 1) * seg])
-                        sal_cols = sal_cols.at[s * seg + order[:k_sal]].set(True)
-                rows.append(jnp.broadcast_to(~sal_cols, (hi - lo, ncols)))
-            cols.append(jnp.concatenate(rows, axis=0))
+            cols.append(column_structured_mask(saliency, low_frac, col_tile, ic_shards))
         else:
             raise NotImplementedError(f"mask structure {structure}")
     return jnp.concatenate(cols, axis=1)

@@ -630,17 +630,25 @@ def install_pbw(params: Dict, layers: Dict[str, "PackedLinear"]) -> Dict:
 
 
 class _ShardedNpz:
-    """planes.npz-compatible view over per-layer shard files (PBWShardWriter)."""
+    """planes.npz-compatible view over per-layer shard files (PBWShardWriter).
+
+    Files open lazily per access and close immediately — a 70B artifact has
+    hundreds of shards, and holding every handle open for the view's
+    lifetime would chew through the fd limit."""
 
     def __init__(self, path: str, files: Dict[str, str]):
-        self._zs = {name: np.load(os.path.join(path, fname)) for name, fname in files.items()}
+        self._paths = {name: os.path.join(path, fname) for name, fname in files.items()}
 
     def __contains__(self, key: str) -> bool:
         name = key.split("::", 1)[0]
-        return name in self._zs and key in self._zs[name].files
+        if name not in self._paths:
+            return False
+        with np.load(self._paths[name]) as z:
+            return key in z.files
 
     def __getitem__(self, key: str) -> np.ndarray:
-        return self._zs[key.split("::", 1)[0]][key]
+        with np.load(self._paths[key.split("::", 1)[0]]) as z:
+            return z[key]
 
 
 def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:

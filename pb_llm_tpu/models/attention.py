@@ -118,7 +118,7 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
         from ..runtime import paged_kv
 
         out = dict(cache)
-        page = cache["k_pages"].shape[1]
+        page = cache["k_pages"].shape[2]  # head-major pages [P+1, H, page, D]
         if "slot_pages" in cache:  # prefill: one slot, pos == 0, t % page == 0
             out["k_pages"] = paged_kv.write_prompt(cache["k_pages"], k[0], cache["slot_pages"])
             out["v_pages"] = paged_kv.write_prompt(cache["v_pages"], v[0], cache["slot_pages"])
@@ -160,11 +160,9 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
 
         kp, vp = kv_cache["k_pages"], kv_cache["v_pages"]
         lengths = jnp.asarray(pos) + 1  # includes the token just written
-        # the kernel takes scale statically; both model families use
-        # 1/sqrt(head_dim) (the `scale` operand is a traced constant)
         out = paged_attention(
-            q[:, 0], kp, vp, kv_cache["table"], lengths, float(1.0 / np.sqrt(d)),
-            page_size=kp.shape[1], interpret=jax.default_backend() == "cpu",
+            q[:, 0], kp, vp, kv_cache["table"], lengths, scale,
+            page_size=kp.shape[2], interpret=jax.default_backend() == "cpu",
         )
         return out[:, None].astype(q.dtype)
     s = kv_cache["k"].shape[1]

@@ -1,6 +1,7 @@
 """Paged-attention decode kernel (Pallas TPU, scalar-prefetched page table).
 
-KV lives in a global page pool ([n_pages, page_size, H, D] per layer) instead
+KV lives in a global page pool ([n_pages, H, page_size, D] head-major per
+layer — both grouped-dot operands then carry heads at batch-dim 0) instead
 of per-slot max_seq strips; each slot owns a list of pages (`runtime.paged_kv`).
 HBM per request is then proportional to its actual length, so a pool serves
 far more concurrent requests than the fixed-strip layout when lengths vary —
@@ -32,7 +33,7 @@ NEG_INF = -1e30
 
 
 def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, page_size: int, n_pages_per_slot: int, scale: float, n_groups: int):
+            *, page_size: int, n_pages_per_slot: int, n_groups: int):
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -50,14 +51,16 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_re
         hq, d = q_ref.shape[1], q_ref.shape[2]
         hkv = hq // n_groups
         # GQA grouped in-kernel: q heads [Hkv, G, D]; q head i reads kv head
-        # i // G — same convention as jnp.repeat(k, G, axis=2) outside
-        q = q_ref[0].reshape(hkv, n_groups, d)
-        k = k_ref[0]  # [page, Hkv, D]
+        # i // G — same convention as jnp.repeat(k, G, axis=2) outside.
+        # Pages are [Hkv, page, D] so BOTH dot operands carry the batch
+        # (head) dim at index 0 — Mosaic requires equal batch dim positions.
+        q = q_ref[0].reshape(hkv, n_groups, d)  # q pre-scaled by the caller
+        k = k_ref[0]  # [Hkv, page, D]
         v = v_ref[0]
         # [Hkv, G, page]: batch over kv heads, contract D
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (1,))), preferred_element_type=jnp.float32
-        ) * scale
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
         pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, NEG_INF)
 
@@ -73,7 +76,7 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_re
         m_ref[:] = jnp.broadcast_to(m_next.reshape(hq, 1), m_ref.shape)
         # [Hkv, G, D]: batch over kv heads, contract page
         pv = jax.lax.dot_general(
-            pw, v, (((2,), (0,)), ((0,), (1,))), preferred_element_type=jnp.float32
+            pw, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         acc_ref[:] = acc_ref[:] * alpha.reshape(hq, 1) + pv.reshape(hq, d)
 
@@ -84,30 +87,32 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_re
         o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "page_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
 def paged_attention(
     q: jnp.ndarray,            # [B, H, D] one query token per slot
-    k_pages: jnp.ndarray,      # [P, page, H, D]
-    v_pages: jnp.ndarray,      # [P, page, H, D]
+    k_pages: jnp.ndarray,      # [P, H, page, D] (head-major pages)
+    v_pages: jnp.ndarray,      # [P, H, page, D]
     page_table: jnp.ndarray,   # [B, maxp] int32; entries past the length may be any valid index
     lengths: jnp.ndarray,      # [B] int32 valid KV length per slot
-    scale: float,
+    scale,
     page_size: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, d = q.shape
-    hkv = k_pages.shape[2]
+    hkv = k_pages.shape[1]
     if hq % hkv:
         raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
     maxp = page_table.shape[1]
+    # fold the softmax scale into q outside the kernel (scale may be traced)
+    q = (q.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)).astype(q.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, maxp),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
-            pl.BlockSpec((1, page_size, hkv, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
-            pl.BlockSpec((1, page_size, hkv, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
+            pl.BlockSpec((1, hkv, page_size, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
+            pl.BlockSpec((1, hkv, page_size, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
         scratch_shapes=[
@@ -117,7 +122,7 @@ def paged_attention(
         ],
     )
     kernel = functools.partial(
-        _kernel, page_size=page_size, n_pages_per_slot=maxp, scale=scale,
+        _kernel, page_size=page_size, n_pages_per_slot=maxp,
         n_groups=hq // hkv,
     )
     return pl.pallas_call(
@@ -135,15 +140,16 @@ def paged_attention(
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths, scale,
                               page_size):
     """NumPy-style oracle: gather pages densely, full masked softmax.
-    Handles GQA by repeating KV heads."""
+    Pages are head-major [P, H, page, D]; handles GQA by repeating KV heads."""
     b, h, d = q.shape
-    hkv = k_pages.shape[2]
+    hkv = k_pages.shape[1]
     if h != hkv:
-        k_pages = jnp.repeat(k_pages, h // hkv, axis=2)
-        v_pages = jnp.repeat(v_pages, h // hkv, axis=2)
+        k_pages = jnp.repeat(k_pages, h // hkv, axis=1)
+        v_pages = jnp.repeat(v_pages, h // hkv, axis=1)
     maxp = page_table.shape[1]
-    k = k_pages[page_table].reshape(b, maxp * page_size, h, d)
-    v = v_pages[page_table].reshape(b, maxp * page_size, h, d)
+    # [B, maxp, H, page, D] -> [B, maxp, page, H, D] -> [B, S, H, D]
+    k = jnp.swapaxes(k_pages[page_table], 2, 3).reshape(b, maxp * page_size, h, d)
+    v = jnp.swapaxes(v_pages[page_table], 2, 3).reshape(b, maxp * page_size, h, d)
     s = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     pos = jnp.arange(maxp * page_size)[None, None, :]
     s = jnp.where(pos < lengths[:, None, None], s, NEG_INF)

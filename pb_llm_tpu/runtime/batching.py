@@ -56,6 +56,8 @@ class ContinuousBatcher:
         for slot in self.engine.free_slots():
             if not self.queue:
                 break
+            if not self.engine.can_admit(len(self.queue[0].prompt_ids)):
+                break  # paged pool full: wait for a retirement to free pages
             req = self.queue.popleft()
             first = self.engine.prefill(slot, req.prompt_ids)
             self.stats.prefills += 1
@@ -77,6 +79,16 @@ class ContinuousBatcher:
     def step(self) -> None:
         """One scheduler tick: admit new work, then one batched decode step."""
         self._admit()
+        if self.queue and not self.slot_to_request:
+            # nothing running and the head request still can't be admitted:
+            # it can never fit (pool smaller than its bucket) — fail loudly
+            # instead of spinning forever
+            req = self.queue[0]
+            if not self.engine.can_admit(len(req.prompt_ids)):
+                raise RuntimeError(
+                    f"request {req.request_id} (prompt {len(req.prompt_ids)}) "
+                    "cannot be admitted even with an idle engine — page pool "
+                    "smaller than its bucket")
         for slot, tok in self.engine.decode_step().items():
             req = self.slot_to_request.get(slot)
             if req is None:

@@ -43,8 +43,10 @@ class EngineConfig:
     # paged KV cache (runtime.paged_kv + ops.paged_attention): page_size > 0
     # switches the strip pool to a global page pool; n_pages 0 sizes it to
     # full strip capacity (set lower to oversubscribe slots under length
-    # variance).  Requires scan_layers=False, equal Q/KV heads, and every
-    # prefill bucket divisible by page_size.
+    # variance — ContinuousBatcher admission-controls via can_admit).
+    # Requires scan_layers=False, f32/bf16 pages (int8: roadmap), and every
+    # prefill bucket divisible by page_size.  GQA is native (grouped heads
+    # in-kernel; pages store kv_heads only).
     page_size: int = 0
     n_pages: int = 0
 
@@ -88,15 +90,26 @@ class Engine:
         self._prefill_jit: Dict[int, Any] = {}
         self._decode_jit = None
         self._forced_jit = None
+        self._prefill_logits: Dict[int, Any] = {}
 
     # ---------------- slot management ----------------
 
     def free_slots(self) -> List[int]:
         return [i for i in range(self.ecfg.n_slots) if not self.active[i]]
 
+    def can_admit(self, prompt_len: int) -> bool:
+        """Admission control: with a paged pool the prompt's whole BUCKET of
+        pages must be allocatable up front (plus one page of decode headroom
+        so the next step can't exhaust the pool mid-flight)."""
+        if self.pool is None:
+            return True
+        bucket = self._bucket(prompt_len)
+        return self.pool.free_pages >= self.pool.pages_needed(bucket) + 1
+
     def release(self, slot: int) -> None:
         self.active[slot] = False
         self.lengths[slot] = 0
+        self._prefill_logits.pop(slot, None)
         if self.pool is not None:
             self.pool.release(slot)
             self._refresh_table()
@@ -188,6 +201,9 @@ class Engine:
         self.lengths[slot] = n
         self.active[slot] = True
         self.last_token[slot] = tok
+        # kept for teacher-forced scoring: P(t0 | prompt) comes from THESE
+        # logits, not from a decode step conditioned on the sampled token
+        self._prefill_logits[slot] = next_logits
         return tok
 
     # ---------------- decode ----------------
@@ -227,18 +243,30 @@ class Engine:
         the mean negative log-likelihood per token (decode-path perplexity =
         exp of this).  This scores the engine's *cached* attention path —
         including KV-cache quantization error — unlike `eval.ppl` which runs
-        full windows."""
+        full windows.
+
+        tokens[0] is scored from the PREFILL logits (P(t0 | prompt)); each
+        later token from a forced decode step fed the previous forced token.
+        Only the target slot advances — other slots' lengths/caches are
+        untouched (the step masks to this slot)."""
         if self._forced_jit is None:
             self._forced_jit = self._make_forced()
-        nll = 0.0
-        for t in tokens:
+        if slot not in self._prefill_logits:
+            raise ValueError(f"slot {slot} has no prefill logits; prefill first")
+        lp0 = jax.nn.log_softmax(
+            self._prefill_logits[slot].astype(jnp.float32))
+        nll = -float(lp0[tokens[0]])
+        self.last_token[slot] = int(tokens[0])
+        only = np.zeros(self.ecfg.n_slots, bool)
+        only[slot] = True
+        for t in tokens[1:]:
             if self.pool is not None:
                 self._ensure_pages(slot, int(self.lengths[slot]) + 1)
             forced = np.zeros(self.ecfg.n_slots, np.int32)
             forced[slot] = t
             self.caches, tok_lp, lengths = self._forced_jit(
                 self.params, self.caches, jnp.asarray(self.last_token),
-                jnp.asarray(self.lengths), jnp.asarray(self.active), jnp.asarray(forced),
+                jnp.asarray(self.lengths), jnp.asarray(only), jnp.asarray(forced),
             )
             nll -= float(tok_lp[slot])
             self.lengths = np.array(lengths)

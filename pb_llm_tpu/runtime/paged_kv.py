@@ -28,14 +28,20 @@ class PagePool:
     def __init__(self, n_pages: int, page_size: int, n_slots: int, max_seq: int):
         """Host-side page bookkeeping; the page ARRAYS live in the engine's
         per-layer cache dicts (jit-functional), only the table/free-list are
-        mutable host state."""
+        mutable host state.
+
+        One extra TRASH page (index ``n_pages``) absorbs writes from
+        inactive slots: their table rows point at it, so the batched decode
+        write (which scatters for every slot, active or not) can never
+        corrupt a live page.  Reads from it are masked by length."""
         if max_seq % page_size:
             raise ValueError(f"max_seq {max_seq} not divisible by page_size {page_size}")
         self.page_size = page_size
         self.n_pages = n_pages
+        self.trash_page = n_pages  # arrays are sized n_pages + 1
         self.max_pages_per_slot = max_seq // page_size
         self.n_slots = n_slots
-        self.table = np.zeros((n_slots, self.max_pages_per_slot), np.int32)
+        self.table = np.full((n_slots, self.max_pages_per_slot), self.trash_page, np.int32)
         self.owned: List[List[int]] = [[] for _ in range(n_slots)]
         self.free_list: List[int] = list(range(n_pages - 1, -1, -1))
 
@@ -62,7 +68,7 @@ class PagePool:
     def release(self, slot: int) -> None:
         self.free_list.extend(reversed(self.owned[slot]))
         self.owned[slot] = []
-        self.table[slot, :] = 0
+        self.table[slot, :] = self.trash_page
 
     @property
     def free_pages(self) -> int:
@@ -74,13 +80,15 @@ class PagePool:
     def make_layer_cache(self, n_layers: int, kv_heads: int, head_dim: int,
                          dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
         """Per-layer paged cache dicts (the shape `models.attention` expects).
-        The page table is replicated into each dict (tiny int32) so the
+        Pages are head-major [P+1, H, page, D] (the +1 is the trash page);
+        the page table is replicated into each dict (tiny int32) so the
         whole cache rides `fam.forward(kv_caches=...)` unchanged."""
         table = self.table_device()
+        shape = (self.n_pages + 1, kv_heads, self.page_size, head_dim)
         return [
             {
-                "k_pages": jnp.zeros((self.n_pages, self.page_size, kv_heads, head_dim), dtype),
-                "v_pages": jnp.zeros((self.n_pages, self.page_size, kv_heads, head_dim), dtype),
+                "k_pages": jnp.zeros(shape, dtype),
+                "v_pages": jnp.zeros(shape, dtype),
                 "table": table,
             }
             for _ in range(n_layers)
@@ -92,11 +100,13 @@ class PagePool:
 
 def write_token(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
                 offsets: jnp.ndarray) -> jnp.ndarray:
-    """Scatter one new KV token per slot: pages [P, page, H, D],
-    new [B, H, D], page_ids/offsets [B] int32."""
+    """Scatter one new KV token per slot: pages [P+1, H, page, D] head-major,
+    new [B, H, D], page_ids/offsets [B] int32 (inactive slots' table rows
+    point at the trash page)."""
     def per_slot(pages, xs):
         pg, off, val = xs
-        return jax.lax.dynamic_update_slice(pages, val[None, None], (pg, off, 0, 0)), None
+        # val [H, D] -> [1, H, 1, D] at (page, 0, offset, 0)
+        return jax.lax.dynamic_update_slice(pages, val[None, :, None], (pg, 0, off, 0)), None
 
     pages, _ = jax.lax.scan(per_slot, pages, (page_ids, offsets, new))
     return pages
@@ -104,12 +114,14 @@ def write_token(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
 
 def write_prompt(pages: jnp.ndarray, seq: jnp.ndarray, slot_pages: jnp.ndarray) -> jnp.ndarray:
     """Write a whole (padded) prompt into one slot's pages: pages
-    [P, page, H, D], seq [T_pad, H, D] with T_pad % page == 0, slot_pages
-    [>= T_pad/page] int32.  Positions past the true length land in their
-    page too — masked by `lengths` at read time and overwritten by decode."""
-    page = pages.shape[1]
+    [P+1, H, page, D] head-major, seq [T_pad, H, D] with T_pad % page == 0,
+    slot_pages [>= T_pad/page] int32.  Positions past the true length land
+    in their page too — masked by `lengths` at read time and overwritten by
+    decode."""
+    page = pages.shape[2]
     n = seq.shape[0] // page
-    blocks = seq.reshape(n, page, *seq.shape[1:])
+    # [n, page, H, D] -> [n, H, page, D]
+    blocks = jnp.swapaxes(seq.reshape(n, page, *seq.shape[1:]), 1, 2)
 
     def per_page(pages, xs):
         pg, blk = xs

@@ -36,7 +36,9 @@ class ServingLoop:
     def __init__(self, engine: Engine):
         self.batcher = ContinuousBatcher(engine)
         self._cond = threading.Condition()
+        self._pending: list = []  # handler→scheduler handoff; under _cond
         self._stop = False
+        self._error: Optional[BaseException] = None
         self._next_id = 0
         self._thread: Optional[threading.Thread] = None
 
@@ -58,18 +60,33 @@ class ServingLoop:
         return bool(self.batcher.queue or self.batcher.slot_to_request)
 
     def _run(self) -> None:
+        """Scheduler thread: the SOLE owner of the batcher/engine.  The
+        condition lock is held only for the pending-queue handoff and
+        notifications — never across the device step, so handlers submit
+        without stalling behind decode."""
         import time
 
         while True:
             with self._cond:
                 if self._stop:
                     return
+                for req in self._pending:
+                    self.batcher.submit(req)
+                self._pending.clear()
                 if not self._has_work():
                     self._cond.wait(timeout=0.05)
                     continue
+            try:
                 t0 = time.time()
-                self.batcher.step()
+                self.batcher.step()  # outside the lock: device work
                 self.batcher.stats.wall_seconds += time.time() - t0
+            except BaseException as e:  # noqa: BLE001 — scheduler must not die silently
+                with self._cond:
+                    self._error = e
+                    self._stop = True
+                    self._cond.notify_all()
+                return
+            with self._cond:
                 self._cond.notify_all()
 
     # -- request API -------------------------------------------------------
@@ -77,10 +94,12 @@ class ServingLoop:
     def submit(self, prompt_ids: List[int], max_new_tokens: int = 32,
                eos_token_id: Optional[int] = None) -> Request:
         with self._cond:
+            if self._error is not None:
+                raise RuntimeError(f"serving loop died: {self._error!r}")
             self._next_id += 1
             req = Request(request_id=self._next_id, prompt_ids=list(prompt_ids),
                           max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
-            self.batcher.submit(req)
+            self._pending.append(req)
             self._cond.notify_all()
             return req
 
@@ -88,6 +107,8 @@ class ServingLoop:
         with self._cond:
             if not self._cond.wait_for(lambda: req.done or self._stop, timeout=timeout):
                 raise TimeoutError(f"request {req.request_id} timed out")
+            if not req.done and self._error is not None:
+                raise RuntimeError(f"serving loop died: {self._error!r}")
         return req
 
     def generate(self, prompt_ids: List[int], max_new_tokens: int = 32,

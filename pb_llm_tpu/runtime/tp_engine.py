@@ -188,6 +188,10 @@ class TPEngine:
 
         if getattr(ecfg, "scan_layers", False):
             raise NotImplementedError("scan_layers under TP shard_map is not supported yet")
+        if getattr(ecfg, "page_size", 0):
+            raise NotImplementedError(
+                "paged KV under TP is not wired yet (the TP prefill/decode "
+                "programs use strip caches); use page_size=0 with --tp")
         tp = mesh.shape["tp"]
         kvh = cfg.kv_heads if fam.name == "llama" else cfg.num_attention_heads
         if cfg.num_attention_heads % tp or kvh % tp:

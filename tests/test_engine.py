@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from pb_llm_tpu.models import hf_import
@@ -171,3 +172,30 @@ def test_int8_kv_cache_decode_close_to_f32(engine_setup):
     nll8 = eng8.forced_decode_nll(0, cont)
     ppl_ratio = float(np.exp(nll8 - nll32))
     assert abs(ppl_ratio - 1.0) < 0.02, (nll32, nll8, ppl_ratio)
+
+
+def test_forced_decode_nll_matches_full_forward(engine_setup):
+    """forced_decode_nll == mean -log P(t_i | prompt + t_<i) from full
+    uncached forwards (regression: the first token used to be conditioned on
+    the spurious sampled prefill token, shifting the whole sequence)."""
+    params, cfg, fam = engine_setup
+    prompt = [5, 17, 99, 3]
+    cont = [7, 21, 42, 11]
+
+    ids = list(prompt)
+    want = 0.0
+    for t in cont:
+        logits, _ = fam.forward(params, jnp.asarray([ids]), cfg)
+        lp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+        want -= float(lp[t])
+        ids.append(t)
+    want /= len(cont)
+
+    eng = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,)))
+    eng.prefill(0, prompt)
+    # a second active slot must be unaffected by the forced stepping
+    eng.prefill(1, [42, 7, 11])
+    len1 = int(eng.lengths[1])
+    got = eng.forced_decode_nll(0, cont)
+    assert abs(got - want) < 1e-4, (got, want)
+    assert int(eng.lengths[1]) == len1  # other slot's length untouched

@@ -33,8 +33,8 @@ def test_paged_attention_kernel_oracle():
     r = np.random.default_rng(0)
     B, H, D, PS, MAXP, P = 3, 4, 32, 16, 4, 24
     q = jnp.asarray(r.standard_normal((B, H, D)).astype(np.float32))
-    kp = jnp.asarray(r.standard_normal((P, PS, H, D)).astype(np.float32))
-    vp = jnp.asarray(r.standard_normal((P, PS, H, D)).astype(np.float32))
+    kp = jnp.asarray(r.standard_normal((P, H, PS, D)).astype(np.float32))
+    vp = jnp.asarray(r.standard_normal((P, H, PS, D)).astype(np.float32))
     table = jnp.asarray(r.integers(0, P, size=(B, MAXP)).astype(np.int32))
     lengths = jnp.asarray(np.array([7, 64, 33], np.int32))
     ref = paged_attention_reference(q, kp, vp, table, lengths, 0.25, PS)
@@ -60,7 +60,7 @@ def test_page_pool_alloc_free():
         small.ensure(0, 48)  # needs 3 pages, pool has 2
     pool.release(0)
     assert pool.free_pages == 4
-    assert (pool.table[0] == 0).all()
+    assert (pool.table[0] == pool.trash_page).all()
 
 
 def _greedy_tokens(eng, prompt, steps):
@@ -128,8 +128,8 @@ def test_paged_attention_kernel_gqa():
     r = np.random.default_rng(1)
     B, HQ, HKV, D, PS, MAXP, P = 2, 8, 2, 32, 16, 3, 12
     q = jnp.asarray(r.standard_normal((B, HQ, D)).astype(np.float32))
-    kp = jnp.asarray(r.standard_normal((P, PS, HKV, D)).astype(np.float32))
-    vp = jnp.asarray(r.standard_normal((P, PS, HKV, D)).astype(np.float32))
+    kp = jnp.asarray(r.standard_normal((P, HKV, PS, D)).astype(np.float32))
+    vp = jnp.asarray(r.standard_normal((P, HKV, PS, D)).astype(np.float32))
     table = jnp.asarray(r.integers(0, P, size=(B, MAXP)).astype(np.int32))
     lengths = jnp.asarray(np.array([11, 40], np.int32))
     ref = paged_attention_reference(q, kp, vp, table, lengths, 0.25, PS)
@@ -153,4 +153,21 @@ def test_paged_engine_gqa_llama():
     prompt = [5, 17, 42, 3]
     want = _greedy_tokens(strip, prompt, 6)
     got = _greedy_tokens(paged, prompt, 6)
+    assert got == want, (got, want)
+
+
+def test_paged_inactive_slot_does_not_corrupt(tiny_opt):
+    """Decode writes for INACTIVE slots land in the trash page, never in a
+    live slot's pages (regression: zeroed table rows used to alias page 0)."""
+    params, cfg, fam = tiny_opt
+    strip = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=48, prefill_buckets=(8,)))
+    paged = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=48, prefill_buckets=(8,), page_size=8))
+    prompt = [5, 17, 99, 3]
+    want = _greedy_tokens(strip, prompt, 8)
+    # slot 0 active, slot 1 NEVER prefilled — its batched decode writes must
+    # not touch slot 0's pages (page 0 in particular)
+    got = [paged.prefill(0, prompt)]
+    for _ in range(7):
+        got.append(paged.decode_step()[0])
     assert got == want, (got, want)
