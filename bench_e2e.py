@@ -98,6 +98,9 @@ def main():
                          "measures the compile-time win of models.stacking)")
     ap.add_argument("--kv_int8", action="store_true",
                     help="absmax int8 KV cache (halves the KV read per step)")
+    ap.add_argument("--paged", type=int, default=0, metavar="PAGE",
+                    help="paged KV cache with this page size (0 = strips); "
+                         "measures the paged-attention decode cost")
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -111,7 +114,19 @@ def main():
                                 fmt=args.fmt, low_frac=args.low_frac)
 
     B, S = args.slots, args.ctx
-    if args.kv_int8:
+    if args.paged:
+        # pre-allocated pages for the whole run (ctx/2 start + decode steps)
+        ps = args.paged
+        maxp = S // ps
+        n_pages = B * maxp
+        table = np.arange(n_pages, dtype=np.int32).reshape(B, maxp)
+        caches = [
+            {"k_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), jnp.bfloat16),
+             "v_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), jnp.bfloat16),
+             "table": jnp.asarray(table)}
+            for _ in range(cfg.num_hidden_layers)
+        ]
+    elif args.kv_int8:
         caches = [
             {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
              "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
