@@ -101,6 +101,10 @@ def main():
     ap.add_argument("--paged", type=int, default=0, metavar="PAGE",
                     help="paged KV cache with this page size (0 = strips); "
                          "measures the paged-attention decode cost")
+    ap.add_argument("--prefill", action="store_true",
+                    help="measure PREFILL throughput instead of decode: one "
+                         "--ctx-token prompt per forward (hybrid v2 path at "
+                         "m=ctx), no KV cache writes timed separately")
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -114,6 +118,46 @@ def main():
                                 fmt=args.fmt, low_frac=args.low_frac)
 
     B, S = args.slots, args.ctx
+
+    if args.prefill:
+        # set PB_TPU_PREFILL_BF16=1 in the environment BEFORE launching (the
+        # dispatch reads it at import); we only report what's active
+        from pb_llm_tpu.ops.binary_matmul import _PREFILL_BF16 as bf16
+
+        def prefill_scan(params, ids0, n_calls):
+            def body(carry, _):
+                ids = carry
+                logits, _ = fam.forward(params, ids, cfg)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                return jnp.concatenate([ids[:, 1:], nxt], axis=1), ()
+            ids, _ = jax.lax.scan(body, ids0, None, length=n_calls)
+            return jnp.sum(ids)
+
+        ids0 = jnp.zeros((1, S), jnp.int32)
+        times = {}
+        for n in (2, 6):
+            f = jax.jit(lambda p, i: prefill_scan(p, i, n))
+            t0 = time.time()
+            float(f(params, ids0))
+            log(f"compiled prefill scan n={n} in {time.time()-t0:.0f}s")
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                float(f(params, ids0 + i))
+                ts.append(time.perf_counter() - t0)
+            times[n] = min(ts)
+            log(f"n={n}: {times[n]*1e3:.1f}ms")
+        per_call = (times[6] - times[2]) / 4
+        toks = S / per_call
+        log(f"prefill ({S} tokens, bf16={bf16}): {per_call*1e3:.1f}ms/call")
+        print(json.dumps({
+            "metric": f"llama-7b-shape packed PREFILL throughput (ctx={S}, {args.layers} layers, {args.fmt}, hybrid)",
+            "value": round(toks, 1),
+            "unit": "tokens/s/chip",
+            "vs_baseline": None,
+        }))
+        return
+
     if args.paged:
         # pre-allocated pages for the whole run (ctx/2 start + decode steps)
         ps = args.paged

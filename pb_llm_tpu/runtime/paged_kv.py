@@ -102,14 +102,12 @@ def write_token(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
                 offsets: jnp.ndarray) -> jnp.ndarray:
     """Scatter one new KV token per slot: pages [P+1, H, page, D] head-major,
     new [B, H, D], page_ids/offsets [B] int32 (inactive slots' table rows
-    point at the trash page)."""
-    def per_slot(pages, xs):
-        pg, off, val = xs
-        # val [H, D] -> [1, H, 1, D] at (page, 0, offset, 0)
-        return jax.lax.dynamic_update_slice(pages, val[None, :, None], (pg, 0, off, 0)), None
+    point at the trash page).
 
-    pages, _ = jax.lax.scan(per_slot, pages, (page_ids, offsets, new))
-    return pages
+    One batched XLA scatter (not a per-slot scan): active slots hit unique
+    (page, offset) pairs; inactive slots all collide on the trash page,
+    where write order is irrelevant."""
+    return pages.at[page_ids, :, offsets].set(new.astype(pages.dtype))
 
 
 def write_prompt(pages: jnp.ndarray, seq: jnp.ndarray, slot_pages: jnp.ndarray) -> jnp.ndarray:
