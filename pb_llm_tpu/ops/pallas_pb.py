@@ -318,7 +318,12 @@ def _dequant_v2_binary(p: PackedLinearV2, dtype=jnp.bfloat16,
             pl.BlockSpec((2, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ic, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # XLA may pin the kernel output in VMEM (S(1)) in big programs —
+            # same headroom as the planar kernels (v5e: 128 MB VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * ic * oc,
             bytes_accessed=ic * oc // 8 + ic * oc * jnp.dtype(dtype).itemsize,
