@@ -385,3 +385,46 @@ def test_v2_prefill_kernel_ic_shards():
         ref = np.asarray(pbw.matmul_reference_v2(x, p))
         got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tpengine_v2_hybrid_prefill():
+    """v2 global-column leaves under TP with a bucket >= 256: exercises the
+    hybrid prefill (Pallas dequant + XLA two-dot) inside shard_map, token-
+    exact vs the single-device engine."""
+    import copy
+
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.parallel import mesh as pmesh
+    from pb_llm_tpu.runtime import tp_engine
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    TP = 4
+    cfg = jllama.LlamaConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                             num_hidden_layers=2, num_attention_heads=8,
+                             num_key_value_heads=8, max_position_embeddings=512)
+    fam = family_for("huggyllama/llama-7b")
+    params = jllama.init_params(cfg, jax.random.PRNGKey(1))
+    calib = np.random.default_rng(1).integers(0, 128, size=(2, 16))
+    scfg = SolverConfig(low_frac=0.8, blocksize=32, mask_structure="column",
+                        col_tile=0, ic_shards=TP)
+    packed, _ = quantize_model_ptq(params, cfg, fam, calib, scfg,
+                                   fmt="packed_v2", log=None, pack_block=32)
+    assert packed["layers"][0]["down_proj"].n_row_groups == 1
+
+    ecfg = EngineConfig(n_slots=1, max_seq=320, prefill_buckets=(256,))
+    prompt = list(np.random.default_rng(9).integers(0, 128, size=30))
+
+    ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+    want = [ref.prefill(0, prompt)]
+    for _ in range(3):
+        want.append(ref.decode_step()[0])
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    got = [eng.prefill(0, prompt)]
+    for _ in range(3):
+        got.append(eng.decode_step()[0])
+    assert got == want, (got, want)

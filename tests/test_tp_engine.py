@@ -217,3 +217,25 @@ def test_tpengine_http_serving(packed_llama):
     finally:
         server.shutdown()
         server.serving_loop.shutdown()
+
+
+def test_tp_prefill_hybrid_path(packed_llama):
+    """TP prefill at a bucket >= 256 exercises the hybrid v2/v1 prefill
+    kernels under shard_map (m-large path) — token parity vs single device."""
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama
+    ecfg = EngineConfig(n_slots=1, max_seq=320, prefill_buckets=(256,))
+    prompt = list(np.random.default_rng(5).integers(0, 128, size=40))
+
+    ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+    want = [ref.prefill(0, prompt)]
+    for _ in range(3):
+        want.append(ref.decode_step()[0])
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    got = [eng.prefill(0, prompt)]
+    for _ in range(3):
+        got.append(eng.decode_step()[0])
+    assert got == want, (got, want)
