@@ -16,7 +16,7 @@ import time
 from collections import deque
 from typing import Dict, List, Optional, Sequence
 
-from .engine import Engine
+from .engine import Engine, PoolExhausted
 
 
 @dataclasses.dataclass
@@ -35,6 +35,7 @@ class BatcherStats:
     generated_tokens: int = 0
     decode_steps: int = 0
     prefills: int = 0
+    preemptions: int = 0
     wall_seconds: float = 0.0
 
     @property
@@ -48,6 +49,8 @@ class ContinuousBatcher:
         self.queue: deque[Request] = deque()
         self.slot_to_request: Dict[int, Request] = {}
         self.stats = BatcherStats()
+        self._admit_seq = 0
+        self._admitted_at: Dict[int, int] = {}
 
     def submit(self, req: Request) -> None:
         self.queue.append(req)
@@ -64,7 +67,34 @@ class ContinuousBatcher:
             req.output_ids.append(first)
             self.stats.generated_tokens += 1
             self.slot_to_request[slot] = req
+            self._admitted_at[slot] = self._admit_seq
+            self._admit_seq += 1
             self._maybe_retire(slot, first)
+
+    def _preempt_one(self) -> bool:
+        """Paged-pool pressure valve (vLLM-style recompute preemption): evict
+        the MOST RECENTLY admitted runnable request — release its pages, fold
+        its generated tokens into the prompt, and requeue it at the FRONT so
+        it resumes as soon as pages free up.  Greedy streams are unchanged by
+        the recompute (same logits → same argmax); stochastic sampling yields
+        a different but equally valid continuation.  Returns False when no
+        victim can be recomputed (its grown prompt no longer fits a bucket)."""
+        for slot in sorted(self.slot_to_request, key=lambda s: -self._admitted_at[s]):
+            req = self.slot_to_request[slot]
+            full = req.prompt_ids + req.output_ids
+            if len(full) >= self.engine.ecfg.max_seq:
+                continue
+            try:
+                self.engine._bucket(len(full))
+            except ValueError:
+                continue  # grown prompt exceeds the largest prefill bucket
+            req.prompt_ids = full
+            del self.slot_to_request[slot]
+            self.engine.release(slot)
+            self.queue.appendleft(req)
+            self.stats.preemptions += 1
+            return True
+        return False
 
     def _maybe_retire(self, slot: int, token: int) -> None:
         req = self.slot_to_request[slot]
@@ -89,7 +119,15 @@ class ContinuousBatcher:
                     f"request {req.request_id} (prompt {len(req.prompt_ids)}) "
                     "cannot be admitted even with an idle engine — page pool "
                     "smaller than its bucket")
-        for slot, tok in self.engine.decode_step().items():
+        try:
+            toks = self.engine.decode_step()
+        except PoolExhausted:
+            # the pool can't cover every active slot's next token: shed load
+            # and retry next tick (the freed pages unblock the others)
+            if not self._preempt_one():
+                raise
+            return
+        for slot, tok in toks.items():
             req = self.slot_to_request.get(slot)
             if req is None:
                 continue

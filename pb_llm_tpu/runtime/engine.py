@@ -51,6 +51,13 @@ class EngineConfig:
     n_pages: int = 0
 
 
+class PoolExhausted(RuntimeError):
+    """Decode needs more pages than the paged pool has free.  Raised BEFORE
+    any slot grows (the step is not taken), so the scheduler can preempt a
+    request (release its pages, requeue it for recompute) and retry —
+    `runtime.batching.ContinuousBatcher` does exactly that."""
+
+
 class Engine:
     """Low-level engine: claims slots, prefills prompts, steps decode."""
 
@@ -280,6 +287,14 @@ class Engine:
         if self._decode_jit is None:
             self._decode_jit = self._make_decode()
         if self.pool is not None:
+            need = sum(
+                max(0, self.pool.pages_needed(int(self.lengths[i]) + 1) - len(self.pool.owned[i]))
+                for i in range(self.ecfg.n_slots) if self.active[i]
+            )
+            if need > self.pool.free_pages:
+                raise PoolExhausted(
+                    f"decode step needs {need} new pages, pool has "
+                    f"{self.pool.free_pages} free — preempt a request")
             for i in range(self.ecfg.n_slots):
                 if self.active[i]:
                     self._ensure_pages(i, int(self.lengths[i]) + 1)

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 
 from .batching import BatcherStats, Request
-from .engine import Engine
+from .engine import Engine, PoolExhausted
 
 
 def _broadcast(arr: np.ndarray) -> np.ndarray:
@@ -58,6 +58,10 @@ class MultiHostBatcher:
         self.queue: deque[Request] = deque()
         self.slot_to_request: Dict[int, Request] = {}
         self.stats = BatcherStats()
+        # admission order, maintained identically on EVERY host (from the
+        # broadcast record) so preemption picks the same victim everywhere
+        self._admit_seq = 0
+        self._admitted_at: Dict[int, int] = {}
 
     def submit(self, req: Request) -> None:
         """Requests are fed on host 0; other hosts receive them via broadcast."""
@@ -65,21 +69,37 @@ class MultiHostBatcher:
             self.queue.append(req)
 
     def _admission_record(self) -> np.ndarray:
-        """Fixed-shape [max_admits, 4 + max_prompt] int32 record:
-        (slot, request_id, true_len, max_new_tokens, prompt...)  slot=-1 ⇒ empty."""
-        rec = np.full((self.max_admits, 4 + self.max_prompt), -1, np.int32)
+        """Fixed-shape [max_admits, 5 + max_prompt] int32 record:
+        (slot, request_id, budget_left, eos, true_len, prompt...)
+        slot=-1 ⇒ empty row; eos=-1 ⇒ no EOS.  budget_left is the REMAINING
+        token budget (max_new_tokens minus tokens already generated before a
+        preemption) so shadow requests — which start with empty output_ids —
+        retire on exactly the same tick as host 0's rich request."""
+        rec = np.full((self.max_admits, 5 + self.max_prompt), -1, np.int32)
         if self.is_host0:
             free = [s for s in self.engine.free_slots() if s not in self.slot_to_request]
+            # paged pools gate admission on free pages; pages are only
+            # allocated at prefill time (in _apply_admissions), so account
+            # for every admission IN THIS RECORD before checking the next
+            pool = getattr(self.engine, "pool", None)
+            pages_left = pool.free_pages if pool is not None else None
             for row, slot in enumerate(free[: self.max_admits]):
                 if not self.queue:
                     break
+                if pool is not None:
+                    n = min(len(self.queue[0].prompt_ids), self.max_prompt)
+                    need = pool.pages_needed(self.engine._bucket(n))
+                    if pages_left < need + 1:  # +1 page of decode headroom
+                        break
+                    pages_left -= need
                 req = self.queue.popleft()
                 ids = np.asarray(req.prompt_ids[: self.max_prompt], np.int32)
                 rec[row, 0] = slot
                 rec[row, 1] = req.request_id
-                rec[row, 2] = len(ids)
-                rec[row, 3] = req.max_new_tokens
-                rec[row, 4 : 4 + len(ids)] = ids
+                rec[row, 2] = req.max_new_tokens - len(req.output_ids)
+                rec[row, 3] = -1 if req.eos_token_id is None else req.eos_token_id
+                rec[row, 4] = len(ids)
+                rec[row, 5 : 5 + len(ids)] = ids
                 # host 0 keeps the rich Request object
                 self.slot_to_request[slot] = req
         return rec
@@ -89,19 +109,49 @@ class MultiHostBatcher:
             slot = int(row[0])
             if slot < 0:
                 continue
-            true_len = int(row[2])
-            prompt = row[4 : 4 + true_len].tolist()
+            true_len = int(row[4])
+            prompt = row[5 : 5 + true_len].tolist()
             if not self.is_host0:
                 # non-host0 processes mirror with a shadow Request
                 self.slot_to_request[slot] = Request(
-                    request_id=int(row[1]), prompt_ids=prompt, max_new_tokens=int(row[3])
+                    request_id=int(row[1]), prompt_ids=prompt,
+                    max_new_tokens=int(row[2]),
+                    eos_token_id=None if int(row[3]) < 0 else int(row[3]),
                 )
             req = self.slot_to_request[slot]
+            self._admitted_at[slot] = self._admit_seq
+            self._admit_seq += 1
             first = self.engine.prefill(slot, prompt)  # identical program everywhere
             self.stats.prefills += 1
             req.output_ids.append(first)
             self.stats.generated_tokens += 1
             self._maybe_retire(slot, first)
+
+    def _preempt_one(self) -> bool:
+        """Recompute preemption under pool pressure (mirrors
+        `ContinuousBatcher._preempt_one`).  The victim choice is a pure
+        function of state that is identical on every host (admission order,
+        prompt+output lengths, bucket table), so all processes release the
+        same slot with no extra broadcast; only host 0 requeues the folded
+        request — other hosts drop their shadow and re-mirror it when host 0
+        re-admits it."""
+        for slot in sorted(self.slot_to_request, key=lambda s: -self._admitted_at[s]):
+            req = self.slot_to_request[slot]
+            full = req.prompt_ids + req.output_ids
+            if len(full) >= self.engine.ecfg.max_seq or len(full) > self.max_prompt:
+                continue
+            try:
+                self.engine._bucket(len(full))
+            except ValueError:
+                continue
+            del self.slot_to_request[slot]
+            self.engine.release(slot)
+            if self.is_host0:
+                req.prompt_ids = full
+                self.queue.appendleft(req)
+            self.stats.preemptions += 1
+            return True
+        return False
 
     def _maybe_retire(self, slot: int, token: int) -> None:
         req = self.slot_to_request[slot]
@@ -119,7 +169,24 @@ class MultiHostBatcher:
     def step(self) -> None:
         rec = _broadcast(self._admission_record())
         self._apply_admissions(rec)
-        for slot, tok in self.engine.decode_step().items():
+        if self.is_host0 and self.queue and not self.slot_to_request:
+            # idle engine and the head request still can't be admitted: it
+            # can never fit — fail loudly instead of spinning forever
+            req = self.queue[0]
+            if not self.engine.can_admit(min(len(req.prompt_ids), self.max_prompt)):
+                raise RuntimeError(
+                    f"request {req.request_id} (prompt {len(req.prompt_ids)}) "
+                    "cannot be admitted even with an idle engine — page pool "
+                    "smaller than its bucket")
+        try:
+            toks = self.engine.decode_step()
+        except PoolExhausted:
+            # deterministic on every host (pool state is identical); shed the
+            # same victim everywhere and retry next tick
+            if not self._preempt_one():
+                raise
+            return
+        for slot, tok in toks.items():
             req = self.slot_to_request.get(slot)
             if req is None:
                 continue

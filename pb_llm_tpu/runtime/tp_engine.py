@@ -69,10 +69,19 @@ def _tp_linear_fn(name, lin, x):
     return apply_linear(lin, x)
 
 
+def _cache_spec_for_key(k: str):
+    """Strip caches carry heads on axis 2 (k/v and int8 scale planes alike);
+    paged pools carry heads on axis 1 ([P+1, H, page, D]) and the page table
+    is tiny replicated int32."""
+    if k in ("k_pages", "v_pages"):
+        return P(None, "tp", None, None)
+    if k == "table":
+        return P()
+    return CACHE_SPEC
+
+
 def _cache_specs_like(caches) -> List[Dict[str, Any]]:
-    """Head-sharded spec per cache field (k/v and any int8 scale planes all
-    carry heads on axis 2)."""
-    return [{k: CACHE_SPEC for k in c} for c in caches]
+    return [{k: _cache_spec_for_key(k) for k in c} for c in caches]
 
 
 def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree=None) -> Callable:
@@ -153,6 +162,41 @@ def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, cach
     return jax.jit(fn)
 
 
+def make_tp_prefill_paged(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree) -> Callable:
+    """Jitted TP prefill into a PAGED pool (runtime.paged_kv): the whole page
+    pool rides along head-sharded; the slot's page list (replicated int32)
+    directs the writes exactly as in `Engine._make_prefill_paged`.
+
+    prefill(params, caches, ids_padded [bucket], slot_pages [maxp], true_len)
+      → (caches, next_logits [V])
+    """
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, fam, tp)
+    pspecs = param_specs(params_tree, fam.name, mesh)
+    cache_specs = _cache_specs_like(caches_tree)
+
+    def local_prefill(params, caches, ids_padded, slot_pages, true_len):
+        pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+        logits, new = fam.forward(
+            params, ids_padded[None, :], lcfg,
+            linear_fn=_tp_linear_fn, kv_caches=pcaches, pos=0,
+        )
+        new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
+        next_logits = logits[0, true_len - 1]
+        if next_logits.shape[-1] != cfg.vocab_size:
+            next_logits = jax.lax.all_gather(next_logits, "tp", axis=-1, tiled=True)
+        return new, next_logits
+
+    fn = shard_map(
+        local_prefill,
+        mesh=mesh,
+        in_specs=(pspecs, cache_specs, P(), P(), P()),
+        out_specs=(cache_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_caches_tp(cfg, fam: Family, mesh: Mesh, n_slots: int, max_seq: int, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
     from jax.sharding import NamedSharding
 
@@ -188,10 +232,6 @@ class TPEngine:
 
         if getattr(ecfg, "scan_layers", False):
             raise NotImplementedError("scan_layers under TP shard_map is not supported yet")
-        if getattr(ecfg, "page_size", 0):
-            raise NotImplementedError(
-                "paged KV under TP is not wired yet (the TP prefill/decode "
-                "programs use strip caches); use page_size=0 with --tp")
         tp = mesh.shape["tp"]
         kvh = cfg.kv_heads if fam.name == "llama" else cfg.num_attention_heads
         if cfg.num_attention_heads % tp or kvh % tp:
@@ -200,11 +240,24 @@ class TPEngine:
         self.mesh = mesh
         params_sh = shard_params(params, mesh, fam.name) if shard else params
         self._base = Engine(params_sh, cfg, fam, ecfg, sampling or SamplingParams())
-        self._base.caches = make_caches_tp(cfg, fam, mesh, ecfg.n_slots, ecfg.max_seq, ecfg.cache_dtype)
         base = self._base
+        if base.pool is not None:
+            # paged pool: pages head-sharded over tp, table replicated
+            from jax.sharding import NamedSharding
+
+            base.caches = [
+                {k: jax.device_put(v, NamedSharding(mesh, _cache_spec_for_key(k)))
+                 for k, v in c.items()}
+                for c in base.caches
+            ]
+        else:
+            base.caches = make_caches_tp(cfg, fam, mesh, ecfg.n_slots, ecfg.max_seq, ecfg.cache_dtype)
 
         def make_prefill(bucket):
             return make_tp_prefill(cfg, fam, mesh, params_sh, bucket, caches_tree=base.caches)
+
+        def make_prefill_paged(bucket):
+            return make_tp_prefill_paged(cfg, fam, mesh, params_sh, bucket, caches_tree=base.caches)
 
         def make_decode():
             import functools
@@ -225,6 +278,7 @@ class TPEngine:
             return decode
 
         base._make_prefill = make_prefill
+        base._make_prefill_paged = make_prefill_paged
         base._make_decode = make_decode
 
     def __getattr__(self, name):

@@ -156,6 +156,59 @@ def test_paged_engine_gqa_llama():
     assert got == want, (got, want)
 
 
+def test_paged_preemption_recompute(tiny_opt):
+    """Pool too small for two slots growing together: the batcher preempts
+    the later-admitted request (vLLM-style recompute — fold generated tokens
+    into the prompt, requeue at the front) instead of crashing, and greedy
+    token streams still match the strip engine exactly."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+
+    params, cfg, fam = tiny_opt
+    strip = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32)))
+    w0 = _greedy_tokens(strip, [5, 17, 99, 3], 10)
+    w1 = _greedy_tokens(strip, [42, 7, 11, 23, 60], 10)
+
+    # 3 pages x 8 tokens: both slots crossing length 8 need a 2nd page but
+    # only one is free -> PoolExhausted -> preempt
+    paged = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32), page_size=8, n_pages=3))
+    b = ContinuousBatcher(paged)
+    done = b.run([
+        Request(request_id=0, prompt_ids=[5, 17, 99, 3], max_new_tokens=10),
+        Request(request_id=1, prompt_ids=[42, 7, 11, 23, 60], max_new_tokens=10),
+    ])
+    assert b.stats.preemptions >= 1
+    assert all(r.done for r in done)
+    assert done[0].output_ids == w0, (done[0].output_ids, w0)
+    assert done[1].output_ids == w1, (done[1].output_ids, w1)
+    assert paged.pool.free_pages == 3  # everything released
+
+
+def test_multihost_batcher_paged_preemption(tiny_opt):
+    """Single-process MultiHostBatcher over a paged engine: admission gates
+    on free pages, preemption sheds the later request, streams match strips."""
+    from pb_llm_tpu.runtime.batching import Request
+    from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
+
+    params, cfg, fam = tiny_opt
+    strip = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32)))
+    w0 = _greedy_tokens(strip, [5, 17, 99, 3], 10)
+    w1 = _greedy_tokens(strip, [42, 7, 11, 23, 60], 10)
+
+    paged = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32), page_size=8, n_pages=3))
+    b = MultiHostBatcher(paged, max_prompt=32)
+    done = b.run([
+        Request(request_id=0, prompt_ids=[5, 17, 99, 3], max_new_tokens=10),
+        Request(request_id=1, prompt_ids=[42, 7, 11, 23, 60], max_new_tokens=10),
+    ])
+    assert b.stats.preemptions >= 1
+    assert done[0].output_ids == w0, (done[0].output_ids, w0)
+    assert done[1].output_ids == w1, (done[1].output_ids, w1)
+
+
 def test_paged_inactive_slot_does_not_corrupt(tiny_opt):
     """Decode writes for INACTIVE slots land in the trash page, never in a
     live slot's pages (regression: zeroed table rows used to alias page 0)."""

@@ -219,6 +219,36 @@ def test_tpengine_http_serving(packed_llama):
         server.serving_loop.shutdown()
 
 
+def test_tpengine_paged_matches_single_device(packed_llama):
+    """Paged KV under TP (ROADMAP item 6): page pool head-sharded over tp
+    (pages [P+1, H/tp, page, D] per shard), page table replicated; continuous
+    batching over the paged TP engine produces token streams identical to the
+    single-device paged Engine."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama
+    reqs = lambda: [
+        Request(request_id=i, prompt_ids=list(p), max_new_tokens=6)
+        for i, p in enumerate(np.random.default_rng(9).integers(0, 128, size=(4, 5)))
+    ]
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,), page_size=8)
+
+    eng_ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+    done_ref = ContinuousBatcher(eng_ref).run(reqs())
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng_tp = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    assert eng_tp.pool is not None
+    done_tp = ContinuousBatcher(eng_tp).run(reqs())
+
+    assert all(r.done for r in done_tp)
+    for a, b in zip(done_ref, done_tp):
+        assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
+    # pages actually released back when requests finish
+    assert eng_tp.pool.free_pages == eng_tp.pool.n_pages
+
+
 def test_tp_prefill_hybrid_path(packed_llama):
     """TP prefill at a bucket >= 256 exercises the hybrid v2/v1 prefill
     kernels under shard_map (m-large path) — token parity vs single device."""
