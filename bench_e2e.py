@@ -164,12 +164,16 @@ def main():
         maxp = S // ps
         n_pages = B * maxp
         table = np.arange(n_pages, dtype=np.int32).reshape(B, maxp)
-        caches = [
-            {"k_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), jnp.bfloat16),
-             "v_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), jnp.bfloat16),
-             "table": jnp.asarray(table)}
-            for _ in range(cfg.num_hidden_layers)
-        ]
+        page_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
+        caches = []
+        for _ in range(cfg.num_hidden_layers):
+            c = {"k_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), page_dtype),
+                 "v_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), page_dtype),
+                 "table": jnp.asarray(table)}
+            if args.kv_int8:
+                c["k_scale_pages"] = jnp.zeros((n_pages + 1, cfg.kv_heads, ps), jnp.float32)
+                c["v_scale_pages"] = jnp.zeros((n_pages + 1, cfg.kv_heads, ps), jnp.float32)
+            caches.append(c)
     elif args.kv_int8:
         caches = [
             {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),

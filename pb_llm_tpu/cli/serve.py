@@ -22,7 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_seq", type=int, default=2048)
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
-    p.add_argument("--kv_int8", action="store_true", help="absmax-quantized int8 KV cache (halves cache HBM)")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="absmax-quantized int8 KV cache (halves cache HBM vs "
+                        "bf16, 4x vs f32; composes with --page_size)")
     p.add_argument("--page_size", type=int, default=0,
                    help="paged KV cache: page size in tokens (0 = fixed strips); "
                         "HBM per request becomes proportional to its length")

@@ -119,14 +119,29 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
 
         out = dict(cache)
         page = cache["k_pages"].shape[2]  # head-major pages [P+1, H, page, D]
+
+        def _q(val):  # absmax int8 per (token, head), like the strip cache
+            scale = jnp.maximum(jnp.max(jnp.abs(val), axis=-1) / 127.0, 1e-8)
+            return jnp.clip(jnp.round(val / scale[..., None]), -127, 127), scale
+
         if "slot_pages" in cache:  # prefill: one slot, pos == 0, t % page == 0
-            out["k_pages"] = paged_kv.write_prompt(cache["k_pages"], k[0], cache["slot_pages"])
-            out["v_pages"] = paged_kv.write_prompt(cache["v_pages"], v[0], cache["slot_pages"])
+            for name, val in (("k", k[0]), ("v", v[0])):
+                if "k_scale_pages" in cache:
+                    val, scale = _q(val)
+                    out[f"{name}_scale_pages"] = paged_kv.write_prompt(
+                        cache[f"{name}_scale_pages"], scale, cache["slot_pages"])
+                out[f"{name}_pages"] = paged_kv.write_prompt(
+                    cache[f"{name}_pages"], val, cache["slot_pages"])
             return out
         p = jnp.asarray(pos)  # [B] per-slot positions, t == 1
         page_ids = jnp.take_along_axis(cache["table"], (p // page)[:, None], axis=1)[:, 0]
-        out["k_pages"] = paged_kv.write_token(cache["k_pages"], k[:, 0], page_ids, p % page)
-        out["v_pages"] = paged_kv.write_token(cache["v_pages"], v[:, 0], page_ids, p % page)
+        for name, val in (("k", k[:, 0]), ("v", v[:, 0])):
+            if "k_scale_pages" in cache:
+                val, scale = _q(val)
+                out[f"{name}_scale_pages"] = paged_kv.write_token(
+                    cache[f"{name}_scale_pages"], scale, page_ids, p % page)
+            out[f"{name}_pages"] = paged_kv.write_token(
+                cache[f"{name}_pages"], val, page_ids, p % page)
         return out
     p = jnp.asarray(pos)
     out = dict(cache)
@@ -162,7 +177,10 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
         lengths = jnp.asarray(pos) + 1  # includes the token just written
         out = paged_attention(
             q[:, 0], kp, vp, kv_cache["table"], lengths, scale,
-            page_size=kp.shape[2], interpret=jax.default_backend() == "cpu",
+            page_size=kp.shape[2],
+            k_scale_pages=kv_cache.get("k_scale_pages"),
+            v_scale_pages=kv_cache.get("v_scale_pages"),
+            interpret=jax.default_backend() == "cpu",
         )
         return out[:, None].astype(q.dtype)
     s = kv_cache["k"].shape[1]

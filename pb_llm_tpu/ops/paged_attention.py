@@ -32,8 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, page_size: int, n_pages_per_slot: int, n_groups: int):
+def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, *rest,
+            page_size: int, n_pages_per_slot: int, n_groups: int,
+            quantized: bool):
+    if quantized:  # int8 pages carry per-(token, head) f32 scale planes
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -57,10 +62,18 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_re
         q = q_ref[0].reshape(hkv, n_groups, d)  # q pre-scaled by the caller
         k = k_ref[0]  # [Hkv, page, D]
         v = v_ref[0]
+        if quantized:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
         # [Hkv, G, page]: batch over kv heads, contract D
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
+        if quantized:
+            # dequant K AFTER the dot: s[..., t] scales by k_scale[t] — exact
+            # (per-token scale factors out of the contraction over D), and
+            # [Hkv, G, page] elements << [Hkv, page, D]
+            s = s * ks_ref[0].reshape(hkv, 1, page_size)
         pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, NEG_INF)
 
@@ -74,6 +87,10 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_re
         l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
         l_ref[:] = jnp.broadcast_to(l_next.reshape(hq, 1), l_ref.shape)
         m_ref[:] = jnp.broadcast_to(m_next.reshape(hq, 1), m_ref.shape)
+        if quantized:
+            # dequant V BEFORE its dot by folding the per-token scale into
+            # the probability weights: sum_t pw[t]·scale[t]·v_q[t]
+            pw = pw * vs_ref[0].reshape(hkv, 1, page_size)
         # [Hkv, G, D]: batch over kv heads, contract page
         pv = jax.lax.dot_general(
             pw, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -90,30 +107,42 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_re
 @functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
 def paged_attention(
     q: jnp.ndarray,            # [B, H, D] one query token per slot
-    k_pages: jnp.ndarray,      # [P, H, page, D] (head-major pages)
+    k_pages: jnp.ndarray,      # [P, H, page, D] (head-major pages; f32/bf16 or int8)
     v_pages: jnp.ndarray,      # [P, H, page, D]
     page_table: jnp.ndarray,   # [B, maxp] int32; entries past the length may be any valid index
     lengths: jnp.ndarray,      # [B] int32 valid KV length per slot
     scale,
     page_size: int,
+    k_scale_pages: jnp.ndarray = None,  # [P, H, page] f32 — int8 pages only
+    v_scale_pages: jnp.ndarray = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, d = q.shape
     hkv = k_pages.shape[1]
     if hq % hkv:
         raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
+    quantized = k_scale_pages is not None
+    if quantized != (k_pages.dtype == jnp.int8):
+        raise ValueError("int8 pages require k/v scale pages (and vice versa)")
     maxp = page_table.shape[1]
     # fold the softmax scale into q outside the kernel (scale may be traced)
-    q = (q.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)).astype(q.dtype)
+    q = (q.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)).astype(
+        jnp.float32 if quantized else q.dtype)
 
+    page_spec = pl.BlockSpec((1, hkv, page_size, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+        page_spec, page_spec,
+    ]
+    operands = [q, k_pages, v_pages]
+    if quantized:
+        scale_spec = pl.BlockSpec((1, hkv, page_size), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0))
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_scale_pages, v_scale_pages]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, maxp),
-        in_specs=[
-            pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
-            pl.BlockSpec((1, hkv, page_size, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
-            pl.BlockSpec((1, hkv, page_size, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hq, 128), jnp.float32),  # running max
@@ -123,24 +152,29 @@ def paged_attention(
     )
     kernel = functools.partial(
         _kernel, page_size=page_size, n_pages_per_slot=maxp,
-        n_groups=hq // hkv,
+        n_groups=hq // hkv, quantized=quantized,
     )
+    out_dtype = jnp.float32 if quantized else q.dtype
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), out_dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
-      q, k_pages, v_pages)
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *operands)
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths, scale,
-                              page_size):
+                              page_size, k_scale_pages=None, v_scale_pages=None):
     """NumPy-style oracle: gather pages densely, full masked softmax.
-    Pages are head-major [P, H, page, D]; handles GQA by repeating KV heads."""
+    Pages are head-major [P, H, page, D]; handles GQA by repeating KV heads
+    and int8 pages by dequantizing them up front."""
+    if k_scale_pages is not None:
+        k_pages = k_pages.astype(jnp.float32) * k_scale_pages[..., None]
+        v_pages = v_pages.astype(jnp.float32) * v_scale_pages[..., None]
+        q = q.astype(jnp.float32)
     b, h, d = q.shape
     hkv = k_pages.shape[1]
     if h != hkv:

@@ -44,9 +44,11 @@ class EngineConfig:
     # switches the strip pool to a global page pool; n_pages 0 sizes it to
     # full strip capacity (set lower to oversubscribe slots under length
     # variance — ContinuousBatcher admission-controls via can_admit).
-    # Requires scan_layers=False, f32/bf16 pages (int8: roadmap), and every
-    # prefill bucket divisible by page_size.  GQA is native (grouped heads
-    # in-kernel; pages store kv_heads only).
+    # Requires scan_layers=False and every prefill bucket divisible by
+    # page_size.  GQA is native (grouped heads in-kernel; pages store
+    # kv_heads only).  cache_dtype=int8 quantizes the pages (absmax per
+    # (token, head), f32 scale planes, in-kernel dequant) — 4x pages per
+    # HBM byte vs f32.
     page_size: int = 0
     n_pages: int = 0
 
@@ -77,8 +79,6 @@ class Engine:
             for b in ecfg.prefill_buckets:
                 if b % ecfg.page_size:
                     raise ValueError(f"prefill bucket {b} not divisible by page_size {ecfg.page_size}")
-            if ecfg.cache_dtype == jnp.int8:
-                raise ValueError("int8 paged KV not implemented; use strip cache for int8")
             n_pages = ecfg.n_pages or ecfg.n_slots * ecfg.max_seq // ecfg.page_size
             self.pool = paged_kv.PagePool(n_pages, ecfg.page_size, ecfg.n_slots, ecfg.max_seq)
             self.caches = self.pool.make_layer_cache(n_layers, kv_heads, head_dim, ecfg.cache_dtype)

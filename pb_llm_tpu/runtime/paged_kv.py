@@ -82,17 +82,23 @@ class PagePool:
         """Per-layer paged cache dicts (the shape `models.attention` expects).
         Pages are head-major [P+1, H, page, D] (the +1 is the trash page);
         the page table is replicated into each dict (tiny int32) so the
-        whole cache rides `fam.forward(kv_caches=...)` unchanged."""
+        whole cache rides `fam.forward(kv_caches=...)` unchanged.
+
+        int8 pages (the capacity lever: 2x pages per HBM byte vs bf16, 4x vs
+        f32) carry per-(token, head) f32 absmax scales in [P+1, H, page]
+        sidecar planes — same scheme as the int8 strip cache
+        (`models.attention.cache_update`), dequantized in-kernel."""
         table = self.table_device()
         shape = (self.n_pages + 1, kv_heads, self.page_size, head_dim)
-        return [
-            {
-                "k_pages": jnp.zeros(shape, dtype),
-                "v_pages": jnp.zeros(shape, dtype),
-                "table": table,
-            }
-            for _ in range(n_layers)
-        ]
+        cache = {
+            "k_pages": jnp.zeros(shape, dtype),
+            "v_pages": jnp.zeros(shape, dtype),
+            "table": table,
+        }
+        if dtype == jnp.int8:
+            cache["k_scale_pages"] = jnp.zeros(shape[:3], jnp.float32)
+            cache["v_scale_pages"] = jnp.zeros(shape[:3], jnp.float32)
+        return [dict(cache) for _ in range(n_layers)]
 
 
 # -- device-side writes (functional; per-layer arrays; call under jit) ------
@@ -100,9 +106,10 @@ class PagePool:
 
 def write_token(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
                 offsets: jnp.ndarray) -> jnp.ndarray:
-    """Scatter one new KV token per slot: pages [P+1, H, page, D] head-major,
-    new [B, H, D], page_ids/offsets [B] int32 (inactive slots' table rows
-    point at the trash page).
+    """Scatter one new KV token per slot: pages [P+1, H, page, D] head-major
+    (or [P+1, H, page] scale planes), new [B, H, D] (or [B, H]),
+    page_ids/offsets [B] int32 (inactive slots' table rows point at the
+    trash page).
 
     One batched XLA scatter (not a per-slot scan): active slots hit unique
     (page, offset) pairs; inactive slots all collide on the trash page,
@@ -112,18 +119,18 @@ def write_token(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
 
 def write_prompt(pages: jnp.ndarray, seq: jnp.ndarray, slot_pages: jnp.ndarray) -> jnp.ndarray:
     """Write a whole (padded) prompt into one slot's pages: pages
-    [P+1, H, page, D] head-major, seq [T_pad, H, D] with T_pad % page == 0,
-    slot_pages [>= T_pad/page] int32.  Positions past the true length land
-    in their page too — masked by `lengths` at read time and overwritten by
-    decode."""
+    [P+1, H, page, D] head-major (or [P+1, H, page] scale planes), seq
+    [T_pad, H, D] (or [T_pad, H]) with T_pad % page == 0, slot_pages
+    [>= T_pad/page] int32.  Positions past the true length land in their
+    page too — masked by `lengths` at read time and overwritten by decode."""
     page = pages.shape[2]
     n = seq.shape[0] // page
-    # [n, page, H, D] -> [n, H, page, D]
-    blocks = jnp.swapaxes(seq.reshape(n, page, *seq.shape[1:]), 1, 2)
+    # [n, page, H, ...] -> [n, H, page, ...]
+    blocks = jnp.swapaxes(seq.reshape(n, page, *seq.shape[1:]), 1, 2).astype(pages.dtype)
 
     def per_page(pages, xs):
         pg, blk = xs
-        return jax.lax.dynamic_update_slice(pages, blk[None], (pg, 0, 0, 0)), None
+        return jax.lax.dynamic_update_slice(pages, blk[None], (pg,) + (0,) * (pages.ndim - 1)), None
 
     pages, _ = jax.lax.scan(per_page, pages, (slot_pages[:n], blocks))
     return pages

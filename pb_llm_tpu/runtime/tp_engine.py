@@ -75,6 +75,8 @@ def _cache_spec_for_key(k: str):
     is tiny replicated int32."""
     if k in ("k_pages", "v_pages"):
         return P(None, "tp", None, None)
+    if k in ("k_scale_pages", "v_scale_pages"):
+        return P(None, "tp", None)
     if k == "table":
         return P()
     return CACHE_SPEC

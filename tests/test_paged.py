@@ -156,6 +156,44 @@ def test_paged_engine_gqa_llama():
     assert got == want, (got, want)
 
 
+def test_paged_attention_kernel_int8_oracle():
+    """int8 pages + per-(token, head) scale planes: in-kernel dequant (scales
+    folded into scores / probability weights) matches the dense dequantized
+    oracle exactly."""
+    r = np.random.default_rng(3)
+    B, HQ, HKV, D, PS, MAXP, P = 2, 8, 2, 32, 16, 3, 12
+    q = jnp.asarray(r.standard_normal((B, HQ, D)).astype(np.float32))
+    kq = jnp.asarray(r.integers(-127, 128, size=(P, HKV, PS, D)).astype(np.int8))
+    vq = jnp.asarray(r.integers(-127, 128, size=(P, HKV, PS, D)).astype(np.int8))
+    ks = jnp.asarray(r.uniform(0.005, 0.02, size=(P, HKV, PS)).astype(np.float32))
+    vs = jnp.asarray(r.uniform(0.005, 0.02, size=(P, HKV, PS)).astype(np.float32))
+    table = jnp.asarray(r.integers(0, P, size=(B, MAXP)).astype(np.int32))
+    lengths = jnp.asarray(np.array([11, 40], np.int32))
+    ref = paged_attention_reference(q, kq, vq, table, lengths, 0.25, PS,
+                                    k_scale_pages=ks, v_scale_pages=vs)
+    got = paged_attention(q, kq, vq, table, lengths, 0.25, PS,
+                          k_scale_pages=ks, v_scale_pages=vs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_int8_engine_quality_bound(tiny_opt):
+    """int8 paged pool e2e: teacher-forced decode ppl within 2% of the f32
+    paged pool (same bound as the int8 strip cache)."""
+    params, cfg, fam = tiny_opt
+    base = dict(n_slots=1, max_seq=48, prefill_buckets=(8,), page_size=8)
+    eng32 = Engine(params, cfg, fam, EngineConfig(**base))
+    eng8 = Engine(params, cfg, fam, EngineConfig(**base, cache_dtype=jnp.int8))
+    assert "k_scale_pages" in eng8.caches[0]
+
+    prompt, cont = [5, 17, 99, 3], [7, 21, 42, 11, 63, 5, 30, 2, 50, 19, 88, 41]
+    eng32.prefill(0, prompt)
+    eng8.prefill(0, prompt)
+    nll32 = eng32.forced_decode_nll(0, cont)
+    nll8 = eng8.forced_decode_nll(0, cont)
+    ppl_ratio = float(np.exp(nll8 - nll32))
+    assert abs(ppl_ratio - 1.0) < 0.02, (nll32, nll8, ppl_ratio)
+
+
 def test_paged_preemption_recompute(tiny_opt):
     """Pool too small for two slots growing together: the batcher preempts
     the later-admitted request (vLLM-style recompute — fold generated tokens
