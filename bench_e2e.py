@@ -105,6 +105,15 @@ def main():
                     help="measure PREFILL throughput instead of decode: one "
                          "--ctx-token prompt per forward (hybrid v2 path at "
                          "m=ctx), no KV cache writes timed separately")
+    ap.add_argument("--prefill_batches", type=str, default="",
+                    help="with --prefill: comma list of batch sizes to "
+                         "interleave in one process (e.g. 1,4)")
+    ap.add_argument("--arms", type=str, default="",
+                    help="comma list of cache arms to INTERLEAVE in one "
+                         "process (the tunnel drifts 30%% between runs, so "
+                         "only same-process ratios are trustworthy): "
+                         "strips,strips_int8,paged,paged_int8 "
+                         "(--paged gives the page size, default 64)")
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -133,61 +142,78 @@ def main():
             ids, _ = jax.lax.scan(body, ids0, None, length=n_calls)
             return jnp.sum(ids)
 
-        ids0 = jnp.zeros((1, S), jnp.int32)
-        times = {}
-        for n in (2, 6):
-            f = jax.jit(lambda p, i: prefill_scan(p, i, n))
-            t0 = time.time()
-            float(f(params, ids0))
-            log(f"compiled prefill scan n={n} in {time.time()-t0:.0f}s")
-            ts = []
-            for i in range(3):
-                t0 = time.perf_counter()
-                float(f(params, ids0 + i))
-                ts.append(time.perf_counter() - t0)
-            times[n] = min(ts)
-            log(f"n={n}: {times[n]*1e3:.1f}ms")
-        per_call = (times[6] - times[2]) / 4
-        toks = S / per_call
-        log(f"prefill ({S} tokens, bf16={bf16}): {per_call*1e3:.1f}ms/call")
-        print(json.dumps({
-            "metric": f"llama-7b-shape packed PREFILL throughput (ctx={S}, {args.layers} layers, {args.fmt}, hybrid)",
-            "value": round(toks, 1),
-            "unit": "tokens/s/chip",
-            "vs_baseline": None,
-        }))
+        # batch sizes interleaved in ONE process (tunnel drift): K prompts
+        # per forward = what Engine.prefill_batch runs (m = K*ctx per dot)
+        ks = [int(k) for k in (args.prefill_batches.split(",") if args.prefill_batches else ["1"])]
+        fns, raw = {}, {}
+        for k in ks:
+            ids0 = jnp.zeros((k, S), jnp.int32)
+            for n in (2, 6):
+                f = jax.jit(lambda p, i, n=n: prefill_scan(p, i, n))
+                t0 = time.time()
+                float(f(params, ids0))
+                log(f"compiled prefill scan K={k} n={n} in {time.time()-t0:.0f}s")
+                fns[(k, n)] = (f, ids0)
+                raw[(k, n)] = []
+        for rep in range(4):
+            for k in ks:
+                for n in (2, 6):
+                    f, ids0 = fns[(k, n)]
+                    t0 = time.perf_counter()
+                    float(f(params, ids0 + rep))
+                    raw[(k, n)].append(time.perf_counter() - t0)
+        out = {}
+        for k in ks:
+            per_call = (min(raw[(k, 6)]) - min(raw[(k, 2)])) / 4
+            out[f"K={k}"] = {"ms_per_call": round(per_call * 1e3, 1),
+                             "tokens_per_s": round(k * S / per_call, 1)}
+            log(f"K={k}: {per_call*1e3:.1f}ms/call, {k*S/per_call:.0f} tok/s (bf16={bf16})")
+        if len(ks) == 1:
+            k = ks[0]
+            print(json.dumps({
+                "metric": f"llama-7b-shape packed PREFILL throughput (ctx={S}, K={k}, {args.layers} layers, {args.fmt}, hybrid)",
+                "value": out[f"K={k}"]["tokens_per_s"],
+                "unit": "tokens/s/chip",
+                "vs_baseline": None,
+            }))
+        else:
+            print(json.dumps({"metric": f"prefill batch sweep (ctx={S}, {args.layers}L, bf16={bf16})",
+                              "arms": out}))
         return
 
-    if args.paged:
-        # pre-allocated pages for the whole run (ctx/2 start + decode steps)
-        ps = args.paged
-        maxp = S // ps
-        n_pages = B * maxp
-        table = np.arange(n_pages, dtype=np.int32).reshape(B, maxp)
-        page_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
-        caches = []
-        for _ in range(cfg.num_hidden_layers):
-            c = {"k_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), page_dtype),
-                 "v_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), page_dtype),
-                 "table": jnp.asarray(table)}
-            if args.kv_int8:
-                c["k_scale_pages"] = jnp.zeros((n_pages + 1, cfg.kv_heads, ps), jnp.float32)
-                c["v_scale_pages"] = jnp.zeros((n_pages + 1, cfg.kv_heads, ps), jnp.float32)
-            caches.append(c)
-    elif args.kv_int8:
-        caches = [
-            {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
-             "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
-             "k_scale": jnp.zeros((B, S, cfg.kv_heads, 1), jnp.float32),
-             "v_scale": jnp.zeros((B, S, cfg.kv_heads, 1), jnp.float32)}
-            for _ in range(cfg.num_hidden_layers)
-        ]
-    else:
-        caches = [
+    def make_arm_caches(paged: int, int8: bool):
+        if paged:
+            # pre-allocated pages for the whole run (ctx/2 start + decode steps)
+            ps = paged
+            maxp = S // ps
+            n_pages = B * maxp
+            table = np.arange(n_pages, dtype=np.int32).reshape(B, maxp)
+            page_dtype = jnp.int8 if int8 else jnp.bfloat16
+            caches = []
+            for _ in range(cfg.num_hidden_layers):
+                c = {"k_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), page_dtype),
+                     "v_pages": jnp.zeros((n_pages + 1, cfg.kv_heads, ps, cfg.head_dim), page_dtype),
+                     "table": jnp.asarray(table)}
+                if int8:
+                    c["k_scale_pages"] = jnp.zeros((n_pages + 1, cfg.kv_heads, ps), jnp.float32)
+                    c["v_scale_pages"] = jnp.zeros((n_pages + 1, cfg.kv_heads, ps), jnp.float32)
+                caches.append(c)
+            return caches
+        if int8:
+            return [
+                {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
+                 "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.int8),
+                 "k_scale": jnp.zeros((B, S, cfg.kv_heads, 1), jnp.float32),
+                 "v_scale": jnp.zeros((B, S, cfg.kv_heads, 1), jnp.float32)}
+                for _ in range(cfg.num_hidden_layers)
+            ]
+        return [
             {"k": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
              "v": jnp.zeros((B, S, cfg.kv_heads, cfg.head_dim), jnp.bfloat16)}
             for _ in range(cfg.num_hidden_layers)
         ]
+
+    caches = make_arm_caches(args.paged, args.kv_int8)
     if args.scan_layers:
         from pb_llm_tpu.models import stacking
 
@@ -205,6 +231,45 @@ def main():
 
     tokens0 = jnp.zeros((B,), jnp.int32)
     lengths0 = jnp.full((B,), S // 2, jnp.int32)
+
+    if args.arms:
+        # interleaved multi-arm mode: all arms timed round-robin in ONE
+        # process so tunnel drift cancels in the ratios
+        arm_defs = {
+            "strips": (0, False), "strips_int8": (0, True),
+            "paged": (args.paged or 64, False), "paged_int8": (args.paged or 64, True),
+        }
+        names = [a.strip() for a in args.arms.split(",") if a.strip()]
+        fns, arm_caches = {}, {}
+        for name in names:
+            paged, int8 = arm_defs[name]
+            arm_caches[name] = make_arm_caches(paged, int8)
+            for n_steps in (4, 12):
+                f = jax.jit(lambda p, c, t, l, n=n_steps: decode_scan(p, c, t, l, n)[0])
+                t0 = time.time()
+                float(f(params, arm_caches[name], tokens0, lengths0))
+                log(f"compiled {name} n={n_steps} in {time.time()-t0:.0f}s")
+                fns[(name, n_steps)] = f
+        raw = {(name, n): [] for name in names for n in (4, 12)}
+        for rep in range(5):
+            for name in names:
+                for n in (4, 12):
+                    t0 = time.perf_counter()
+                    float(fns[(name, n)](params, arm_caches[name], tokens0 + rep, lengths0))
+                    raw[(name, n)].append(time.perf_counter() - t0)
+        out = {}
+        for name in names:
+            step_s = (min(raw[(name, 12)]) - min(raw[(name, 4)])) / 8
+            out[name] = {"ms_per_step": round(step_s * 1e3, 2),
+                         "tokens_per_s": round(B / step_s, 1)}
+            log(f"{name}: {step_s*1e3:.2f} ms/step, {B/step_s:.1f} tok/s")
+        base = names[0]
+        for name in names[1:]:
+            out[name]["vs_" + base] = round(
+                out[base]["ms_per_step"] / out[name]["ms_per_step"], 3)
+        print(json.dumps({"metric": f"decode arms interleaved (B={B}, ctx={S}, {args.layers}L)",
+                          "arms": out}))
+        return
 
     times = {}
     for n_steps in (4, 12):

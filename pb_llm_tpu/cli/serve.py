@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways: shard packed weights + KV over a tp mesh "
                         "(one shard_map per program; same batcher interface)")
+    p.add_argument("--prefill_batch", type=int, default=4,
+                   help="prefill up to K same-bucket prompts in one program "
+                        "(amortizes the packed path's per-layer weight "
+                        "dequant K-fold; 1 disables)")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over stacked decoder layers: one compiled "
                         "decode body instead of num_layers unrolled copies")
@@ -111,6 +115,7 @@ def main(argv=None) -> int:
         cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
         scan_layers=args.scan_layers,
         page_size=args.page_size, n_pages=args.n_pages,
+        max_prefill_batch=args.prefill_batch,
     )
     if args.tp > 1:
         from ..parallel.mesh import make_mesh

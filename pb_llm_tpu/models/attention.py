@@ -124,14 +124,17 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
             scale = jnp.maximum(jnp.max(jnp.abs(val), axis=-1) / 127.0, 1e-8)
             return jnp.clip(jnp.round(val / scale[..., None]), -127, 127), scale
 
-        if "slot_pages" in cache:  # prefill: one slot, pos == 0, t % page == 0
-            for name, val in (("k", k[0]), ("v", v[0])):
+        if "slot_pages" in cache:  # prefill: pos == 0, t % page == 0
+            sp = cache["slot_pages"]
+            batched = sp.ndim == 2  # [K, maxp] batched prefill; else one slot
+            write = paged_kv.write_prompts if batched else paged_kv.write_prompt
+            for name, val in (("k", k if batched else k[0]),
+                              ("v", v if batched else v[0])):
                 if "k_scale_pages" in cache:
                     val, scale = _q(val)
-                    out[f"{name}_scale_pages"] = paged_kv.write_prompt(
-                        cache[f"{name}_scale_pages"], scale, cache["slot_pages"])
-                out[f"{name}_pages"] = paged_kv.write_prompt(
-                    cache[f"{name}_pages"], val, cache["slot_pages"])
+                    out[f"{name}_scale_pages"] = write(
+                        cache[f"{name}_scale_pages"], scale, sp)
+                out[f"{name}_pages"] = write(cache[f"{name}_pages"], val, sp)
             return out
         p = jnp.asarray(pos)  # [B] per-slot positions, t == 1
         page_ids = jnp.take_along_axis(cache["table"], (p // page)[:, None], axis=1)[:, 0]

@@ -56,20 +56,39 @@ class ContinuousBatcher:
         self.queue.append(req)
 
     def _admit(self) -> None:
-        for slot in self.engine.free_slots():
-            if not self.queue:
-                break
-            if not self.engine.can_admit(len(self.queue[0].prompt_ids)):
-                break  # paged pool full: wait for a retirement to free pages
-            req = self.queue.popleft()
-            first = self.engine.prefill(slot, req.prompt_ids)
-            self.stats.prefills += 1
-            req.output_ids.append(first)
-            self.stats.generated_tokens += 1
-            self.slot_to_request[slot] = req
-            self._admitted_at[slot] = self._admit_seq
-            self._admit_seq += 1
-            self._maybe_retire(slot, first)
+        """Admit queued requests into free slots.  Consecutive same-bucket
+        requests prefill TOGETHER in one program (`Engine.prefill_batch`,
+        up to ecfg.max_prefill_batch): m = K·bucket amortizes the packed
+        prefill path's per-layer weight dequant K-fold."""
+        while True:
+            free = self.engine.free_slots()
+            max_k = max(1, getattr(self.engine.ecfg, "max_prefill_batch", 1))
+            batch, reserved, bucket = [], 0, None
+            while free and self.queue and len(batch) < max_k:
+                req = self.queue[0]
+                if not self.engine.can_admit(len(req.prompt_ids), reserved_pages=reserved):
+                    break  # paged pool full: wait for a retirement to free pages
+                b = self.engine._bucket(len(req.prompt_ids))
+                if bucket is None:
+                    bucket = b
+                elif b != bucket:
+                    break  # next request pads to a different bucket: next round
+                if self.engine.pool is not None:
+                    reserved += self.engine.pool.pages_needed(bucket)
+                self.queue.popleft()
+                batch.append((free.pop(0), req))
+            if not batch:
+                return
+            firsts = self.engine.prefill_batch([(s, r.prompt_ids) for s, r in batch])
+            for slot, req in batch:
+                first = firsts[slot]
+                self.stats.prefills += 1
+                req.output_ids.append(first)
+                self.stats.generated_tokens += 1
+                self.slot_to_request[slot] = req
+                self._admitted_at[slot] = self._admit_seq
+                self._admit_seq += 1
+                self._maybe_retire(slot, first)
 
     def _preempt_one(self) -> bool:
         """Paged-pool pressure valve (vLLM-style recompute preemption): evict

@@ -51,6 +51,12 @@ class EngineConfig:
     # HBM byte vs f32.
     page_size: int = 0
     n_pages: int = 0
+    # batched prefill: the scheduler may prefill up to this many same-bucket
+    # prompts in ONE program (m = K·bucket).  The packed hybrid prefill path
+    # pays a per-layer w_bin dequant (HBM round-trip) that single-slot
+    # prefill re-pays for EVERY prompt; batching amortizes it K-fold and
+    # pushes the big dots toward XLA's dense matmul rate.  1 disables.
+    max_prefill_batch: int = 4
 
 
 class PoolExhausted(RuntimeError):
@@ -104,14 +110,16 @@ class Engine:
     def free_slots(self) -> List[int]:
         return [i for i in range(self.ecfg.n_slots) if not self.active[i]]
 
-    def can_admit(self, prompt_len: int) -> bool:
+    def can_admit(self, prompt_len: int, reserved_pages: int = 0) -> bool:
         """Admission control: with a paged pool the prompt's whole BUCKET of
         pages must be allocatable up front (plus one page of decode headroom
-        so the next step can't exhaust the pool mid-flight)."""
+        so the next step can't exhaust the pool mid-flight).  ``reserved_pages``
+        accounts for co-admissions already planned this tick but not yet
+        allocated (batched prefill)."""
         if self.pool is None:
             return True
         bucket = self._bucket(prompt_len)
-        return self.pool.free_pages >= self.pool.pages_needed(bucket) + 1
+        return self.pool.free_pages - reserved_pages >= self.pool.pages_needed(bucket) + 1
 
     def release(self, slot: int) -> None:
         self.active[slot] = False
@@ -177,6 +185,100 @@ class Engine:
             return new, logits[0, true_len - 1]
 
         return jax.jit(prefill)
+
+    def _make_prefill_batch(self, bucket: int):
+        """K same-bucket prompts in one program (ids [K, bucket], slots [K],
+        true_lens [K]) — m = K·bucket through every linear, so the packed
+        hybrid path's per-layer w_bin dequant amortizes over the batch.
+        Duplicate slots (pad-by-repeat) scatter identical values — benign."""
+        fam, cfg = self.fam, self.cfg
+
+        def prefill(params, caches, ids_padded, slots, true_lens):
+            if isinstance(caches, dict):  # stacked [L, slots, ...] (scan_layers)
+                slot_caches = jax.tree_util.tree_map(lambda c: c[:, slots], caches)
+                logits, new = fam.forward(params, ids_padded, cfg, kv_caches=slot_caches, pos=0)
+                caches = jax.tree_util.tree_map(
+                    lambda c, nc: c.at[:, slots].set(nc), caches, new)
+            else:
+                slot_caches = [{k: v[slots] for k, v in c.items()} for c in caches]
+                logits, new = fam.forward(params, ids_padded, cfg, kv_caches=slot_caches, pos=0)
+                caches = [
+                    {k: c[k].at[slots].set(nc[k]) for k in c}
+                    for c, nc in zip(caches, new)
+                ]
+            next_logits = jnp.take_along_axis(
+                logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
+            return caches, next_logits
+
+        return jax.jit(prefill)
+
+    def _make_prefill_paged_batch(self, bucket: int):
+        fam, cfg = self.fam, self.cfg
+
+        def prefill(params, caches, ids_padded, slot_pages, true_lens):
+            # slot_pages [K, maxp]: cache_update scans the batch into pages
+            pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+            logits, new = fam.forward(params, ids_padded, cfg, kv_caches=pcaches, pos=0)
+            new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
+            next_logits = jnp.take_along_axis(
+                logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
+            return new, next_logits
+
+        return jax.jit(prefill)
+
+    def prefill_batch(self, pairs: Sequence) -> Dict[int, int]:
+        """Prefill several slots in ONE jitted program: ``pairs`` is
+        [(slot, prompt_ids)].  Pads to the next power-of-two K by repeating
+        row 0 (bounds compile variants to log2(n_slots) per bucket).
+        Returns {slot: first generated token}."""
+        pairs = list(pairs)
+        if not pairs:
+            return {}
+        if len(pairs) == 1:
+            slot, ids = pairs[0]
+            return {slot: self.prefill(slot, ids)}
+        lens = [len(p) for _, p in pairs]
+        if max(lens) >= self.ecfg.max_seq:
+            raise ValueError("prompt longer than max_seq")
+        bucket = self._bucket(max(lens))
+        kb = 1
+        while kb < len(pairs):
+            kb *= 2
+        key = ("batch", bucket, kb)
+        if key not in self._prefill_jit:
+            self._prefill_jit[key] = (
+                self._make_prefill_paged_batch(bucket) if self.pool is not None
+                else self._make_prefill_batch(bucket)
+            )
+        rows = pairs + [pairs[0]] * (kb - len(pairs))
+        ids = np.zeros((kb, bucket), np.int32)
+        slots = np.zeros(kb, np.int32)
+        true_lens = np.zeros(kb, np.int32)
+        for r, (s, p) in enumerate(rows):
+            ids[r, : len(p)] = p
+            slots[r] = s
+            true_lens[r] = len(p)
+        if self.pool is not None:
+            for s, _ in pairs:
+                self._ensure_pages(s, bucket)
+            slot_pages = np.stack([self.pool.table[s] for s, _ in rows])
+            self.caches, next_logits = self._prefill_jit[key](
+                self.params, self.caches, jnp.asarray(ids),
+                jnp.asarray(slot_pages), jnp.asarray(true_lens))
+        else:
+            self.caches, next_logits = self._prefill_jit[key](
+                self.params, self.caches, jnp.asarray(ids),
+                jnp.asarray(slots), jnp.asarray(true_lens))
+        self._key, sub = jax.random.split(self._key)
+        toks = np.asarray(sample(next_logits, sub, self.sampling))
+        out: Dict[int, int] = {}
+        for r, (s, p) in enumerate(pairs):
+            self.lengths[s] = len(p)
+            self.active[s] = True
+            self.last_token[s] = int(toks[r])
+            self._prefill_logits[s] = next_logits[r]
+            out[s] = int(toks[r])
+        return out
 
     def prefill(self, slot: int, prompt_ids: Sequence[int]) -> int:
         """Fill a slot's cache with the prompt; returns the first generated token."""

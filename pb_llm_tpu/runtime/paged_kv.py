@@ -134,3 +134,17 @@ def write_prompt(pages: jnp.ndarray, seq: jnp.ndarray, slot_pages: jnp.ndarray) 
 
     pages, _ = jax.lax.scan(per_page, pages, (slot_pages[:n], blocks))
     return pages
+
+
+def write_prompts(pages: jnp.ndarray, seqs: jnp.ndarray, slot_pages: jnp.ndarray) -> jnp.ndarray:
+    """Batched-prefill variant of `write_prompt`: seqs [K, T_pad, H, ...],
+    slot_pages [K, >= T_pad/page].  Slots write sequentially (lax.scan
+    carrying the pool), so duplicate rows — batched prefill pads by
+    repeating a row — deterministically rewrite the same data."""
+
+    def per_slot(pages, xs):
+        sp, seq = xs
+        return write_prompt(pages, seq, sp), None
+
+    pages, _ = jax.lax.scan(per_slot, pages, (slot_pages, seqs))
+    return pages

@@ -199,6 +199,57 @@ def make_tp_prefill_paged(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int
     return jax.jit(fn)
 
 
+def make_tp_prefill_batch(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree, paged: bool) -> Callable:
+    """Jitted TP BATCHED prefill (see `Engine.prefill_batch`): K same-bucket
+    prompts in one shard_map program; the per-layer packed-weight dequant of
+    the hybrid prefill path amortizes K-fold per shard.
+
+    strips: prefill(params, caches, ids [K, bucket], slots [K], true_lens [K])
+    paged:  prefill(params, caches, ids [K, bucket], slot_pages [K, maxp], true_lens [K])
+    """
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, fam, tp)
+    pspecs = param_specs(params_tree, fam.name, mesh)
+    cache_specs = _cache_specs_like(caches_tree)
+
+    def _next_logits(logits, true_lens):
+        nl = jnp.take_along_axis(logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
+        if nl.shape[-1] != cfg.vocab_size:
+            nl = jax.lax.all_gather(nl, "tp", axis=-1, tiled=True)
+        return nl
+
+    if paged:
+        def local_prefill(params, caches, ids_padded, slot_pages, true_lens):
+            pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+            logits, new = fam.forward(
+                params, ids_padded, lcfg,
+                linear_fn=_tp_linear_fn, kv_caches=pcaches, pos=0,
+            )
+            new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
+            return new, _next_logits(logits, true_lens)
+    else:
+        def local_prefill(params, caches, ids_padded, slots, true_lens):
+            slot_caches = [{k: v[slots] for k, v in c.items()} for c in caches]
+            logits, new = fam.forward(
+                params, ids_padded, lcfg,
+                linear_fn=_tp_linear_fn, kv_caches=slot_caches, pos=0,
+            )
+            caches = [
+                {k: c[k].at[slots].set(nc[k]) for k in c}
+                for c, nc in zip(caches, new)
+            ]
+            return caches, _next_logits(logits, true_lens)
+
+    fn = shard_map(
+        local_prefill,
+        mesh=mesh,
+        in_specs=(pspecs, cache_specs, P(), P(), P()),
+        out_specs=(cache_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_caches_tp(cfg, fam: Family, mesh: Mesh, n_slots: int, max_seq: int, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
     from jax.sharding import NamedSharding
 
@@ -261,6 +312,14 @@ class TPEngine:
         def make_prefill_paged(bucket):
             return make_tp_prefill_paged(cfg, fam, mesh, params_sh, bucket, caches_tree=base.caches)
 
+        def make_prefill_batch(bucket):
+            return make_tp_prefill_batch(cfg, fam, mesh, params_sh, bucket,
+                                         caches_tree=base.caches, paged=False)
+
+        def make_prefill_paged_batch(bucket):
+            return make_tp_prefill_batch(cfg, fam, mesh, params_sh, bucket,
+                                         caches_tree=base.caches, paged=True)
+
         def make_decode():
             import functools
 
@@ -281,6 +340,8 @@ class TPEngine:
 
         base._make_prefill = make_prefill
         base._make_prefill_paged = make_prefill_paged
+        base._make_prefill_batch = make_prefill_batch
+        base._make_prefill_paged_batch = make_prefill_paged_batch
         base._make_decode = make_decode
 
     def __getattr__(self, name):

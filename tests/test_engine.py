@@ -199,3 +199,61 @@ def test_forced_decode_nll_matches_full_forward(engine_setup):
     got = eng.forced_decode_nll(0, cont)
     assert abs(got - want) < 1e-4, (got, want)
     assert int(eng.lengths[1]) == len1  # other slot's length untouched
+
+
+def test_prefill_batch_matches_sequential(engine_setup):
+    """Batched prefill (one program, K slots, pad-by-repeat) produces the
+    same first tokens, caches and decode continuations as one-at-a-time
+    prefill — strips, int8 strips, and scan_layers."""
+    params, cfg, fam = engine_setup
+    prompts = [[5, 17, 99], [42, 7, 11, 23, 60], [3, 1, 4, 1, 5, 9, 2]]
+    for kw in ({}, {"cache_dtype": jnp.int8}, {"scan_layers": True}):
+        ecfg = EngineConfig(n_slots=4, max_seq=48, prefill_buckets=(8, 16), **kw)
+        seq = Engine(params, cfg, fam, ecfg)
+        want = {s: [seq.prefill(s, p)] for s, p in enumerate(prompts)}
+        bat = Engine(params, cfg, fam, ecfg)
+        firsts = bat.prefill_batch(list(enumerate(prompts)))  # K=3 -> kb=4
+        for s in range(3):
+            assert firsts[s] == want[s][0], (kw, s, firsts, want)
+        for _ in range(4):
+            ws = seq.decode_step()
+            gs = bat.decode_step()
+            assert ws == gs, (kw, ws, gs)
+
+
+def test_prefill_batch_paged(engine_setup):
+    """Batched prefill into the paged pool (f32 and int8 pages): streams
+    match sequential prefill exactly."""
+    params, cfg, fam = engine_setup
+    prompts = [[5, 17, 99], [42, 7, 11, 23], [60, 2, 19, 88, 41]]
+    for dt in (jnp.float32, jnp.int8):
+        ecfg = EngineConfig(n_slots=4, max_seq=48, prefill_buckets=(8,),
+                            page_size=8, cache_dtype=dt)
+        seq = Engine(params, cfg, fam, ecfg)
+        want = {s: seq.prefill(s, p) for s, p in enumerate(prompts)}
+        bat = Engine(params, cfg, fam, ecfg)
+        firsts = bat.prefill_batch(list(enumerate(prompts)))
+        assert firsts == want, (dt, firsts, want)
+        for _ in range(4):
+            assert seq.decode_step() == bat.decode_step()
+
+
+def test_batcher_grouped_admission_matches_single(engine_setup):
+    """ContinuousBatcher with max_prefill_batch=4 produces token streams
+    identical to max_prefill_batch=1 (greedy)."""
+    params, cfg, fam = engine_setup
+
+    def run(max_k):
+        ecfg = EngineConfig(n_slots=4, max_seq=48, prefill_buckets=(8,),
+                            max_prefill_batch=max_k)
+        eng = Engine(params, cfg, fam, ecfg)
+        reqs = [Request(request_id=i, prompt_ids=list(p), max_new_tokens=6)
+                for i, p in enumerate(np.random.default_rng(11).integers(0, 128, size=(6, 5)))]
+        b = ContinuousBatcher(eng)
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b.stats.prefills
+
+    one, _ = run(1)
+    four, prefills = run(4)
+    assert four == one
+    assert prefills == 6

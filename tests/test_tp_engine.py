@@ -269,3 +269,28 @@ def test_tp_prefill_hybrid_path(packed_llama):
     for _ in range(3):
         got.append(eng.decode_step()[0])
     assert got == want, (got, want)
+
+
+def test_tpengine_batched_prefill_matches_single_device(packed_llama):
+    """Batched prefill under TP shard_map (strips and paged): continuous
+    batching with max_prefill_batch=4 matches the single-device engine."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama
+    reqs = lambda: [
+        Request(request_id=i, prompt_ids=list(p), max_new_tokens=5)
+        for i, p in enumerate(np.random.default_rng(13).integers(0, 128, size=(5, 6)))
+    ]
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    for kw in ({}, {"page_size": 8}):
+        ecfg = EngineConfig(n_slots=4, max_seq=32, prefill_buckets=(8,),
+                            max_prefill_batch=4, **kw)
+        eng_ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+        done_ref = ContinuousBatcher(eng_ref).run(reqs())
+        eng_tp = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+        bat = ContinuousBatcher(eng_tp)
+        done_tp = bat.run(reqs())
+        assert bat.stats.prefills == 5
+        for a, b in zip(done_ref, done_tp):
+            assert a.output_ids == b.output_ids, (kw, a.request_id, a.output_ids, b.output_ids)
