@@ -90,16 +90,22 @@ def iter_hf_tensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def rtn_pack_fn(method: str = "xnor", low_frac: float = 0.9, high_bit: int = 8,
-                fmt: str = "packed_v2", groupsize: int = -1) -> Callable:
+                fmt: str = "packed_v2", groupsize: int = -1,
+                pack_block: Optional[int] = None, ic_shards: int = 1) -> Callable:
     """Calibration-free packer: |w| salience (reference low_frac semantics,
-    `gptq_pb/run.py:122-125` RTN branch), 8-bit sidecar for salient weights."""
+    `gptq_pb/run.py:122-125` RTN branch), 8-bit sidecar for salient weights.
+
+    For tensor-parallel deployment pack with ``ic_shards=tp`` (shard-major v2
+    sidecar; selection balanced per ic shard) and a ``pack_block`` dividing
+    ic/tp for the row-parallel layers (see `runtime.tp_engine`)."""
 
     def pack(name: str, w_oc_ic: np.ndarray, bias: Optional[np.ndarray]):
         w = jnp.asarray(w_oc_ic, jnp.float32)
         b = None if bias is None else jnp.asarray(bias, jnp.float32)
         if fmt == "packed_v2":
             metric = jnp.abs(w)
-            mask = pbw.column_structured_mask(metric, low_frac, col_tile=0)
+            mask = pbw.column_structured_mask(metric, low_frac, col_tile=0,
+                                              ic_shards=ic_shards)
         else:
             thresh = jnp.quantile(jnp.abs(w), low_frac)
             mask = jnp.abs(w) <= thresh
@@ -108,10 +114,12 @@ def rtn_pack_fn(method: str = "xnor", low_frac: float = 0.9, high_bit: int = 8,
         w_q = jnp.where(mask, low_quantize(w, low_state, method), high_quantize(w, high_state))
         if fmt == "packed_v2":
             p, _diag = pbw.pack_linear_v2(w_q, mask, low_state, high_state, method,
-                                          col_tile=0, bias=b)
+                                          col_tile=0, bias=b, pack_block=pack_block,
+                                          ic_shards=ic_shards)
         else:
             p, _diag = pbw.pack_linear(w_q, mask, low_state, high_state, method,
-                                       bias=b, groupsize=groupsize)
+                                       bias=b, groupsize=groupsize,
+                                       pack_block=pack_block)
         return p
 
     return pack
