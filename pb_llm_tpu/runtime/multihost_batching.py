@@ -105,6 +105,11 @@ class MultiHostBatcher:
         return rec
 
     def _apply_admissions(self, rec: np.ndarray) -> None:
+        """Prefill the record's admissions — identical programs everywhere.
+        Consecutive same-bucket rows prefill TOGETHER (`Engine.prefill_batch`
+        up to ecfg.max_prefill_batch); the grouping is a pure function of the
+        broadcast record, so every host runs the same batched program."""
+        rows = []
         for row in rec:
             slot = int(row[0])
             if slot < 0:
@@ -118,14 +123,27 @@ class MultiHostBatcher:
                     max_new_tokens=int(row[2]),
                     eos_token_id=None if int(row[3]) < 0 else int(row[3]),
                 )
-            req = self.slot_to_request[slot]
             self._admitted_at[slot] = self._admit_seq
             self._admit_seq += 1
-            first = self.engine.prefill(slot, prompt)  # identical program everywhere
-            self.stats.prefills += 1
-            req.output_ids.append(first)
-            self.stats.generated_tokens += 1
-            self._maybe_retire(slot, first)
+            rows.append((slot, prompt))
+        max_k = max(1, getattr(self.engine.ecfg, "max_prefill_batch", 1))
+        i = 0
+        while i < len(rows):
+            bucket = self.engine._bucket(len(rows[i][1]))
+            group = [rows[i]]
+            i += 1
+            while (i < len(rows) and len(group) < max_k
+                   and self.engine._bucket(len(rows[i][1])) == bucket):
+                group.append(rows[i])
+                i += 1
+            firsts = self.engine.prefill_batch(group)
+            for slot, _ in group:
+                first = firsts[slot]
+                self.stats.prefills += 1
+                req = self.slot_to_request[slot]
+                req.output_ids.append(first)
+                self.stats.generated_tokens += 1
+                self._maybe_retire(slot, first)
 
     def _preempt_one(self) -> bool:
         """Recompute preemption under pool pressure (mirrors
