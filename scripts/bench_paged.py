@@ -1,0 +1,225 @@
+"""Paged-attention kernel variant microbench (TPU, interleaved arms).
+
+The e2e diagnostic (bench_e2e --arms strips,paged,paged_int8) shows the
+paged decode kernel streams pages well under HBM bandwidth while the XLA
+strip path runs near peak.  This script times isolated kernel variants in
+ONE process (tunnel drift cancels):
+
+  base      — production kernel (ops.paged_attention): separate k/v pages,
+              batched MXU dots [Hkv, G, page]
+  fused     — k and v fused into one [P+1, 2, H, page, D] array: ONE page
+              DMA per grid step instead of two
+  vpu       — scores/PV via VPU multiply-reduce instead of 2·Hkv MXU
+              micro-dots per step
+  fused_vpu — both
+
+Timing: kernel inside lax.scan over iterations; per-iteration tables (scan
+xs) point at different pages of a pool far larger than VMEM, so every read
+is a true HBM stream (the VMEM-residency trap).  Slope between two scan
+lengths removes dispatch overhead; host-fetch syncs (block_until_ready is
+a no-op through the axon tunnel).
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+from pb_llm_tpu.ops.paged_attention import paged_attention  # noqa: E402
+
+NEG_INF = -1e30
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------- variants
+def _kernel_var(table_ref, len_ref, q_ref, kv_ref, o_ref, m_ref, l_ref, acc_ref,
+                *, page_size, n_pages_per_slot, n_groups, fused, vpu):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b]
+    start = p * page_size
+
+    @pl.when(start < length)
+    def _():
+        hq, d = q_ref.shape[1], q_ref.shape[2]
+        hkv = hq // n_groups
+        q = q_ref[0].reshape(hkv, n_groups, d)
+        if fused:
+            k = kv_ref[0, 0]
+            v = kv_ref[0, 1]
+        else:
+            k = kv_ref[0]
+            v = None  # separate-ref layout only used with fused here
+        if vpu:
+            # [Hkv, G, 1, D] * [Hkv, 1, page, D] summed over D
+            s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=3)
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        s = s.astype(jnp.float32)
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(pos < length, s, NEG_INF)
+        m_prev = m_ref[:, :1].reshape(hkv, n_groups, 1)
+        l_prev = l_ref[:, :1].reshape(hkv, n_groups, 1)
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        pw = jnp.exp(s - m_next)
+        pw = jnp.where(pos < length, pw, 0.0)
+        l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
+        l_ref[:] = jnp.broadcast_to(l_next.reshape(hq, 1), l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_next.reshape(hq, 1), m_ref.shape)
+        if vpu:
+            pv = jnp.sum(pw[:, :, :, None].astype(v.dtype) * v[:, None, :, :], axis=2)
+            pv = pv.astype(jnp.float32)
+        else:
+            pv = jax.lax.dot_general(
+                pw.astype(v.dtype) if v.dtype != jnp.float32 else pw, v,
+                (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha.reshape(hq, 1) + pv.reshape(hq, d)
+
+    @pl.when(p == n_pages_per_slot - 1)
+    def _():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "vpu"))
+def paged_fused(q, kv_pages, table, lengths, scale, page_size, vpu=False):
+    """kv_pages [P+1, 2, H, page, D] — one DMA per (slot, page) step."""
+    b, hq, d = q.shape
+    hkv = kv_pages.shape[2]
+    maxp = table.shape[1]
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, maxp),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+            pl.BlockSpec((1, 2, hkv, page_size, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_var, page_size=page_size, n_pages_per_slot=maxp,
+        n_groups=hq // hkv, fused=True, vpu=vpu)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(table.astype(jnp.int32), lengths.astype(jnp.int32), q, kv_pages)
+
+
+# ---------------------------------------------------------------- harness
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--heads", type=int, default=32)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--page", type=int, default=64)
+    ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--pool_mb", type=int, default=1024,
+                    help="page pool size — far larger than VMEM so reads hit HBM")
+    args = ap.parse_args()
+    B, H, D, PS = args.b, args.heads, args.d, args.page
+    maxp = args.ctx // PS
+    page_bytes = H * PS * D * 2  # bf16
+    n_pages = max(B * maxp, args.pool_mb * 1024 * 1024 // (2 * page_bytes))
+    log(f"pool: {n_pages} pages ({2 * n_pages * page_bytes / 1e6:.0f} MB k+v)")
+
+    r = np.random.default_rng(0)
+    kp = jnp.asarray(r.standard_normal((n_pages + 1, H, PS, D)).astype(np.float32), jnp.bfloat16)
+    vp = jnp.asarray(r.standard_normal((n_pages + 1, H, PS, D)).astype(np.float32), jnp.bfloat16)
+    kvp = jnp.stack([kp, vp], axis=1)  # [P+1, 2, H, PS, D]
+    q = jnp.asarray(r.standard_normal((B, H, D)).astype(np.float32))
+    lengths = jnp.full((B,), args.ctx, jnp.int32)
+    scale = 1.0 / np.sqrt(D)
+
+    def tables(n_iters, seed):
+        t = np.random.default_rng(seed).integers(0, n_pages, size=(n_iters, B, maxp))
+        return jnp.asarray(t.astype(np.int32))
+
+    def make_scan(fn):
+        def run(q0, tbls):
+            def body(carry, tbl):
+                out = fn(carry, tbl)
+                return out.astype(carry.dtype), ()
+            out, _ = jax.lax.scan(body, q0, tbls)
+            return jnp.sum(out)
+        return jax.jit(run)
+
+    arms = {
+        "base": lambda qq, tbl: paged_attention(qq, kp, vp, tbl, lengths, scale, PS),
+        "fused": lambda qq, tbl: paged_fused(qq, kvp, tbl, lengths, scale, PS, vpu=False),
+        "fused_vpu": lambda qq, tbl: paged_fused(qq, kvp, tbl, lengths, scale, PS, vpu=True),
+    }
+
+    # correctness cross-check (same table)
+    tb = tables(1, 99)[0]
+    ref = paged_attention(q, kp, vp, tb, lengths, scale, PS)
+    for name in ("fused", "fused_vpu"):
+        got = arms[name](q, tb)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        log(f"{name}: max|Δ| vs base = {err:.2e}")
+        assert err < 3e-2, (name, err)
+
+    fns, raw = {}, {}
+    for name, fn in arms.items():
+        for n in (8, 24):
+            f = make_scan(fn)
+            tb_n = tables(n, n)
+            t0 = time.time()
+            float(f(q, tb_n))
+            log(f"compiled {name} n={n} in {time.time()-t0:.0f}s")
+            fns[(name, n)] = (f, tb_n)
+            raw[(name, n)] = []
+    for rep in range(5):
+        for name in arms:
+            for n in (8, 24):
+                f, tb_n = fns[(name, n)]
+                t0 = time.perf_counter()
+                float(f(q + 0.01 * rep, tb_n))
+                raw[(name, n)].append(time.perf_counter() - t0)
+
+    bytes_per_call = B * maxp * 2 * page_bytes
+    out = {}
+    for name in arms:
+        per_call = (min(raw[(name, 24)]) - min(raw[(name, 8)])) / 16
+        gbs = bytes_per_call / per_call / 1e9
+        out[name] = {"us_per_call": round(per_call * 1e6, 1), "GB_s": round(gbs, 0)}
+        log(f"{name}: {per_call*1e6:.1f} us/call, {gbs:.0f} GB/s page stream")
+    print(json.dumps({"metric": f"paged kernel variants (B={B}, H={H}, ctx={args.ctx}, page={PS})",
+                      "arms": out}))
+
+
+if __name__ == "__main__":
+    main()
