@@ -156,10 +156,13 @@ def main():
     n_pages = max(B * maxp, args.pool_mb * 1024 * 1024 // (2 * page_bytes))
     log(f"pool: {n_pages} pages ({2 * n_pages * page_bytes / 1e6:.0f} MB k+v)")
 
+    # pools are generated ON DEVICE — shipping a 1 GB host array through the
+    # axon tunnel takes forever (arrays ride an HTTP transport)
     r = np.random.default_rng(0)
-    kp = jnp.asarray(r.standard_normal((n_pages + 1, H, PS, D)).astype(np.float32), jnp.bfloat16)
-    vp = jnp.asarray(r.standard_normal((n_pages + 1, H, PS, D)).astype(np.float32), jnp.bfloat16)
-    kvp = jnp.stack([kp, vp], axis=1)  # [P+1, 2, H, PS, D]
+    kk = jax.random.split(jax.random.PRNGKey(0), 3)
+    kp = jax.jit(lambda k: jax.random.normal(k, (n_pages + 1, H, PS, D), jnp.bfloat16))(kk[0])
+    vp = jax.jit(lambda k: jax.random.normal(k, (n_pages + 1, H, PS, D), jnp.bfloat16))(kk[1])
+    kvp = jax.jit(lambda a, b: jnp.stack([a, b], axis=1))(kp, vp)  # [P+1, 2, H, PS, D]
     q = jnp.asarray(r.standard_normal((B, H, D)).astype(np.float32))
     lengths = jnp.full((B,), args.ctx, jnp.int32)
     scale = 1.0 / np.sqrt(D)
