@@ -171,46 +171,50 @@ def main():
         t = np.random.default_rng(seed).integers(0, n_pages, size=(n_iters, B, maxp))
         return jnp.asarray(t.astype(np.int32))
 
+    # the pool must ride as a jit ARGUMENT — a closure-captured device array
+    # is baked into the compile request as a constant (the axon tunnel ships
+    # the HLO over HTTP: 1 GB constant = stall/413)
     def make_scan(fn):
-        def run(q0, tbls):
+        def run(q0, tbls, *pool):
             def body(carry, tbl):
-                out = fn(carry, tbl)
+                out = fn(carry, tbl, *pool)
                 return out.astype(carry.dtype), ()
             out, _ = jax.lax.scan(body, q0, tbls)
             return jnp.sum(out)
         return jax.jit(run)
 
     arms = {
-        "base": lambda qq, tbl: paged_attention(qq, kp, vp, tbl, lengths, scale, PS),
-        "fused": lambda qq, tbl: paged_fused(qq, kvp, tbl, lengths, scale, PS, vpu=False),
-        "fused_vpu": lambda qq, tbl: paged_fused(qq, kvp, tbl, lengths, scale, PS, vpu=True),
+        "base": (lambda qq, tbl, a, b: paged_attention(qq, a, b, tbl, lengths, scale, PS), (kp, vp)),
+        "fused": (lambda qq, tbl, a: paged_fused(qq, a, tbl, lengths, scale, PS, vpu=False), (kvp,)),
+        "fused_vpu": (lambda qq, tbl, a: paged_fused(qq, a, tbl, lengths, scale, PS, vpu=True), (kvp,)),
     }
 
     # correctness cross-check (same table)
     tb = tables(1, 99)[0]
     ref = paged_attention(q, kp, vp, tb, lengths, scale, PS)
     for name in ("fused", "fused_vpu"):
-        got = arms[name](q, tb)
+        fn, pool = arms[name]
+        got = fn(q, tb, *pool)
         err = float(jnp.max(jnp.abs(got - ref)))
         log(f"{name}: max|Δ| vs base = {err:.2e}")
         assert err < 3e-2, (name, err)
 
     fns, raw = {}, {}
-    for name, fn in arms.items():
+    for name, (fn, pool) in arms.items():
         for n in (8, 24):
             f = make_scan(fn)
             tb_n = tables(n, n)
             t0 = time.time()
-            float(f(q, tb_n))
+            float(f(q, tb_n, *pool))
             log(f"compiled {name} n={n} in {time.time()-t0:.0f}s")
-            fns[(name, n)] = (f, tb_n)
+            fns[(name, n)] = (f, tb_n, pool)
             raw[(name, n)] = []
     for rep in range(5):
         for name in arms:
             for n in (8, 24):
-                f, tb_n = fns[(name, n)]
+                f, tb_n, pool = fns[(name, n)]
                 t0 = time.perf_counter()
-                float(f(q + 0.01 * rep, tb_n))
+                float(f(q + 0.01 * rep, tb_n, *pool))
                 raw[(name, n)].append(time.perf_counter() - t0)
 
     bytes_per_call = B * maxp * 2 * page_bytes
