@@ -26,7 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_q, block_k, kv_len, n_kv_tiles, causal, dot_dtype):
+def _kernel(q_ref, k_ref, v_ref, *refs, scale, block_q, block_k, kv_len, n_kv_tiles, causal, dot_dtype, residuals):
+    if residuals:  # extra outputs: per-row softmax stats for state merging
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -77,13 +81,16 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_q
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
+        if residuals:
+            mo_ref[0] = m_ref[:]
+            lo_ref[0] = l_ref[:]
 
 
 def _round_up(v, m):
     return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q", "block_k", "dots_bf16", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q", "block_k", "dots_bf16", "interpret", "return_residuals"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -94,13 +101,19 @@ def flash_attention(
     block_k: int = 512,
     dots_bf16: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_residuals: bool = False,
+):
     """q,k,v: [B, T, H, D] (equal head counts) → [B, T, H, D].
 
     ``dots_bf16`` runs the QKᵀ and PV dots in bfloat16 with float32
     accumulation/softmax statistics — the MXU's native rate (f32 dots issue
     at ~1/4 throughput on v5e).  The error matches what a bf16 model forward
-    would make anyway; f32-strict callers (parity tests) leave it off."""
+    would make anyway; f32-strict callers (parity tests) leave it off.
+
+    ``return_residuals``: additionally return the per-row softmax stats
+    (running max m, normalizer l) as [B, T, H] f32 — the state a caller
+    needs to MERGE this block's output with other blocks' (ring attention:
+    `parallel.ring_attention` with inner="flash")."""
     b, t, h, d = q.shape
     s = k.shape[1]
     tp = _round_up(t, block_q)
@@ -117,17 +130,27 @@ def flash_attention(
         _kernel, scale=scale, block_q=block_q, block_k=block_k,
         kv_len=s, n_kv_tiles=n_kv_tiles, causal=causal,
         dot_dtype=jnp.bfloat16 if dots_bf16 else jnp.float32,
+        residuals=return_residuals,
     )
-    out = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b * h, tp, d), q.dtype)
+    out_specs = o_spec
+    if return_residuals:
+        stat_spec = pl.BlockSpec((1, block_q, 128), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM)
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b * h, tp, 128), jnp.float32),
+                     jax.ShapeDtypeStruct((b * h, tp, 128), jnp.float32)]
+        out_specs = [o_spec, stat_spec, stat_spec]
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        out_shape=out_shape,
         grid=(b * h, tp // block_q, n_kv_tiles),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
             pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
@@ -138,5 +161,12 @@ def flash_attention(
         ),
         interpret=interpret,
     )(qb, kb, vb)
-    out = out[:, :t].reshape(b, h, t, d)
-    return jnp.moveaxis(out, 1, 2)
+
+    def from_bh(x):  # [b*h, tp, ...] -> [b, t, h, ...]
+        x = x[:, :t].reshape(b, h, t, *x.shape[2:])
+        return jnp.moveaxis(x, 1, 2)
+
+    if return_residuals:
+        out, m, l = res
+        return from_bh(out), from_bh(m)[..., 0], from_bh(l)[..., 0]
+    return from_bh(res)

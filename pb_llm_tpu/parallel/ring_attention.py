@@ -54,8 +54,28 @@ def _block_attend(q, k, v, qpos0, kpos0, scale):
     return m, l, acc
 
 
-def _ring_body(q, k, v, scale: float, axis: str):
-    """Per-shard ring attention; call inside an existing shard_map."""
+def _flash_block(q, k, v, scale, causal: bool, interpret: bool):
+    """Per-block (m, l, acc) via the Pallas flash kernel's residuals —
+    the kernelized ring inner (O(Tl²) dots in VMEM tiles instead of an
+    HBM-materialized XLA scores block)."""
+    from ..ops.flash_attention import flash_attention
+
+    tl = q.shape[1]
+    blk = min(512, -(-tl // 128) * 128)
+    out, m, l = flash_attention(q, k, v, scale, causal=causal,
+                                block_q=blk, block_k=blk,
+                                interpret=interpret, return_residuals=True)
+    acc = out.astype(jnp.float32) * l[..., None]  # un-normalize for merging
+    return m[..., None], l[..., None], acc
+
+
+def _ring_body(q, k, v, scale: float, axis: str, inner: str):
+    """Per-shard ring attention; call inside an existing shard_map.
+
+    ``inner``: "xla" (masked-softmax block), "flash"/"flash_interpret" (the
+    Pallas flash kernel with residual stats; the block kind — full, diagonal,
+    empty — is a traced `lax.switch` on the ring offset, so each branch keeps
+    a static causal flag)."""
     n = jax.lax.axis_size(axis)
     i = jax.lax.axis_index(axis)
     b, tl, h, d = q.shape
@@ -71,10 +91,29 @@ def _ring_body(q, k, v, scale: float, axis: str):
     a0 = varying(jnp.zeros((b, tl, h, d), jnp.float32))
     perm = [(s, (s + 1) % n) for s in range(n)]
 
+    def attend(j, kc, vc):
+        if inner == "xla":
+            return _block_attend(q, kc, vc, qpos0, j * tl, scale)
+        interp = inner == "flash_interpret"
+
+        def full_blk(kc, vc):
+            return _flash_block(q, kc, vc, scale, causal=False, interpret=interp)
+
+        def diag_blk(kc, vc):
+            return _flash_block(q, kc, vc, scale, causal=True, interpret=interp)
+
+        def skip_blk(kc, vc):
+            return (jnp.full((b, tl, h, 1), NEG_INF, jnp.float32),
+                    jnp.zeros((b, tl, h, 1), jnp.float32),
+                    jnp.zeros((b, tl, h, d), jnp.float32))
+
+        which = jnp.where(j < i, 0, jnp.where(j == i, 1, 2))
+        return jax.lax.switch(which, (full_blk, diag_blk, skip_blk), kc, vc)
+
     def step(s, carry):
         m, l, acc, kc, vc = carry
         j = (i - s) % n  # origin block of the K/V currently held
-        mb, lb, ab = _block_attend(q, kc, vc, qpos0, j * tl, scale)
+        mb, lb, ab = attend(j, kc, vc)
         m_new = jnp.maximum(m, mb)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(mb - m_new)
@@ -96,18 +135,31 @@ def ring_attention(
     scale: float,
     mesh: Mesh,
     axis: str = "sp",
+    inner: str = "auto",
 ) -> jnp.ndarray:
     """q,k,v: [B, T, H, D] global, T sharded on ``axis`` → [B, T, H, D].
 
     T must divide evenly by the axis size.  Equal Q/KV head counts (repeat
-    GQA KV heads first)."""
+    GQA KV heads first).
+
+    ``inner`` selects the per-block attention: "auto" uses the Pallas flash
+    kernel on TPU when the local block is big enough to tile (same bar as
+    `models.attention._flash_eligible`), XLA masked softmax otherwise;
+    "flash"/"flash_interpret"/"xla" force a path."""
     b, t, h, d = q.shape
     n = mesh.shape[axis]
     if t % n:
         raise ValueError(f"T {t} not divisible by {axis}={n}")
+    if inner == "auto":
+        tl = t // n
+        inner = ("flash" if tl >= 1024 and d % 8 == 0
+                 and jax.default_backend() == "tpu" else "xla")
     spec = P(None, axis, None, None)
     fn = shard_map(
-        functools.partial(_ring_body, scale=scale, axis=axis),
+        functools.partial(_ring_body, scale=scale, axis=axis, inner=inner),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        # pallas_call outputs carry no vma annotation (same opt-out as
+        # runtime.tp_engine's shard_maps)
+        check_vma=False,
     )
     return fn(q, k, v)

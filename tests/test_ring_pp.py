@@ -91,3 +91,15 @@ def test_pipeline_forward_rejects_bad_shapes():
         pipeline_forward(stack_layers(params), ids, cfg, mesh, n_micro=2)
     with pytest.raises(ValueError):
         pipeline_forward(params, ids, cfg, make_pp_mesh(4), n_micro=2)
+
+
+@pytest.mark.parametrize("sp", [4])
+def test_ring_attention_flash_inner_matches_full(sp):
+    """Kernelized ring inner (flash residuals + lax.switch block kinds)
+    matches full attention — ROADMAP item 9."""
+    b, t, h, d = 1, 256, 2, 32
+    q, k, v = _qkv(b, t, h, d, seed=5)
+    scale = float(1.0 / np.sqrt(d))
+    ref = masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
+    out = ring_attention(q, k, v, scale, make_sp_mesh(sp), inner="flash_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
