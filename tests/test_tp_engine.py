@@ -294,3 +294,23 @@ def test_tpengine_batched_prefill_matches_single_device(packed_llama):
         assert bat.stats.prefills == 5
         for a, b in zip(done_ref, done_tp):
             assert a.output_ids == b.output_ids, (kw, a.request_id, a.output_ids, b.output_ids)
+
+
+def test_tpengine_int8_paged(packed_llama):
+    """int8 paged pool under TP: scale planes shard P(None, tp, None);
+    stream matches the single-device int8-paged engine."""
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,),
+                        page_size=8, cache_dtype=jnp.int8)
+    prompt = [5, 17, 42, 3]
+
+    ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+    want = [ref.prefill(0, prompt)] + [ref.decode_step()[0] for _ in range(3)]
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    assert "k_scale_pages" in eng.caches[0]
+    got = [eng.prefill(0, prompt)] + [eng.decode_step()[0] for _ in range(3)]
+    assert got == want, (got, want)
