@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prefill up to K same-bucket prompts in one program "
                         "(amortizes the packed path's per-layer weight "
                         "dequant K-fold; 1 disables)")
+    p.add_argument("--spec_gamma", type=int, default=0,
+                   help="greedy-exact speculative decoding: verify this many "
+                        "prompt-lookup draft tokens per decode step (token "
+                        "streams identical to plain greedy; 0 disables)")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over stacked decoder layers: one compiled "
                         "decode body instead of num_layers unrolled copies")
@@ -116,6 +120,7 @@ def main(argv=None) -> int:
         scan_layers=args.scan_layers,
         page_size=args.page_size, n_pages=args.n_pages,
         max_prefill_batch=args.prefill_batch,
+        spec_gamma=args.spec_gamma,
     )
     if args.tp > 1:
         from ..parallel.mesh import make_mesh

@@ -7,6 +7,13 @@ no "wait for the whole batch" barrier.  This is the serving layer the
 reference lacks entirely (BASELINE.json north star: continuous batching
 across hosts; the multi-host variant broadcasts admissions from host 0 over
 DCN — see `parallel.mesh.multihost_initialize`).
+
+With `EngineConfig.spec_gamma > 0` (greedy sampling, strip caches) the
+decode tick runs SPECULATIVELY: each slot drafts γ tokens by prompt lookup
+(the longest recent n-gram match in its own prompt+output history — no
+draft model), and one verify forward accepts the exact-greedy prefix.
+Decode is weight-stream-bound, so every extra accepted token is nearly
+free; wrong drafts cost only the wasted verify FLOPs, never correctness.
 """
 
 from __future__ import annotations
@@ -36,6 +43,8 @@ class BatcherStats:
     decode_steps: int = 0
     prefills: int = 0
     preemptions: int = 0
+    spec_drafted: int = 0   # draft tokens verified
+    spec_accepted: int = 0  # draft tokens accepted (exact-greedy matches)
     wall_seconds: float = 0.0
 
     @property
@@ -125,6 +134,38 @@ class ContinuousBatcher:
             del self.slot_to_request[slot]
             self.engine.release(slot)
 
+    def _propose_drafts(self, gamma: int):
+        """Prompt-lookup drafts [n_slots, γ] (or None to fall back to plain
+        decode this tick): for each active slot, find the most recent earlier
+        occurrence of its trailing n-gram (n = 3, 2) in prompt+output history
+        and propose the tokens that followed it.  Slots near max_seq force
+        the fallback (the verify program writes γ+1 rows unconditionally)."""
+        import numpy as np
+
+        eng = self.engine
+        drafts = np.zeros((eng.ecfg.n_slots, gamma), np.int32)
+        for slot, req in self.slot_to_request.items():
+            if eng.lengths[slot] + gamma + 1 >= eng.ecfg.max_seq:
+                return None
+            hist = req.prompt_ids + req.output_ids
+            for n in (3, 2):
+                if len(hist) <= n:
+                    continue
+                key = hist[-n:]
+                # scan backwards over earlier positions for the n-gram
+                found = False
+                for j in range(len(hist) - n - 1, -1, -1):
+                    if hist[j : j + n] == key:
+                        cont = hist[j + n : j + n + gamma]
+                        drafts[slot, : len(cont)] = cont
+                        if cont:
+                            drafts[slot, len(cont):] = cont[-1]
+                        found = True
+                        break
+                if found:
+                    break
+        return drafts
+
     def step(self) -> None:
         """One scheduler tick: admit new work, then one batched decode step."""
         self._admit()
@@ -138,6 +179,26 @@ class ContinuousBatcher:
                     f"request {req.request_id} (prompt {len(req.prompt_ids)}) "
                     "cannot be admitted even with an idle engine — page pool "
                     "smaller than its bucket")
+        gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
+        if (gamma and self.slot_to_request and self.engine.pool is None
+                and self.engine.sampling.temperature == 0.0):
+            drafts = self._propose_drafts(gamma)
+            if drafts is not None:
+                tok_lists = self.engine.spec_decode_step(drafts)
+                self.stats.decode_steps += 1
+                for slot, toks in tok_lists.items():
+                    req = self.slot_to_request.get(slot)
+                    if req is None:
+                        continue
+                    self.stats.spec_drafted += gamma
+                    self.stats.spec_accepted += len(toks) - 1
+                    for tok in toks:
+                        req.output_ids.append(tok)
+                        self.stats.generated_tokens += 1
+                        self._maybe_retire(slot, tok)
+                        if req.done:
+                            break  # tokens past EOS/budget are discarded
+                return
         try:
             toks = self.engine.decode_step()
         except PoolExhausted:

@@ -57,6 +57,14 @@ class EngineConfig:
     # prefill re-pays for EVERY prompt; batching amortizes it K-fold and
     # pushes the big dots toward XLA's dense matmul rate.  1 disables.
     max_prefill_batch: int = 4
+    # speculative decoding (greedy-exact, prompt-lookup drafts): verify
+    # spec_gamma draft tokens + 1 correction in ONE forward — the packed
+    # weight stream (the decode bottleneck at 1.8 b/w) is paid once per
+    # verify step instead of once per token.  Token streams are IDENTICAL
+    # to plain greedy decode (acceptance = exact argmax match); the
+    # scheduler falls back to plain decode under temperature>0 sampling.
+    # 0 disables.  Strip caches only (paged verify: roadmap).
+    spec_gamma: int = 0
 
 
 class PoolExhausted(RuntimeError):
@@ -103,7 +111,11 @@ class Engine:
         self._prefill_jit: Dict[int, Any] = {}
         self._decode_jit = None
         self._forced_jit = None
+        self._spec_jit = None
         self._prefill_logits: Dict[int, Any] = {}
+        if ecfg.spec_gamma and ecfg.page_size:
+            raise ValueError("speculative decoding over a paged pool is not "
+                             "implemented (multi-token page writes); use strips")
 
     # ---------------- slot management ----------------
 
@@ -381,6 +393,58 @@ class Engine:
             self.lengths = np.array(lengths)
             self.last_token[slot] = int(t)
         return nll / max(len(tokens), 1)
+
+    def _make_spec(self, gamma: int):
+        """Verify program: feed [last_token, d1..dγ] per slot in ONE forward
+        (t = γ+1, per-slot positions) and return the greedy prediction after
+        every input token.  The cache ends up holding rows for all γ+1
+        inputs; rows past the accepted prefix are stale but invisible — the
+        causal mask only admits keys at positions < the (rolled-back) length,
+        and the next step overwrites them in place."""
+        fam, cfg = self.fam, self.cfg
+
+        def step(params, caches, inputs, lengths):
+            logits, caches = fam.forward(
+                params, inputs, cfg, kv_caches=caches, pos=lengths
+            )
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, γ+1]
+            return caches, preds
+
+        return jax.jit(step)
+
+    def spec_decode_step(self, drafts: np.ndarray) -> Dict[int, List[int]]:
+        """Greedy speculative decode over the slot pool.
+
+        drafts [n_slots, γ] int32 (any values — wrong drafts cost only the
+        wasted verify FLOPs, never correctness).  Returns {slot: tokens}
+        where tokens = the accepted draft prefix + one correction token —
+        between 1 and γ+1 tokens per active slot, and the concatenated
+        stream is EXACTLY what plain greedy decode would emit."""
+        if self.sampling.temperature != 0.0:
+            raise ValueError("speculative decoding is greedy-exact only; "
+                             "temperature>0 must use decode_step")
+        if not self.active.any():
+            return {}
+        gamma = drafts.shape[1]
+        if self._spec_jit is None or getattr(self, "_spec_gamma", None) != gamma:
+            self._spec_jit = self._make_spec(gamma)
+            self._spec_gamma = gamma
+        inputs = np.concatenate([self.last_token[:, None], drafts.astype(np.int32)], axis=1)
+        self.caches, preds = self._spec_jit(
+            self.params, self.caches, jnp.asarray(inputs), jnp.asarray(self.lengths))
+        preds = np.asarray(preds)
+        out: Dict[int, List[int]] = {}
+        for i in range(self.ecfg.n_slots):
+            if not self.active[i]:
+                continue
+            k = 0
+            while k < gamma and int(drafts[i, k]) == int(preds[i, k]):
+                k += 1
+            toks = [int(t) for t in drafts[i, :k]] + [int(preds[i, k])]
+            self.lengths[i] += len(toks)
+            self.last_token[i] = toks[-1]
+            out[i] = toks
+        return out
 
     def decode_step(self) -> Dict[int, int]:
         """Advance every active slot one token. Returns {slot: token}."""

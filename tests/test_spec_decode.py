@@ -1,0 +1,138 @@
+"""Greedy-exact speculative decoding: verify-step semantics and scheduler
+integration.  The contract: token streams are IDENTICAL to plain greedy
+decode no matter what the drafts are; good drafts only change how many
+program invocations it takes."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from pb_llm_tpu.models import hf_import
+from pb_llm_tpu.models.registry import family_for
+from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_opt():
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = OPTForCausalLM(hf_cfg).eval().float()
+    params, cfg, _ = hf_import.from_torch_model(model)
+    return params, cfg, family_for("opt")
+
+
+def _plain_stream(params, cfg, fam, prompt, steps, **ekw):
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,), **ekw))
+    toks = [eng.prefill(0, prompt)]
+    for _ in range(steps):
+        toks.append(eng.decode_step()[0])
+    return toks
+
+
+def test_spec_step_exact_for_any_drafts(tiny_opt):
+    """All-correct, all-wrong and mixed drafts: concatenated spec streams
+    equal plain greedy decode exactly."""
+    params, cfg, fam = tiny_opt
+    prompt = [5, 17, 99, 3]
+    want = _plain_stream(params, cfg, fam, prompt, steps=12)
+
+    for draft_mode in ("oracle", "wrong", "mixed"):
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=3))
+        got = [eng.prefill(0, prompt)]
+        verifies = 0
+        while len(got) < len(want):
+            if draft_mode == "oracle":  # the true continuation
+                nxt = want[len(got): len(got) + 3]
+                d = nxt + [0] * (3 - len(nxt))
+            elif draft_mode == "wrong":
+                d = [(want[len(got) - 1] + 7) % 128] * 3
+            else:
+                nxt = want[len(got): len(got) + 3]
+                d = (nxt + [0] * (3 - len(nxt)))[:1] + [99, 98]
+            drafts = np.zeros((2, 3), np.int32)
+            drafts[0] = d
+            got.extend(eng.spec_decode_step(drafts)[0])
+            verifies += 1
+        assert got[: len(want)] == want, (draft_mode, got, want)
+        if draft_mode == "oracle":
+            assert verifies <= (len(want) + 2) // 4 + 1  # ~4 tokens/verify
+        if draft_mode == "wrong":
+            assert verifies == len(want) - 1  # 1 token per verify
+
+
+def test_spec_interleaved_slots(tiny_opt):
+    """Two slots with different acceptance rates advance independently."""
+    params, cfg, fam = tiny_opt
+    p0, p1 = [5, 17, 99, 3], [42, 7, 11]
+    w0 = _plain_stream(params, cfg, fam, p0, steps=6)
+    eng2 = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,)))
+    t1 = [eng2.prefill(0, p1)]
+    for _ in range(6):
+        t1.append(eng2.decode_step()[0])
+
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=2))
+    g0 = [eng.prefill(0, p0)]
+    g1 = [eng.prefill(1, p1)]
+    while len(g0) < 7 or len(g1) < 7:
+        drafts = np.zeros((2, 2), np.int32)
+        nxt0 = w0[len(g0): len(g0) + 2]
+        drafts[0, : len(nxt0)] = nxt0          # slot 0: oracle drafts
+        drafts[1] = [1, 2]                      # slot 1: junk drafts
+        out = eng.spec_decode_step(drafts)
+        g0.extend(out.get(0, []))
+        g1.extend(out.get(1, []))
+    assert g0[:7] == w0
+    assert g1[:7] == t1
+
+
+def test_batcher_spec_matches_plain(tiny_opt):
+    """ContinuousBatcher with spec_gamma=3 (prompt-lookup drafts) produces
+    identical outputs to plain decode, in fewer decode invocations when the
+    text repeats."""
+    params, cfg, fam = tiny_opt
+
+    def run(gamma):
+        # repetitive prompts make prompt-lookup drafts land
+        reqs = [Request(request_id=i,
+                        prompt_ids=[7, 8, 9, 7, 8, 9, 7, 8],
+                        max_new_tokens=16) for i in range(3)]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=gamma))
+        b = ContinuousBatcher(eng)
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b.stats
+
+    plain, _ = run(0)
+    spec, stats = run(3)
+    assert spec == plain
+    assert stats.spec_drafted > 0
+    # acceptance must actually happen on repetitive continuations
+    assert stats.spec_accepted > 0, (stats.spec_drafted, stats.spec_accepted)
+
+
+def test_spec_rejects_bad_config(tiny_opt):
+    params, cfg, fam = tiny_opt
+    with pytest.raises(ValueError):
+        Engine(params, cfg, fam, EngineConfig(
+            prefill_buckets=(8,), page_size=8, spec_gamma=2))
+    from pb_llm_tpu.runtime.sampler import SamplingParams
+
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=1, max_seq=64, prefill_buckets=(8,), spec_gamma=2),
+        SamplingParams(temperature=0.7))
+    eng.prefill(0, [5, 17, 99])
+    with pytest.raises(ValueError):
+        eng.spec_decode_step(np.zeros((1, 2), np.int32))
