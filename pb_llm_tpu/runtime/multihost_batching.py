@@ -196,6 +196,31 @@ class MultiHostBatcher:
                     f"request {req.request_id} (prompt {len(req.prompt_ids)}) "
                     "cannot be admitted even with an idle engine — page pool "
                     "smaller than its bucket")
+        gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
+        if (gamma and self.slot_to_request and self.engine.pool is None
+                and self.engine.sampling.temperature == 0.0):
+            # drafts are a pure function of request histories, which are
+            # identical on every host (prompt from the broadcast record,
+            # outputs from identical decode streams) — no extra broadcast
+            from .batching import ContinuousBatcher
+
+            drafts = ContinuousBatcher._propose_drafts(self, gamma)
+            if drafts is not None:
+                tok_lists = self.engine.spec_decode_step(drafts)
+                self.stats.decode_steps += 1
+                for slot, toks in tok_lists.items():
+                    req = self.slot_to_request.get(slot)
+                    if req is None:
+                        continue
+                    self.stats.spec_drafted += gamma
+                    self.stats.spec_accepted += len(toks) - 1
+                    for tok in toks:
+                        req.output_ids.append(tok)
+                        self.stats.generated_tokens += 1
+                        self._maybe_retire(slot, tok)
+                        if req.done:
+                            break
+                return
         try:
             toks = self.engine.decode_step()
         except PoolExhausted:

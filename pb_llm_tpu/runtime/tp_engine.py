@@ -199,6 +199,35 @@ def make_tp_prefill_paged(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int
     return jax.jit(fn)
 
 
+def make_tp_spec(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Callable:
+    """Jitted TP speculative-verify step (see `Engine.spec_decode_step`):
+    t = γ+1 inputs per slot through one shard_map; greedy predictions
+    all-gathered when the vocab is sharded."""
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, fam, tp)
+    pspecs = param_specs(params_tree, fam.name, mesh)
+    cache_specs = _cache_specs_like(caches_tree)
+
+    def local_step(params, caches, inputs, lengths):
+        logits, caches = fam.forward(
+            params, inputs, lcfg,
+            linear_fn=_tp_linear_fn, kv_caches=caches, pos=lengths,
+        )
+        if logits.shape[-1] != cfg.vocab_size:
+            logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return caches, preds
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, cache_specs, P(), P()),
+        out_specs=(cache_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_tp_prefill_batch(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree, paged: bool) -> Callable:
     """Jitted TP BATCHED prefill (see `Engine.prefill_batch`): K same-bucket
     prompts in one shard_map program; the per-layer packed-weight dequant of
@@ -343,6 +372,8 @@ class TPEngine:
         base._make_prefill_batch = make_prefill_batch
         base._make_prefill_paged_batch = make_prefill_paged_batch
         base._make_decode = make_decode
+        base._make_spec = lambda gamma: make_tp_spec(
+            cfg, fam, mesh, params_sh, caches_tree=base.caches)
 
     def __getattr__(self, name):
         return getattr(self._base, name)

@@ -136,3 +136,49 @@ def test_spec_rejects_bad_config(tiny_opt):
     eng.prefill(0, [5, 17, 99])
     with pytest.raises(ValueError):
         eng.spec_decode_step(np.zeros((1, 2), np.int32))
+
+
+def test_spec_tp_matches_single_device(tiny_opt):
+    """Spec verify under TP shard_map: streams identical to the
+    single-device spec engine and to plain greedy."""
+    import copy
+
+    from pb_llm_tpu.parallel import mesh as pmesh
+    from pb_llm_tpu.runtime.tp_engine import TPEngine
+
+    params, cfg, fam = tiny_opt
+    prompt = [5, 17, 99, 3]
+    want = _plain_stream(params, cfg, fam, prompt, steps=8)
+
+    mesh = pmesh.make_mesh(dp=1, tp=4)
+    eng = TPEngine(copy.deepcopy(params), cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=3), mesh)
+    got = [eng.prefill(0, prompt)]
+    while len(got) < len(want):
+        drafts = np.zeros((2, 3), np.int32)
+        nxt = want[len(got): len(got) + 3]
+        drafts[0, : len(nxt)] = nxt
+        got.extend(eng.spec_decode_step(drafts)[0])
+    assert got[: len(want)] == want, (got, want)
+
+
+def test_multihost_batcher_spec(tiny_opt):
+    """Single-process MultiHostBatcher with spec_gamma: outputs identical
+    to its plain-decode run."""
+    from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
+
+    params, cfg, fam = tiny_opt
+
+    def run(gamma):
+        reqs = [Request(request_id=i, prompt_ids=[7, 8, 9, 7, 8, 9, 7, 8],
+                        max_new_tokens=12) for i in range(3)]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=gamma))
+        b = MultiHostBatcher(eng, max_prompt=16)
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b.stats
+
+    plain, _ = run(0)
+    spec, stats = run(3)
+    assert spec == plain
+    assert stats.spec_accepted > 0
