@@ -182,3 +182,22 @@ def test_multihost_batcher_spec(tiny_opt):
     spec, stats = run(3)
     assert spec == plain
     assert stats.spec_accepted > 0
+
+
+def test_spec_int8_cache_matches_plain_int8(tiny_opt):
+    """Spec verify writes multi-token rows into the int8 strip cache
+    (quantized scatter with t>1): streams match plain int8 decode."""
+    params, cfg, fam = tiny_opt
+    prompt = [5, 17, 99, 3]
+    want = _plain_stream(params, cfg, fam, prompt, steps=8, cache_dtype=jnp.int8)
+
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=1, max_seq=64, prefill_buckets=(8,), spec_gamma=3,
+        cache_dtype=jnp.int8))
+    got = [eng.prefill(0, prompt)]
+    while len(got) < len(want):
+        drafts = np.zeros((1, 3), np.int32)
+        nxt = want[len(got): len(got) + 3]
+        drafts[0, : len(nxt)] = nxt
+        got.extend(eng.spec_decode_step(drafts)[0])
+    assert got[: len(want)] == want, (got, want)
