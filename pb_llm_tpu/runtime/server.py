@@ -144,6 +144,9 @@ def make_handler(loop: ServingLoop,
                     "generated_tokens": s.generated_tokens,
                     "decode_steps": s.decode_steps,
                     "prefills": s.prefills,
+                    "preemptions": s.preemptions,
+                    "spec_drafted": s.spec_drafted,
+                    "spec_accepted": s.spec_accepted,
                     "wall_seconds": round(s.wall_seconds, 3),
                     "tokens_per_second": round(s.tokens_per_second, 2),
                 })
