@@ -90,6 +90,11 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--hidden", type=int, default=0,
+                    help="override hidden size (0 = llama-7b dims); with "
+                         "--ffn/--heads enables tiny CPU smoke runs")
+    ap.add_argument("--ffn", type=int, default=0)
+    ap.add_argument("--heads", type=int, default=0)
     ap.add_argument("--sidecar_bits", type=int, default=8, choices=[4, 8])
     ap.add_argument("--fmt", type=str, default="v2", choices=["v1", "v2"])
     ap.add_argument("--low_frac", type=float, default=0.9)
@@ -120,7 +125,12 @@ def main():
     from pb_llm_tpu.models.llama import LlamaConfig
     from pb_llm_tpu.models.registry import family_for
 
-    cfg = LlamaConfig(num_hidden_layers=args.layers)  # llama-7b dims by default
+    kw = {}
+    if args.hidden:
+        kw = dict(hidden_size=args.hidden, intermediate_size=args.ffn or 2 * args.hidden,
+                  num_attention_heads=args.heads or 4,
+                  num_key_value_heads=args.heads or 4, vocab_size=512)
+    cfg = LlamaConfig(num_hidden_layers=args.layers, **kw)  # llama-7b dims by default
     fam = family_for("llama")
     log(f"building packed llama ({args.layers} layers)...")
     params = build_packed_llama(cfg, jax.random.PRNGKey(0), args.sidecar_bits,
