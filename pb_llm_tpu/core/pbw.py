@@ -166,7 +166,13 @@ def pack_linear(
         low_mean = s / 2.0
         low_scale = s / 2.0
 
-    pack_block = pack_block or packing.default_pack_block(ic)
+    # grouped layouts cap the pack block at the group size (and at a divisor
+    # of it) so no bitplane block straddles a scale-group boundary — that is
+    # what lets the planar decode kernel apply per-group coefficients as
+    # static slices (`ops.pallas_pb._planar_kernel`)
+    if pack_block is None:
+        cap = gs if (gs < ic and ic % gs == 0 and gs % 32 == 0) else 2048
+        pack_block = packing.default_pack_block(ic, cap=cap)
     if low_bits == 1:
         mean_rows = jnp.repeat(low_mean, gs, axis=0)[:ic]  # [ic, oc]
         # sign bit from the quantized value itself: q = mean + s*scale,

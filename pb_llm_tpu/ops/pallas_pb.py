@@ -71,16 +71,30 @@ def _round_up(v: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int, pack_block: int, sidecar_bits: int, low_bits: int):
+def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int, pack_block: int, sidecar_bits: int, low_bits: int, n_groups: int, groupsize: int):
+    """Planar decomposition with per-GROUP binary coefficients: the block
+    loop is statically unrolled, so the group index of each pack block is a
+    Python int and coefficient rows are static slices.  n_groups == 1 is the
+    whole-row (groupsize = -1) case; groupsize=128 runs the same kernel with
+    per-block coefficient application (the reference's `--groupsize 128`
+    ablation, `gptq_pb/low_quant.py:11-14`) — requires groupsize %
+    pack_block == 0 so no pack block straddles a group boundary."""
     xb = x_ref[:]
     mrows = xb.shape[0]
-    acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
-    acc_m = jnp.zeros((mrows, oc_tile), jnp.float32)
+    alpha = coef_ref[0:n_groups, :]
+    beta = coef_ref[n_groups : 2 * n_groups, :]
+    gamma = coef_ref[2 * n_groups : 3 * n_groups, :]
+    hs = coef_ref[3 * n_groups : 3 * n_groups + 1, :]
+    bias = coef_ref[3 * n_groups + 1 : 3 * n_groups + 2, :]
+    total = jnp.zeros((mrows, oc_tile), jnp.float32)
     w_off = r_off = 0
     for rows in packing.block_sizes(ic, pack_block):
+        gi = r_off // groupsize if n_groups > 1 else 0
         g = rows // WORD_BITS
         wm = m_ref[w_off : w_off + g, :]
         planes = [s_ref[j, w_off : w_off + g, :] for j in range(low_bits)]
+        acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
+        acc_m = jnp.zeros((mrows, oc_tile), jnp.float32)
         for b in range(WORD_BITS):
             xs = xb[:, r_off + b * g : r_off + (b + 1) * g]
             for j, ws in enumerate(planes):
@@ -88,6 +102,10 @@ def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_t
                 acc_b += (2.0**j) * jnp.dot(xs, bits_s, preferred_element_type=jnp.float32)
             bits_m = _bit_plane_two(wm, b)  # {0, 2.0}; 2x folded into gamma
             acc_m += jnp.dot(xs, bits_m, preferred_element_type=jnp.float32)
+        rs = jnp.sum(xb[:, r_off : r_off + rows], axis=1, keepdims=True)
+        total += (rs * beta[gi : gi + 1, :]
+                  + acc_b * alpha[gi : gi + 1, :]
+                  + acc_m * gamma[gi : gi + 1, :])
         w_off += g
         r_off += rows
     if sidecar_bits == 4:
@@ -105,13 +123,7 @@ def _planar_kernel(x_ref, s_ref, m_ref, v_ref, coef_ref, o_ref, *, ic: int, oc_t
             r_off += rows
     else:
         acc_v = jnp.dot(xb, v_ref[:].astype(jnp.int32).astype(jnp.float32), preferred_element_type=jnp.float32)
-    rowsum = jnp.sum(xb, axis=1, keepdims=True)
-    alpha = coef_ref[0:1, :]
-    beta = coef_ref[1:2, :]
-    gamma = coef_ref[2:3, :]
-    hs = coef_ref[3:4, :]
-    bias = coef_ref[4:5, :]
-    o_ref[:] = rowsum * beta + acc_b * alpha + acc_v * hs + acc_m * gamma + bias
+    o_ref[:] = total + acc_v * hs + bias
 
 
 def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
@@ -120,8 +132,8 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     m_pad = _round_up(max(m, 8), 8)
     xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
 
-    scale = p.low_scale[0].astype(jnp.float32)
-    mean = p.low_mean[0].astype(jnp.float32)
+    scale = p.low_scale.astype(jnp.float32)  # [G, oc]
+    mean = p.low_mean.astype(jnp.float32)
     # kernel bit planes carry {0, 2.0} (see _bit_plane_two): alpha/gamma are
     # written pre-halved relative to the w = beta + alpha·bit decomposition
     if p.low_bits == 1:
@@ -130,13 +142,17 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
     else:
         alpha = 0.5 * scale            # w_bin = scale·(code − zero); low_mean = zero
         beta = -scale * mean
-    gamma = 0.5 * (-p.high_scale * p.high_zero - beta)
+    gamma = 0.5 * (-(p.high_scale * p.high_zero)[None, :] - beta)
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
-    coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)  # [5, oc]
+    n_groups = p.n_groups
+    coef = jnp.concatenate(
+        [alpha, beta, gamma, p.high_scale[None, :], bias[None, :]], axis=0
+    )  # [3G+2, oc]
 
     kernel = functools.partial(
         _planar_kernel, ic=ic, oc_tile=oc_tile,
         pack_block=p.pack_block_local, sidecar_bits=p.sidecar_bits, low_bits=p.low_bits,
+        n_groups=n_groups, groupsize=p.groupsize_local,
     )
     wpp = p.words_per_plane
     sign3 = p.sign_packed.reshape(p.low_bits, wpp, oc)
@@ -149,7 +165,7 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
             pl.BlockSpec((p.low_bits, wpp, oc_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p.sidecar.shape[0], oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n_groups + 2, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_pad, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
@@ -630,8 +646,12 @@ def _default_oc_tile(oc: int) -> int:
 
 def _planar_ok(m: int, p: PackedLinear) -> bool:
     ic, oc = p.ic_local, p.oc_local
-    if p.groupsize_local < ic:  # per-group scales don't factor out of the dots
-        return False
+    gs = p.groupsize_local
+    if gs < ic:
+        # grouped scales run the per-block coefficient variant; every pack
+        # block must sit inside one group and groups must tile ic exactly
+        if ic % gs or gs % p.pack_block_local:
+            return False
     m_pad = _round_up(max(m, 8), 8)
     oc_tile = _default_oc_tile(oc)
     vmem = m_pad * ic * 4 + ic * oc_tile + 2 * (ic // 32) * oc_tile * 4 + m_pad * oc_tile * 4

@@ -192,3 +192,17 @@ def test_pallas_multiplane_low(method):
         y_ref = pbw.matmul_reference(x, p)
         y_pal = pallas_pb.pb_matmul_pallas(x, p, interpret=True)
         np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=2e-4)
+
+
+def test_planar_grouped_fast_path():
+    """groupsize=128 decode hits the PLANAR kernel (per-group coefficient
+    slices, ROADMAP item 3) instead of the select fallback, and matches the
+    XLA reference exactly."""
+    for oc, ic, gs in ((128, 512, 128), (128, 512, 256), (256, 256, 64)):
+        p = _packed(oc, ic, groupsize=gs, bias=True)
+        assert p.pack_block <= gs and gs % p.pack_block == 0, (p.pack_block, gs)
+        assert pallas_pb._planar_ok(8, p), (oc, ic, gs)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal((8, ic)).astype(np.float32))
+        y_ref = pbw.matmul_reference(x, p)
+        y_pal = pallas_pb._planar_call(x, p, pallas_pb._default_oc_tile(oc), interpret=True)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), rtol=1e-5, atol=1e-4)
