@@ -136,15 +136,29 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
                         cache[f"{name}_scale_pages"], scale, sp)
                 out[f"{name}_pages"] = write(cache[f"{name}_pages"], val, sp)
             return out
-        p = jnp.asarray(pos)  # [B] per-slot positions, t == 1
-        page_ids = jnp.take_along_axis(cache["table"], (p // page)[:, None], axis=1)[:, 0]
-        for name, val in (("k", k[:, 0]), ("v", v[:, 0])):
+        p = jnp.asarray(pos)  # [B] per-slot positions
+        t = k.shape[1]
+        if t == 1:
+            page_ids = jnp.take_along_axis(cache["table"], (p // page)[:, None], axis=1)[:, 0]
+            for name, val in (("k", k[:, 0]), ("v", v[:, 0])):
+                if "k_scale_pages" in cache:
+                    val, scale = _q(val)
+                    out[f"{name}_scale_pages"] = paged_kv.write_token(
+                        cache[f"{name}_scale_pages"], scale, page_ids, p % page)
+                out[f"{name}_pages"] = paged_kv.write_token(
+                    cache[f"{name}_pages"], val, page_ids, p % page)
+            return out
+        # multi-token window (speculative verify): per-token table lookup —
+        # a slot's window may span a page boundary
+        ptok = p[:, None] + jnp.arange(t)[None, :]          # [B, t]
+        page_ids = jnp.take_along_axis(cache["table"], ptok // page, axis=1)
+        for name, val in (("k", k), ("v", v)):
             if "k_scale_pages" in cache:
                 val, scale = _q(val)
-                out[f"{name}_scale_pages"] = paged_kv.write_token(
-                    cache[f"{name}_scale_pages"], scale, page_ids, p % page)
-            out[f"{name}_pages"] = paged_kv.write_token(
-                cache[f"{name}_pages"], val, page_ids, p % page)
+                out[f"{name}_scale_pages"] = paged_kv.write_tokens(
+                    cache[f"{name}_scale_pages"], scale, page_ids, ptok % page)
+            out[f"{name}_pages"] = paged_kv.write_tokens(
+                cache[f"{name}_pages"], val, page_ids, ptok % page)
         return out
     p = jnp.asarray(pos)
     out = dict(cache)
@@ -172,20 +186,25 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
     prompt K/V (prefill: the prompt's own keys are all it can see)."""
     b, t, hq, d = q.shape
     if "k_pages" in kv_cache:
-        if t > 1:  # prefill (pos == 0): self-contained causal window
+        if jnp.asarray(pos).ndim == 0:  # prefill: self-contained causal window
             return full_causal_attention(q, k_new, v_new, scale)
-        from ..ops.paged_attention import paged_attention
+        from ..ops.paged_attention import paged_attention, paged_attention_multi
 
         kp, vp = kv_cache["k_pages"], kv_cache["v_pages"]
-        lengths = jnp.asarray(pos) + 1  # includes the token just written
-        out = paged_attention(
-            q[:, 0], kp, vp, kv_cache["table"], lengths, scale,
-            page_size=kp.shape[2],
-            k_scale_pages=kv_cache.get("k_scale_pages"),
-            v_scale_pages=kv_cache.get("v_scale_pages"),
-            interpret=jax.default_backend() == "cpu",
-        )
-        return out[:, None].astype(q.dtype)
+        interp = jax.default_backend() == "cpu"
+        common = dict(page_size=kp.shape[2],
+                      k_scale_pages=kv_cache.get("k_scale_pages"),
+                      v_scale_pages=kv_cache.get("v_scale_pages"),
+                      interpret=interp)
+        if t == 1:
+            lengths = jnp.asarray(pos) + 1  # includes the token just written
+            out = paged_attention(q[:, 0], kp, vp, kv_cache["table"], lengths,
+                                  scale, **common)
+            return out[:, None].astype(q.dtype)
+        # multi-query window (speculative verify): rows already written
+        out = paged_attention_multi(q, kp, vp, kv_cache["table"],
+                                    jnp.asarray(pos), scale, **common)
+        return out.astype(q.dtype)
     s = kv_cache["k"].shape[1]
     allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
     ck, cv = cache_kv(kv_cache, q.dtype)

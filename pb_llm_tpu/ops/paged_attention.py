@@ -34,7 +34,11 @@ NEG_INF = -1e30
 
 def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, *rest,
             page_size: int, n_pages_per_slot: int, n_groups: int,
-            quantized: bool):
+            quantized: bool, q_len: int):
+    """One (slot, page) grid step.  ``q_len`` > 1 is the speculative-verify
+    window: q block [1, q_len, Hq, D], row (g, j) of the grouped scores may
+    attend keys at positions <= base + j (base = keys valid BEFORE the
+    window; the window's own rows are already written to pages)."""
     if quantized:  # int8 pages carry per-(token, head) f32 scale planes
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -48,60 +52,69 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, v_ref, *rest,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    length = len_ref[b]
+    base = len_ref[b]  # q_len == 1 decode: base = length - 1 (the caller maps)
     start = p * page_size
 
-    @pl.when(start < length)
+    @pl.when(start < base + q_len)
     def _():
-        hq, d = q_ref.shape[1], q_ref.shape[2]
+        hq, d = q_ref.shape[2], q_ref.shape[3]
         hkv = hq // n_groups
+        rows = n_groups * q_len
         # GQA grouped in-kernel: q heads [Hkv, G, D]; q head i reads kv head
         # i // G — same convention as jnp.repeat(k, G, axis=2) outside.
         # Pages are [Hkv, page, D] so BOTH dot operands carry the batch
         # (head) dim at index 0 — Mosaic requires equal batch dim positions.
-        q = q_ref[0].reshape(hkv, n_groups, d)  # q pre-scaled by the caller
+        q = q_ref[0]  # [q_len, Hq, D], pre-scaled by the caller
+        q = q.transpose(1, 0, 2).reshape(hkv, rows, d)  # row = g*q_len + j
         k = k_ref[0]  # [Hkv, page, D]
         v = v_ref[0]
         if quantized:
             k = k.astype(jnp.float32)
             v = v.astype(jnp.float32)
-        # [Hkv, G, page]: batch over kv heads, contract D
+        # [Hkv, rows, page]: batch over kv heads, contract D
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         if quantized:
             # dequant K AFTER the dot: s[..., t] scales by k_scale[t] — exact
             # (per-token scale factors out of the contraction over D), and
-            # [Hkv, G, page] elements << [Hkv, page, D]
+            # [Hkv, rows, page] elements << [Hkv, page, D]
             s = s * ks_ref[0].reshape(hkv, 1, page_size)
         pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(pos < length, s, NEG_INF)
+        # per-row causal limit: row (g, j) sees keys < base + j + 1
+        j_row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % q_len
+        allowed = pos < base + 1 + j_row
+        s = jnp.where(allowed, s, NEG_INF)
 
-        m_prev = m_ref[:, :1].reshape(hkv, n_groups, 1)
-        l_prev = l_ref[:, :1].reshape(hkv, n_groups, 1)
+        m_prev = m_ref[:, :1].reshape(hkv, rows, 1)
+        l_prev = l_ref[:, :1].reshape(hkv, rows, 1)
         m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         pw = jnp.exp(s - m_next)
-        pw = jnp.where(pos < length, pw, 0.0)
+        pw = jnp.where(allowed, pw, 0.0)
         l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
-        l_ref[:] = jnp.broadcast_to(l_next.reshape(hq, 1), l_ref.shape)
-        m_ref[:] = jnp.broadcast_to(m_next.reshape(hq, 1), m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_next.reshape(hkv * rows, 1), l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_next.reshape(hkv * rows, 1), m_ref.shape)
         if quantized:
             # dequant V BEFORE its dot by folding the per-token scale into
             # the probability weights: sum_t pw[t]·scale[t]·v_q[t]
             pw = pw * vs_ref[0].reshape(hkv, 1, page_size)
-        # [Hkv, G, D]: batch over kv heads, contract page
+        # [Hkv, rows, D]: batch over kv heads, contract page
         pv = jax.lax.dot_general(
             pw, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        acc_ref[:] = acc_ref[:] * alpha.reshape(hq, 1) + pv.reshape(hq, d)
+        acc_ref[:] = acc_ref[:] * alpha.reshape(hkv * rows, 1) + pv.reshape(hkv * rows, d)
 
     @pl.when(p == n_pages_per_slot - 1)
     def _():
+        hq, d = q_ref.shape[2], q_ref.shape[3]
+        hkv = hq // n_groups
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
+        out = acc_ref[:] * l_inv  # [Hkv*G*q_len, D]
+        out = out.reshape(hkv, n_groups, q_len, d).transpose(2, 0, 1, 3)
+        o_ref[0] = out.reshape(q_len, hq, d).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
@@ -121,6 +134,41 @@ def paged_attention(
     hkv = k_pages.shape[1]
     if hq % hkv:
         raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
+    # t=1 decode: kernel convention wants base = keys valid BEFORE the
+    # query token; the public convention here includes the just-written one
+    out = _paged_call(q[:, None], k_pages, v_pages, page_table, lengths - 1,
+                      scale, page_size, k_scale_pages, v_scale_pages, interpret)
+    return out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+def paged_attention_multi(
+    q: jnp.ndarray,            # [B, t, H, D] — a small causal window per slot
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,
+    base_lengths: jnp.ndarray,  # [B] keys valid BEFORE this window
+    scale,
+    page_size: int,
+    k_scale_pages: jnp.ndarray = None,
+    v_scale_pages: jnp.ndarray = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-query paged decode (speculative verify): the window's own t
+    rows must already be written to the pages; query j attends keys at
+    positions <= base + j."""
+    b, t, hq, d = q.shape
+    hkv = k_pages.shape[1]
+    if hq % hkv:
+        raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
+    return _paged_call(q, k_pages, v_pages, page_table, base_lengths, scale,
+                       page_size, k_scale_pages, v_scale_pages, interpret)
+
+
+def _paged_call(q, k_pages, v_pages, page_table, base_lengths, scale,
+                page_size, k_scale_pages, v_scale_pages, interpret):
+    b, q_len, hq, d = q.shape
+    hkv = k_pages.shape[1]
     quantized = k_scale_pages is not None
     if quantized != (k_pages.dtype == jnp.int8):
         raise ValueError("int8 pages require k/v scale pages (and vice versa)")
@@ -131,7 +179,7 @@ def paged_attention(
 
     page_spec = pl.BlockSpec((1, hkv, page_size, d), lambda bi, p, tbl, ln: (tbl[bi, p], 0, 0, 0))
     in_specs = [
-        pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+        pl.BlockSpec((1, q_len, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0, 0)),
         page_spec, page_spec,
     ]
     operands = [q, k_pages, v_pages]
@@ -143,27 +191,31 @@ def paged_attention(
         num_scalar_prefetch=2,
         grid=(b, maxp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((1, q_len, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hq, 128), jnp.float32),  # running max
-            pltpu.VMEM((hq, 128), jnp.float32),  # running normalizer
-            pltpu.VMEM((hq, d), jnp.float32),    # output accumulator
+            pltpu.VMEM((hq * q_len, 128), jnp.float32),  # running max
+            pltpu.VMEM((hq * q_len, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((hq * q_len, d), jnp.float32),    # output accumulator
         ],
     )
     kernel = functools.partial(
         _kernel, page_size=page_size, n_pages_per_slot=maxp,
-        n_groups=hq // hkv, quantized=quantized,
+        n_groups=hq // hkv, quantized=quantized, q_len=q_len,
     )
     out_dtype = jnp.float32 if quantized else q.dtype
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, q_len, hq, d), out_dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *operands)
+    )(page_table.astype(jnp.int32), lengths_i32(base_lengths), *operands)
+
+
+def lengths_i32(x):
+    return x.astype(jnp.int32)
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths, scale,

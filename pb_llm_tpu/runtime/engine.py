@@ -63,7 +63,8 @@ class EngineConfig:
     # verify step instead of once per token.  Token streams are IDENTICAL
     # to plain greedy decode (acceptance = exact argmax match); the
     # scheduler falls back to plain decode under temperature>0 sampling.
-    # 0 disables.  Strip caches only (paged verify: roadmap).
+    # 0 disables.  Works over strip caches (f32/int8) AND paged pools
+    # (multi-query paged kernel + per-token page-table writes).
     spec_gamma: int = 0
 
 
@@ -113,9 +114,6 @@ class Engine:
         self._forced_jit = None
         self._spec_jit = None
         self._prefill_logits: Dict[int, Any] = {}
-        if ecfg.spec_gamma and ecfg.page_size:
-            raise ValueError("speculative decoding over a paged pool is not "
-                             "implemented (multi-token page writes); use strips")
 
     # ---------------- slot management ----------------
 
@@ -429,6 +427,20 @@ class Engine:
         if self._spec_jit is None or getattr(self, "_spec_gamma", None) != gamma:
             self._spec_jit = self._make_spec(gamma)
             self._spec_gamma = gamma
+        if self.pool is not None:
+            # the verify writes γ+1 rows per active slot up front
+            need = sum(
+                max(0, self.pool.pages_needed(int(self.lengths[i]) + gamma + 1)
+                    - len(self.pool.owned[i]))
+                for i in range(self.ecfg.n_slots) if self.active[i]
+            )
+            if need > self.pool.free_pages:
+                raise PoolExhausted(
+                    f"speculative verify needs {need} new pages, pool has "
+                    f"{self.pool.free_pages} free — preempt a request")
+            for i in range(self.ecfg.n_slots):
+                if self.active[i]:
+                    self._ensure_pages(i, int(self.lengths[i]) + gamma + 1)
         inputs = np.concatenate([self.last_token[:, None], drafts.astype(np.int32)], axis=1)
         self.caches, preds = self._spec_jit(
             self.params, self.caches, jnp.asarray(inputs), jnp.asarray(self.lengths))

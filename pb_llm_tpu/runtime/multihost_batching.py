@@ -197,7 +197,7 @@ class MultiHostBatcher:
                     "cannot be admitted even with an idle engine — page pool "
                     "smaller than its bucket")
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
-        if (gamma and self.slot_to_request and self.engine.pool is None
+        if (gamma and self.slot_to_request
                 and self.engine.sampling.temperature == 0.0):
             # drafts are a pure function of request histories, which are
             # identical on every host (prompt from the broadcast record,
@@ -206,7 +206,12 @@ class MultiHostBatcher:
 
             drafts = ContinuousBatcher._propose_drafts(self, gamma)
             if drafts is not None:
-                tok_lists = self.engine.spec_decode_step(drafts)
+                try:
+                    tok_lists = self.engine.spec_decode_step(drafts)
+                except PoolExhausted:
+                    if not self._preempt_one():
+                        raise
+                    return
                 self.stats.decode_steps += 1
                 for slot, toks in tok_lists.items():
                     req = self.slot_to_request.get(slot)

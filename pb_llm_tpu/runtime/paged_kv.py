@@ -117,6 +117,18 @@ def write_token(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
     return pages.at[page_ids, :, offsets].set(new.astype(pages.dtype))
 
 
+def write_tokens(pages: jnp.ndarray, new: jnp.ndarray, page_ids: jnp.ndarray,
+                 offsets: jnp.ndarray) -> jnp.ndarray:
+    """Multi-token decode write (speculative verify): new [B, t, H, D] (or
+    [B, t, H] scale planes), page_ids/offsets [B, t] — one flattened batched
+    scatter; a slot's t tokens may span a page boundary (the table lookup is
+    per token).  Inactive slots' rows all land in the trash page."""
+    b, t = page_ids.shape
+    flat = new.reshape(b * t, *new.shape[2:])
+    return pages.at[page_ids.reshape(-1), :, offsets.reshape(-1)].set(
+        flat.astype(pages.dtype))
+
+
 def write_prompt(pages: jnp.ndarray, seq: jnp.ndarray, slot_pages: jnp.ndarray) -> jnp.ndarray:
     """Write a whole (padded) prompt into one slot's pages: pages
     [P+1, H, page, D] head-major (or [P+1, H, page] scale planes), seq

@@ -262,3 +262,57 @@ def test_paged_inactive_slot_does_not_corrupt(tiny_opt):
     for _ in range(7):
         got.append(paged.decode_step()[0])
     assert got == want, (got, want)
+
+
+def test_paged_attention_multi_oracle():
+    """Multi-query (speculative verify) paged kernel vs a dense oracle:
+    query row j attends keys <= base + j; windows span page boundaries."""
+    r = np.random.default_rng(4)
+    B, T, HQ, HKV, D, PS, MAXP, P = 2, 3, 4, 2, 32, 8, 4, 16
+    q = jnp.asarray(r.standard_normal((B, T, HQ, D)).astype(np.float32))
+    kp = jnp.asarray(r.standard_normal((P, HKV, PS, D)).astype(np.float32))
+    vp = jnp.asarray(r.standard_normal((P, HKV, PS, D)).astype(np.float32))
+    table = jnp.asarray(r.integers(0, P, size=(B, MAXP)).astype(np.int32))
+    base = jnp.asarray(np.array([6, 13], np.int32))  # 6+3 and 13+3 cross pages
+    scale = 0.25
+
+    from pb_llm_tpu.ops.paged_attention import paged_attention_multi
+
+    got = paged_attention_multi(q, kp, vp, table, base, scale, PS, interpret=True)
+
+    # dense oracle: gather pages, per-row causal limit
+    k = jnp.swapaxes(kp[table], 2, 3).reshape(B, MAXP * PS, HKV, D)
+    v = jnp.swapaxes(vp[table], 2, 3).reshape(B, MAXP * PS, HKV, D)
+    k = jnp.repeat(k, HQ // HKV, axis=2)
+    v = jnp.repeat(v, HQ // HKV, axis=2)
+    s = jnp.einsum("bthd,bshd->bths", q, k) * scale
+    kpos = jnp.arange(MAXP * PS)[None, None, None, :]
+    limit = (base[:, None] + 1 + jnp.arange(T)[None, :])[:, :, None, None]
+    s = jnp.where(kpos < limit, s, -1e30)
+    w = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bths,bshd->bthd", w, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_spec_decode_matches_plain_paged(tiny_opt):
+    """Speculative decoding over the PAGED pool (multi-query kernel +
+    per-token page writes): streams identical to plain paged decode, incl.
+    verify windows crossing page boundaries and int8 pages."""
+    params, cfg, fam = tiny_opt
+    prompt = [5, 17, 99, 3]
+    for dt in (jnp.float32, jnp.int8):
+        base_kw = dict(n_slots=1, max_seq=48, prefill_buckets=(8,),
+                       page_size=8, cache_dtype=dt)
+        plain = Engine(params, cfg, fam, EngineConfig(**base_kw))
+        want = [plain.prefill(0, prompt)]
+        for _ in range(11):
+            want.append(plain.decode_step()[0])
+
+        eng = Engine(params, cfg, fam, EngineConfig(**base_kw, spec_gamma=3))
+        got = [eng.prefill(0, prompt)]
+        while len(got) < len(want):
+            drafts = np.zeros((1, 3), np.int32)
+            nxt = want[len(got): len(got) + 3]
+            drafts[0, : len(nxt)] = nxt  # oracle drafts -> multi-token hops
+            got.extend(eng.spec_decode_step(drafts)[0])
+        assert got[: len(want)] == want, (dt, got, want)
