@@ -125,9 +125,6 @@ def test_batcher_spec_matches_plain(tiny_opt):
 
 def test_spec_rejects_bad_config(tiny_opt):
     params, cfg, fam = tiny_opt
-    with pytest.raises(ValueError):
-        Engine(params, cfg, fam, EngineConfig(
-            prefill_buckets=(8,), page_size=8, spec_gamma=2))
     from pb_llm_tpu.runtime.sampler import SamplingParams
 
     eng = Engine(params, cfg, fam, EngineConfig(
