@@ -1,0 +1,89 @@
+"""Worker for the 2-process MultiHostBatcher test (test_multihost.py).
+
+Each process runs its own engine replica (computation-follows-data: a plain
+jit runs on the process's local devices); ONLY the scheduler coordinates —
+host 0 decides admissions and broadcasts the fixed-shape record over the
+fake DCN.  Every host must produce byte-identical output streams, including
+batched prefill grouping, speculative-decode drafts (pure functions of the
+replicated request histories), eos retirement and remaining-budget
+accounting after the record round-trip.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    rank = int(sys.argv[1])
+    port = sys.argv[2]
+    outdir = sys.argv[3]
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=rank)
+
+    import json
+
+    import numpy as np
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from pb_llm_tpu.models import hf_import
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.runtime.batching import Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+    from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
+
+    hf_cfg = OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, dropout=0.0,
+    )
+    torch.manual_seed(0)  # identical weights on every process
+    params, cfg, _ = hf_import.from_torch_model(OPTForCausalLM(hf_cfg).eval().float())
+    fam = family_for("opt")
+
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,),
+        max_prefill_batch=2, spec_gamma=2))
+
+    class Capturing(MultiHostBatcher):
+        """Record every request object (incl. non-host0 shadows) so each
+        rank can dump its observed streams."""
+
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.seen = {}
+
+        def _maybe_retire(self, slot, token):
+            req = self.slot_to_request[slot]
+            self.seen[req.request_id] = req
+            super()._maybe_retire(slot, token)
+
+    b = Capturing(eng, max_prompt=16)
+    # submitted on host 0 only; others receive via the admission record.
+    # eos_token_id=9 exercises the record's eos field (retirement must not
+    # diverge across hosts) - the repetitive prompt makes 9 likely to fire.
+    reqs = [Request(request_id=i, prompt_ids=[7, 8, 9, 7, 8, 9, 7, 8],
+                    max_new_tokens=10, eos_token_id=9) for i in range(4)]
+    b.run(reqs)
+
+    streams = {str(rid): req.output_ids for rid, req in sorted(b.seen.items())}
+    stats = {"prefills": b.stats.prefills, "decode_steps": b.stats.decode_steps,
+             "generated": b.stats.generated_tokens,
+             "spec_accepted": b.stats.spec_accepted,
+             "lengths": [int(x) for x in eng.lengths]}
+    with open(os.path.join(outdir, f"serving_{rank}.json"), "w") as fh:
+        json.dump({"streams": streams, "stats": stats}, fh)
+    print("WORKER_OK", rank, flush=True)
+
+
+if __name__ == "__main__":
+    main()
