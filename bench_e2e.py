@@ -231,11 +231,18 @@ def main():
         caches = stacking.stack_caches(caches)
 
     def decode_scan(params, caches, tokens0, lengths0, n_steps):
+        """tokens0 [B] = plain decode; [B, t] = speculative verify window
+        (t tokens forwarded per step, greedy preds fed back as next window)."""
+        multi = tokens0.ndim == 2
+        t = tokens0.shape[1] if multi else 1
+
         def body(carry, _):
             caches, tokens, lengths = carry
-            logits, caches = fam.forward(params, tokens[:, None], cfg, kv_caches=caches, pos=lengths)
-            tokens = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-            return (caches, tokens, lengths + 1), ()
+            ids = tokens if multi else tokens[:, None]
+            logits, caches = fam.forward(params, ids, cfg, kv_caches=caches, pos=lengths)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tokens = preds if multi else preds[:, 0]
+            return (caches, tokens, lengths + t), ()
         (caches, tokens, lengths), _ = jax.lax.scan(body, (caches, tokens0, lengths0), None, length=n_steps)
         return jnp.sum(tokens), caches
 
@@ -245,34 +252,48 @@ def main():
     if args.arms:
         # interleaved multi-arm mode: all arms timed round-robin in ONE
         # process so tunnel drift cancels in the ratios
-        arm_defs = {
-            "strips": (0, False), "strips_int8": (0, True),
-            "paged": (args.paged or 64, False), "paged_int8": (args.paged or 64, True),
-        }
+        # spec arms ("specN"): verify windows of t = N+1 tokens per step over
+        # strip caches — compare against the "strips" t=1 arm in one process
+        # to price a speculative verify step
+        def arm_def(name):
+            if name.startswith("spec"):
+                return 0, False, int(name[4:]) + 1
+            return {"strips": (0, False, 1), "strips_int8": (0, True, 1),
+                    "paged": (args.paged or 64, False, 1),
+                    "paged_int8": (args.paged or 64, True, 1)}[name]
+
         names = [a.strip() for a in args.arms.split(",") if a.strip()]
-        fns, arm_caches = {}, {}
+        fns, arm_caches, widths = {}, {}, {}
         for name in names:
-            paged, int8 = arm_defs[name]
+            paged, int8, width = arm_def(name)
             arm_caches[name] = make_arm_caches(paged, int8)
+            widths[name] = width
+            tok0 = tokens0 if width == 1 else jnp.zeros((B, width), jnp.int32)
             for n_steps in (4, 12):
                 f = jax.jit(lambda p, c, t, l, n=n_steps: decode_scan(p, c, t, l, n)[0])
                 t0 = time.time()
-                float(f(params, arm_caches[name], tokens0, lengths0))
+                float(f(params, arm_caches[name], tok0, lengths0))
                 log(f"compiled {name} n={n_steps} in {time.time()-t0:.0f}s")
-                fns[(name, n_steps)] = f
+                fns[(name, n_steps)] = (f, tok0)
         raw = {(name, n): [] for name in names for n in (4, 12)}
         for rep in range(5):
             for name in names:
                 for n in (4, 12):
+                    f, tok0 = fns[(name, n)]
                     t0 = time.perf_counter()
-                    float(fns[(name, n)](params, arm_caches[name], tokens0 + rep, lengths0))
+                    float(f(params, arm_caches[name], tok0 + rep, lengths0))
                     raw[(name, n)].append(time.perf_counter() - t0)
         out = {}
         for name in names:
             step_s = (min(raw[(name, 12)]) - min(raw[(name, 4)])) / 8
+            w = widths[name]
             out[name] = {"ms_per_step": round(step_s * 1e3, 2),
                          "tokens_per_s": round(B / step_s, 1)}
-            log(f"{name}: {step_s*1e3:.2f} ms/step, {B/step_s:.1f} tok/s")
+            if w > 1:
+                # verify emits 1..w tokens/step; report the max and the
+                # break-even acceptance vs the first (t=1) arm
+                out[name]["tokens_per_s_max"] = round(B * w / step_s, 1)
+            log(f"{name}: {step_s*1e3:.2f} ms/step (t={w}), {B/step_s:.1f}-{B*w/step_s:.1f} tok/s")
         base = names[0]
         for name in names[1:]:
             out[name]["vs_" + base] = round(
