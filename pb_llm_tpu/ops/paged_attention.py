@@ -211,11 +211,7 @@ def _paged_call(q, k_pages, v_pages, page_table, base_lengths, scale,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table.astype(jnp.int32), lengths_i32(base_lengths), *operands)
-
-
-def lengths_i32(x):
-    return x.astype(jnp.int32)
+    )(page_table.astype(jnp.int32), base_lengths.astype(jnp.int32), *operands)
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, lengths, scale,

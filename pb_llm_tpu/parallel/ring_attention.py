@@ -151,9 +151,9 @@ def ring_attention(
     if t % n:
         raise ValueError(f"T {t} not divisible by {axis}={n}")
     if inner == "auto":
-        tl = t // n
-        inner = ("flash" if tl >= 1024 and d % 8 == 0
-                 and jax.default_backend() == "tpu" else "xla")
+        from ..models.attention import _flash_eligible
+
+        inner = "flash" if _flash_eligible(t // n, d) else "xla"
     spec = P(None, axis, None, None)
     fn = shard_map(
         functools.partial(_ring_body, scale=scale, axis=axis, inner=inner),

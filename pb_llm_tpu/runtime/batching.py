@@ -34,6 +34,11 @@ class Request:
     eos_token_id: Optional[int] = None
     # filled during serving
     output_ids: List[int] = dataclasses.field(default_factory=list)
+    # tokens generated BEFORE a recompute-preemption: they were folded into
+    # prompt_ids (and max_new_tokens decremented) so the request's history
+    # and remaining budget look identical on every host; merged back into
+    # output_ids at retirement so callers see the full stream
+    preempted_output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -106,7 +111,12 @@ class ContinuousBatcher:
         it resumes as soon as pages free up.  Greedy streams are unchanged by
         the recompute (same logits → same argmax); stochastic sampling yields
         a different but equally valid continuation.  Returns False when no
-        victim can be recomputed (its grown prompt no longer fits a bucket)."""
+        victim can be recomputed (its grown prompt no longer fits a bucket).
+
+        The folded tokens MOVE from output_ids to preempted_output_ids and
+        the budget is decremented — prompt+output never double-counts the
+        pre-preemption tokens (re-checks, drafts and non-host0 shadows all
+        see the same history); `_maybe_retire` merges them back."""
         for slot in sorted(self.slot_to_request, key=lambda s: -self._admitted_at[s]):
             req = self.slot_to_request[slot]
             full = req.prompt_ids + req.output_ids
@@ -117,6 +127,9 @@ class ContinuousBatcher:
             except ValueError:
                 continue  # grown prompt exceeds the largest prefill bucket
             req.prompt_ids = full
+            req.max_new_tokens -= len(req.output_ids)
+            req.preempted_output_ids = req.preempted_output_ids + req.output_ids
+            req.output_ids = []
             del self.slot_to_request[slot]
             self.engine.release(slot)
             self.queue.appendleft(req)
@@ -124,13 +137,21 @@ class ContinuousBatcher:
             return True
         return False
 
-    def _maybe_retire(self, slot: int, token: int) -> None:
+    def _maybe_retire(self, slot: int, token: int, length: Optional[int] = None) -> None:
+        """``length``: the slot's sequence length AS OF this token — the
+        speculative path emits several tokens per engine step and must judge
+        each against its own position, not the window's final length."""
         req = self.slot_to_request[slot]
         hit_eos = req.eos_token_id is not None and token == req.eos_token_id
         out_of_budget = len(req.output_ids) >= req.max_new_tokens
-        out_of_cache = self.engine.lengths[slot] + 1 >= self.engine.ecfg.max_seq
+        cur = self.engine.lengths[slot] if length is None else length
+        out_of_cache = cur + 1 >= self.engine.ecfg.max_seq
         if hit_eos or out_of_budget or out_of_cache:
             req.done = True
+            if req.preempted_output_ids:  # merge recompute-preempted tokens back
+                req.output_ids = req.preempted_output_ids + req.output_ids
+                req.max_new_tokens += len(req.preempted_output_ids)
+                req.preempted_output_ids = []
             del self.slot_to_request[slot]
             self.engine.release(slot)
 
@@ -148,13 +169,17 @@ class ContinuousBatcher:
             if eng.lengths[slot] + gamma + 1 >= eng.ecfg.max_seq:
                 return None
             hist = req.prompt_ids + req.output_ids
+            # bound the host-side work per tick: only the most recent window
+            # is scanned (recency predicts continuation best anyway; a full
+            # scan would be O(history) Python per slot per decode tick)
+            lo = max(0, len(hist) - 512)
             for n in (3, 2):
                 if len(hist) <= n:
                     continue
                 key = hist[-n:]
                 # scan backwards over earlier positions for the n-gram
                 found = False
-                for j in range(len(hist) - n - 1, -1, -1):
+                for j in range(len(hist) - n - 1, lo - 1, -1):
                     if hist[j : j + n] == key:
                         cont = hist[j + n : j + n + gamma]
                         drafts[slot, : len(cont)] = cont
@@ -197,10 +222,13 @@ class ContinuousBatcher:
                         continue
                     self.stats.spec_drafted += gamma
                     self.stats.spec_accepted += len(toks) - 1
-                    for tok in toks:
+                    # engine.lengths already advanced by the whole window:
+                    # judge each token at ITS position, not the final one
+                    base_len = int(self.engine.lengths[slot]) - len(toks)
+                    for idx, tok in enumerate(toks):
                         req.output_ids.append(tok)
                         self.stats.generated_tokens += 1
-                        self._maybe_retire(slot, tok)
+                        self._maybe_retire(slot, tok, length=base_len + idx + 1)
                         if req.done:
                             break  # tokens past EOS/budget are discarded
                 return

@@ -165,37 +165,55 @@ class MultiHostBatcher:
             del self.slot_to_request[slot]
             self.engine.release(slot)
             if self.is_host0:
+                # fold + MOVE outputs (budget decremented) so the re-admitted
+                # request's history and remaining budget match the fresh
+                # shadows other hosts will mirror from the record
                 req.prompt_ids = full
+                req.max_new_tokens -= len(req.output_ids)
+                req.preempted_output_ids = req.preempted_output_ids + req.output_ids
+                req.output_ids = []
                 self.queue.appendleft(req)
             self.stats.preemptions += 1
             return True
         return False
 
-    def _maybe_retire(self, slot: int, token: int) -> None:
+    def _maybe_retire(self, slot: int, token: int, length=None) -> None:
         req = self.slot_to_request[slot]
         hit_eos = req.eos_token_id is not None and token == req.eos_token_id
+        cur = self.engine.lengths[slot] if length is None else length
         done = (
             hit_eos
             or len(req.output_ids) >= req.max_new_tokens
-            or self.engine.lengths[slot] + 1 >= self.engine.ecfg.max_seq
+            or cur + 1 >= self.engine.ecfg.max_seq
         )
         if done:
             req.done = True
+            if req.preempted_output_ids:  # host 0's rich request only
+                req.output_ids = req.preempted_output_ids + req.output_ids
+                req.max_new_tokens += len(req.preempted_output_ids)
+                req.preempted_output_ids = []
             del self.slot_to_request[slot]
             self.engine.release(slot)
 
     def step(self) -> None:
         rec = _broadcast(self._admission_record())
         self._apply_admissions(rec)
-        if self.is_host0 and self.queue and not self.slot_to_request:
-            # idle engine and the head request still can't be admitted: it
-            # can never fit — fail loudly instead of spinning forever
-            req = self.queue[0]
-            if not self.engine.can_admit(min(len(req.prompt_ids), self.max_prompt)):
+        if not self.slot_to_request:
+            # idle engine (identical on every rank): if host 0's head request
+            # still can't be admitted it never fits — fail loudly EVERYWHERE
+            # (a host0-only raise would leave other ranks blocked in the next
+            # broadcast).  slot_to_request emptiness gates the collective so
+            # busy ticks pay nothing.
+            stuck = 0
+            if self.is_host0 and self.queue:
+                req = self.queue[0]
+                if not self.engine.can_admit(min(len(req.prompt_ids), self.max_prompt)):
+                    stuck = req.request_id + 1
+            stuck = int(_broadcast(np.asarray([stuck], np.int32))[0])
+            if stuck:
                 raise RuntimeError(
-                    f"request {req.request_id} (prompt {len(req.prompt_ids)}) "
-                    "cannot be admitted even with an idle engine — page pool "
-                    "smaller than its bucket")
+                    f"request {stuck - 1} cannot be admitted even with an "
+                    "idle engine — page pool smaller than its bucket")
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
         if (gamma and self.slot_to_request
                 and self.engine.sampling.temperature == 0.0):
@@ -219,10 +237,11 @@ class MultiHostBatcher:
                         continue
                     self.stats.spec_drafted += gamma
                     self.stats.spec_accepted += len(toks) - 1
-                    for tok in toks:
+                    base_len = int(self.engine.lengths[slot]) - len(toks)
+                    for idx, tok in enumerate(toks):
                         req.output_ids.append(tok)
                         self.stats.generated_tokens += 1
-                        self._maybe_retire(slot, tok)
+                        self._maybe_retire(slot, tok, length=base_len + idx + 1)
                         if req.done:
                             break
                 return

@@ -62,10 +62,10 @@ def main():
             super().__init__(*a, **k)
             self.seen = {}
 
-        def _maybe_retire(self, slot, token):
+        def _maybe_retire(self, slot, token, **kw):
             req = self.slot_to_request[slot]
             self.seen[req.request_id] = req
-            super()._maybe_retire(slot, token)
+            super()._maybe_retire(slot, token, **kw)
 
     b = Capturing(eng, max_prompt=16)
     # submitted on host 0 only; others receive via the admission record.

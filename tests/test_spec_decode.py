@@ -198,3 +198,49 @@ def test_spec_int8_cache_matches_plain_int8(tiny_opt):
         drafts[0, : len(nxt)] = nxt
         got.extend(eng.spec_decode_step(drafts)[0])
     assert got[: len(want)] == want, (got, want)
+
+
+def test_spec_at_max_seq_boundary_matches_plain(tiny_opt):
+    """A fully-accepted verify window ending at the cache boundary must not
+    truncate the stream: each emitted token is judged at ITS OWN position
+    (regression: out_of_cache used the window's final length for every
+    token, retiring after the first)."""
+    params, cfg, fam = tiny_opt
+
+    def run(gamma):
+        # max_seq tight: prompt 8 + 20 budget runs into the boundary window
+        reqs = [Request(request_id=0, prompt_ids=[7, 8, 9, 7, 8, 9, 7, 8],
+                        max_new_tokens=30)]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=1, max_seq=24, prefill_buckets=(8,), spec_gamma=gamma))
+        b = ContinuousBatcher(eng)
+        b.run(reqs)
+        return reqs[0].output_ids
+
+    plain = run(0)
+    spec = run(3)
+    assert spec == plain, (spec, plain)
+
+
+def test_preemption_with_spec_and_double_preemption(tiny_opt):
+    """Recompute preemption + speculative decoding: outputs merge the
+    preempted prefix back, histories never double-count (a second
+    preemption of the same request stays admissible), and streams equal
+    the roomy-pool run exactly."""
+    params, cfg, fam = tiny_opt
+
+    def run(n_pages):
+        reqs = [Request(request_id=i, prompt_ids=[7, 8, 9, 7, 8, 9, 7, 8],
+                        max_new_tokens=14) for i in range(2)]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32), page_size=8,
+            n_pages=n_pages, spec_gamma=2))
+        b = ContinuousBatcher(eng)
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b.stats
+
+    roomy, _ = run(12)
+    tight, stats = run(4)  # forces preemption under growth
+    assert stats.preemptions >= 1
+    assert tight == roomy, (stats.preemptions, tight, roomy)
+    assert all(len(o) == 14 for o in tight)
