@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prefill up to K same-bucket prompts in one program "
                         "(amortizes the packed path's per-layer weight "
                         "dequant K-fold; 1 disables)")
+    p.add_argument("--prefill_chunk", type=int, default=0,
+                   help="chunked prefill: prompts longer than this prefill "
+                        "one chunk per tick, interleaved with decode steps "
+                        "(no head-of-line blocking; 0 disables)")
     p.add_argument("--spec_gamma", type=int, default=0,
                    help="greedy-exact speculative decoding: verify this many "
                         "prompt-lookup draft tokens per decode step (token "
@@ -121,6 +125,7 @@ def main(argv=None) -> int:
         page_size=args.page_size, n_pages=args.n_pages,
         max_prefill_batch=args.prefill_batch,
         spec_gamma=args.spec_gamma,
+        prefill_chunk=args.prefill_chunk,
     )
     if args.tp > 1:
         from ..parallel.mesh import make_mesh

@@ -149,8 +149,12 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
                     cache[f"{name}_pages"], val, page_ids, p % page)
             return out
         # multi-token window (speculative verify): per-token table lookup —
-        # a slot's window may span a page boundary
+        # a slot's window may span a page boundary.  Clamp to the final
+        # position: INACTIVE slots are parked at max_seq-1 (see
+        # Engine.start_chunked_prefill) and their window would otherwise
+        # index past the table and alias a live page's early offsets.
         ptok = p[:, None] + jnp.arange(t)[None, :]          # [B, t]
+        ptok = jnp.minimum(ptok, cache["table"].shape[1] * page - 1)
         page_ids = jnp.take_along_axis(cache["table"], ptok // page, axis=1)
         for name, val in (("k", k), ("v", v)):
             if "k_scale_pages" in cache:
@@ -186,8 +190,6 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
     prompt K/V (prefill: the prompt's own keys are all it can see)."""
     b, t, hq, d = q.shape
     if "k_pages" in kv_cache:
-        if jnp.asarray(pos).ndim == 0:  # prefill: self-contained causal window
-            return full_causal_attention(q, k_new, v_new, scale)
         from ..ops.paged_attention import paged_attention, paged_attention_multi
 
         kp, vp = kv_cache["k_pages"], kv_cache["v_pages"]
@@ -196,6 +198,16 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
                       k_scale_pages=kv_cache.get("k_scale_pages"),
                       v_scale_pages=kv_cache.get("v_scale_pages"),
                       interpret=interp)
+        if "chunk_table" in kv_cache:
+            # chunked-prefill continuation: the chunk's rows are written to
+            # pages already; attend the slot's whole history through its
+            # (full) table row with base = the chunk's global offset
+            out = paged_attention_multi(
+                q, kp, vp, kv_cache["chunk_table"],
+                jnp.asarray(pos)[None], scale, **common)
+            return out.astype(q.dtype)
+        if jnp.asarray(pos).ndim == 0:  # one-shot prefill: self-contained window
+            return full_causal_attention(q, k_new, v_new, scale)
         if t == 1:
             lengths = jnp.asarray(pos) + 1  # includes the token just written
             out = paged_attention(q[:, 0], kp, vp, kv_cache["table"], lengths,

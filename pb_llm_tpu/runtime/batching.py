@@ -65,6 +65,8 @@ class ContinuousBatcher:
         self.stats = BatcherStats()
         self._admit_seq = 0
         self._admitted_at: Dict[int, int] = {}
+        # chunked-prefill jobs in flight: slot -> Request (not yet decoding)
+        self._prefilling: Dict[int, Request] = {}
 
     def submit(self, req: Request) -> None:
         self.queue.append(req)
@@ -74,14 +76,23 @@ class ContinuousBatcher:
         requests prefill TOGETHER in one program (`Engine.prefill_batch`,
         up to ecfg.max_prefill_batch): m = K·bucket amortizes the packed
         prefill path's per-layer weight dequant K-fold."""
+        chunk = getattr(self.engine.ecfg, "prefill_chunk", 0)
         while True:
-            free = self.engine.free_slots()
+            free = [s for s in self.engine.free_slots() if s not in self._prefilling]
             max_k = max(1, getattr(self.engine.ecfg, "max_prefill_batch", 1))
             batch, reserved, bucket = [], 0, None
             while free and self.queue and len(batch) < max_k:
                 req = self.queue[0]
                 if not self.engine.can_admit(len(req.prompt_ids), reserved_pages=reserved):
                     break  # paged pool full: wait for a retirement to free pages
+                if chunk and len(req.prompt_ids) > chunk:
+                    # long prompt: claim the slot and prefill it one chunk
+                    # per tick (step interleaves decode between chunks)
+                    self.queue.popleft()
+                    slot = free.pop(0)
+                    self.engine.start_chunked_prefill(slot, req.prompt_ids)
+                    self._prefilling[slot] = req
+                    continue
                 b = self.engine._bucket(len(req.prompt_ids))
                 if bucket is None:
                     bucket = b
@@ -192,9 +203,29 @@ class ContinuousBatcher:
         return drafts
 
     def step(self) -> None:
-        """One scheduler tick: admit new work, then one batched decode step."""
+        """One scheduler tick: admit new work, advance ONE chunked-prefill
+        job (if any), then one batched decode step — long prompts no longer
+        block running requests' decode."""
         self._admit()
-        if self.queue and not self.slot_to_request:
+        if self._prefilling:
+            slot = next(iter(self._prefilling))  # FIFO (dict insertion order)
+            req = self._prefilling[slot]
+            try:
+                tok = self.engine.prefill_chunk_step(slot)
+            except PoolExhausted:
+                if not self._preempt_one():
+                    raise
+                return
+            if tok is not None:
+                del self._prefilling[slot]
+                self.stats.prefills += 1
+                req.output_ids.append(tok)
+                self.stats.generated_tokens += 1
+                self.slot_to_request[slot] = req
+                self._admitted_at[slot] = self._admit_seq
+                self._admit_seq += 1
+                self._maybe_retire(slot, tok)
+        if self.queue and not self.slot_to_request and not self._prefilling:
             # nothing running and the head request still can't be admitted:
             # it can never fit (pool smaller than its bucket) — fail loudly
             # instead of spinning forever
@@ -254,7 +285,7 @@ class ContinuousBatcher:
         for r in requests:
             self.submit(r)
         t0 = time.time()
-        while self.queue or self.slot_to_request:
+        while self.queue or self.slot_to_request or self._prefilling:
             self.step()
         self.stats.wall_seconds += time.time() - t0
         return list(requests)

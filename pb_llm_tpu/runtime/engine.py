@@ -66,6 +66,14 @@ class EngineConfig:
     # 0 disables.  Works over strip caches (f32/int8) AND paged pools
     # (multi-query paged kernel + per-token page-table writes).
     spec_gamma: int = 0
+    # chunked prefill: prompts longer than this many tokens prefill in
+    # prefill_chunk-sized pieces, ONE chunk per scheduler tick, so decode
+    # steps for already-running requests interleave with a long prompt's
+    # prefill instead of stalling behind it (no head-of-line blocking).
+    # Must divide page_size-aligned buckets when paged (each chunk's pages
+    # are written via its table slice; continuation attention runs the
+    # multi-query paged kernel with base = chunk offset).  0 disables.
+    prefill_chunk: int = 0
 
 
 class PoolExhausted(RuntimeError):
@@ -86,6 +94,13 @@ class Engine:
         self.sampling = sampling
         n_layers, kv_heads, head_dim = kvmod.cache_spec_for(cfg, fam.name)
         self.pool = None
+        if ecfg.prefill_chunk:
+            if ecfg.scan_layers:
+                raise ValueError("chunked prefill and scan_layers are mutually exclusive (for now)")
+            if ecfg.page_size and ecfg.prefill_chunk % ecfg.page_size:
+                raise ValueError(
+                    f"prefill_chunk {ecfg.prefill_chunk} must be a multiple of "
+                    f"page_size {ecfg.page_size}")
         if ecfg.page_size:
             from . import paged_kv
 
@@ -114,6 +129,7 @@ class Engine:
         self._forced_jit = None
         self._spec_jit = None
         self._prefill_logits: Dict[int, Any] = {}
+        self._chunk_jobs: Dict[int, list] = {}  # slot -> [prompt_ids, offset]
 
     # ---------------- slot management ----------------
 
@@ -289,6 +305,109 @@ class Engine:
             self._prefill_logits[s] = next_logits[r]
             out[s] = int(toks[r])
         return out
+
+    # ---------------- chunked prefill ----------------
+
+    def _make_prefill_chunk(self, chunk: int):
+        """One prompt CHUNK through the model with the slot's cache context:
+        pos = the chunk's global offset (scalar), so rope/causal masking and
+        the strip scatter all continue from the previous chunks."""
+        fam, cfg = self.fam, self.cfg
+
+        def prefill(params, caches, ids_chunk, slot, offset, n_valid):
+            slot_caches = [
+                {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
+                for c in caches
+            ]
+            logits, new = fam.forward(params, ids_chunk[None, :], cfg,
+                                      kv_caches=slot_caches, pos=offset)
+            caches = [
+                {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
+                for c, nc in zip(caches, new)
+            ]
+            return caches, logits[0, n_valid - 1]
+
+        return jax.jit(prefill)
+
+    def _make_prefill_chunk_paged(self, chunk: int):
+        """Paged chunk: writes ride the chunk's table SLICE (slot_pages);
+        attention reads the slot's whole history via its full table row
+        (multi-query paged kernel, base = offset — see models.attention)."""
+        fam, cfg = self.fam, self.cfg
+
+        def prefill(params, caches, ids_chunk, chunk_pages, table_row, offset, n_valid):
+            pcaches = [dict(c, slot_pages=chunk_pages, chunk_base=offset,
+                            chunk_table=table_row) for c in caches]
+            logits, new = fam.forward(params, ids_chunk[None, :], cfg,
+                                      kv_caches=pcaches, pos=offset)
+            new = [{k: v for k, v in c.items()
+                    if k not in ("slot_pages", "chunk_base", "chunk_table")}
+                   for c in new]
+            return new, logits[0, n_valid - 1]
+
+        return jax.jit(prefill)
+
+    def start_chunked_prefill(self, slot: int, prompt_ids: Sequence[int]) -> None:
+        """Begin a chunked prefill job on ``slot``; drive it with
+        `prefill_chunk_step` (one chunk per call) — decode steps for other
+        slots can interleave between chunks."""
+        if len(prompt_ids) >= self.ecfg.max_seq:
+            raise ValueError("prompt longer than max_seq")
+        if not self.ecfg.prefill_chunk:
+            raise ValueError("EngineConfig.prefill_chunk is 0")
+        self._chunk_jobs[slot] = [list(prompt_ids), 0]
+        # PARK the slot at max_seq-1 while chunks land: batched decode steps
+        # write a garbage row for every INACTIVE slot at lengths[slot] — at 0
+        # that would corrupt the freshly written chunk rows.  Position
+        # max_seq-1 is never legitimately written (requests retire at
+        # lengths+1 >= max_seq, before a write there), and for pages it maps
+        # to the trash page or an unoccupied tail offset.
+        self.lengths[slot] = self.ecfg.max_seq - 1
+
+    def prefill_chunk_step(self, slot: int) -> Optional[int]:
+        """Advance ``slot``'s prefill by one chunk.  Returns None while the
+        prompt is unfinished; on the final chunk, activates the slot and
+        returns the first generated token (like `prefill`)."""
+        ids, offset = self._chunk_jobs[slot]
+        C = self.ecfg.prefill_chunk
+        n = len(ids)
+        end = min(offset + C, n)
+        chunk_np = np.zeros(C, np.int32)
+        chunk_np[: end - offset] = ids[offset:end]
+        key = ("chunk", C)
+        if key not in self._prefill_jit:
+            self._prefill_jit[key] = (
+                self._make_prefill_chunk_paged(C) if self.pool is not None
+                else self._make_prefill_chunk(C)
+            )
+        if self.pool is not None:
+            need = max(0, self.pool.pages_needed(end) - len(self.pool.owned[slot]))
+            if need > self.pool.free_pages:
+                raise PoolExhausted(
+                    f"prefill chunk needs {need} new pages, pool has "
+                    f"{self.pool.free_pages} free — preempt a request")
+            self._ensure_pages(slot, end)
+            ps = self.ecfg.page_size
+            row = self.pool.table[slot]
+            chunk_pages = jnp.asarray(row[offset // ps : (offset + C) // ps])
+            self.caches, next_logits = self._prefill_jit[key](
+                self.params, self.caches, jnp.asarray(chunk_np), chunk_pages,
+                jnp.asarray(row[None, :]), offset, end - offset)
+        else:
+            self.caches, next_logits = self._prefill_jit[key](
+                self.params, self.caches, jnp.asarray(chunk_np), slot,
+                offset, end - offset)
+        if end < n:
+            self._chunk_jobs[slot][1] = end
+            return None
+        del self._chunk_jobs[slot]
+        self._key, sub = jax.random.split(self._key)
+        tok = int(sample(next_logits[None, :], sub, self.sampling)[0])
+        self.lengths[slot] = n
+        self.active[slot] = True
+        self.last_token[slot] = tok
+        self._prefill_logits[slot] = next_logits
+        return tok
 
     def prefill(self, slot: int, prompt_ids: Sequence[int]) -> int:
         """Fill a slot's cache with the prompt; returns the first generated token."""

@@ -1,0 +1,105 @@
+"""Chunked prefill: chunk-by-chunk prompt processing must be token-exact
+with one-shot prefill (strips, int8 strips, paged, int8 paged), and the
+scheduler must interleave decode with a long prompt's chunks."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from pb_llm_tpu.models import hf_import
+from pb_llm_tpu.models.registry import family_for
+from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_opt():
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = OPTForCausalLM(hf_cfg).eval().float()
+    params, cfg, _ = hf_import.from_torch_model(model)
+    return params, cfg, family_for("opt")
+
+
+PROMPT = [5, 17, 99, 3, 42, 7, 11, 23, 60, 2, 19, 88, 41, 6, 77, 31, 12, 9]  # 18 tokens
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                   # strips f32
+    {"cache_dtype": jnp.int8},            # strips int8
+    {"page_size": 8},                     # paged f32
+    {"page_size": 8, "cache_dtype": jnp.int8},  # paged int8
+])
+def test_chunked_prefill_matches_one_shot(tiny_opt, kw):
+    params, cfg, fam = tiny_opt
+    base = dict(n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32))
+
+    one = Engine(params, cfg, fam, EngineConfig(**base, **kw))
+    want = [one.prefill(0, PROMPT)]
+    for _ in range(4):
+        want.append(one.decode_step()[0])
+
+    eng = Engine(params, cfg, fam, EngineConfig(**base, prefill_chunk=8, **kw))
+    eng.start_chunked_prefill(0, PROMPT)  # 18 tokens -> chunks 8+8+2 (ragged)
+    tok = None
+    steps = 0
+    while tok is None:
+        tok = eng.prefill_chunk_step(0)
+        steps += 1
+    assert steps == 3
+    got = [tok]
+    for _ in range(4):
+        got.append(eng.decode_step()[0])
+    assert got == want, (kw, got, want)
+
+
+def test_chunked_prefill_interleaves_with_decode(tiny_opt):
+    """A short request keeps decoding while a long prompt prefills one chunk
+    per tick; outputs equal the non-chunked run exactly."""
+    params, cfg, fam = tiny_opt
+
+    def run(chunk):
+        reqs = [
+            Request(request_id=0, prompt_ids=[7, 8, 9, 7], max_new_tokens=8),
+            Request(request_id=1, prompt_ids=list(PROMPT), max_new_tokens=6),
+        ]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32),
+            prefill_chunk=chunk))
+        b = ContinuousBatcher(eng)
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b.stats
+
+    plain, _ = run(0)
+    chunked, stats = run(8)
+    assert chunked == plain, (chunked, plain)
+    # the long prompt prefilled across ticks; decode steps ran in between
+    assert stats.decode_steps > 0 and stats.prefills == 2
+
+
+def test_chunked_prefill_paged_with_decode_traffic(tiny_opt):
+    """Decode steps for another slot while a paged chunked prefill is mid-
+    flight must NOT corrupt the chunked slot's already-written rows (the
+    parked-position regression)."""
+    params, cfg, fam = tiny_opt
+
+    def run(chunk):
+        reqs = [
+            Request(request_id=0, prompt_ids=[7, 8, 9, 7], max_new_tokens=10),
+            Request(request_id=1, prompt_ids=list(PROMPT), max_new_tokens=6),
+        ]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32),
+            page_size=8, prefill_chunk=chunk))
+        ContinuousBatcher(eng).run(reqs)
+        return [r.output_ids for r in reqs]
+
+    assert run(8) == run(0)
