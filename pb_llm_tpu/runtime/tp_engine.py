@@ -228,6 +228,58 @@ def make_tp_spec(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Call
     return jax.jit(fn)
 
 
+def make_tp_prefill_chunk(cfg, fam: Family, mesh: Mesh, params_tree, chunk: int, caches_tree, paged: bool) -> Callable:
+    """Jitted TP chunked-prefill step (see `Engine.prefill_chunk_step`).
+
+    strips: prefill(params, caches, ids_chunk [C], slot, offset, n_valid)
+    paged:  prefill(params, caches, ids_chunk [C], chunk_pages, table_row, offset, n_valid)
+    """
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, fam, tp)
+    pspecs = param_specs(params_tree, fam.name, mesh)
+    cache_specs = _cache_specs_like(caches_tree)
+
+    if paged:
+        def local_chunk(params, caches, ids_chunk, chunk_pages, table_row, offset, n_valid):
+            pcaches = [dict(c, slot_pages=chunk_pages, chunk_base=offset,
+                            chunk_table=table_row) for c in caches]
+            logits, new = fam.forward(params, ids_chunk[None, :], lcfg,
+                                      linear_fn=_tp_linear_fn, kv_caches=pcaches, pos=offset)
+            new = [{k: v for k, v in c.items()
+                    if k not in ("slot_pages", "chunk_base", "chunk_table")}
+                   for c in new]
+            nl = logits[0, n_valid - 1]
+            if nl.shape[-1] != cfg.vocab_size:
+                nl = jax.lax.all_gather(nl, "tp", axis=-1, tiled=True)
+            return new, nl
+
+        in_specs = (pspecs, cache_specs, P(), P(), P(), P(), P())
+    else:
+        def local_chunk(params, caches, ids_chunk, slot, offset, n_valid):
+            slot_caches = [
+                {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
+                for c in caches
+            ]
+            logits, new = fam.forward(params, ids_chunk[None, :], lcfg,
+                                      linear_fn=_tp_linear_fn, kv_caches=slot_caches, pos=offset)
+            caches = [
+                {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
+                for c, nc in zip(caches, new)
+            ]
+            nl = logits[0, n_valid - 1]
+            if nl.shape[-1] != cfg.vocab_size:
+                nl = jax.lax.all_gather(nl, "tp", axis=-1, tiled=True)
+            return caches, nl
+
+        in_specs = (pspecs, cache_specs, P(), P(), P(), P())
+
+    fn = shard_map(
+        local_chunk, mesh=mesh, in_specs=in_specs,
+        out_specs=(cache_specs, P()), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_tp_prefill_batch(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree, paged: bool) -> Callable:
     """Jitted TP BATCHED prefill (see `Engine.prefill_batch`): K same-bucket
     prompts in one shard_map program; the per-layer packed-weight dequant of
@@ -374,6 +426,10 @@ class TPEngine:
         base._make_decode = make_decode
         base._make_spec = lambda gamma: make_tp_spec(
             cfg, fam, mesh, params_sh, caches_tree=base.caches)
+        base._make_prefill_chunk = lambda chunk: make_tp_prefill_chunk(
+            cfg, fam, mesh, params_sh, chunk, caches_tree=base.caches, paged=False)
+        base._make_prefill_chunk_paged = lambda chunk: make_tp_prefill_chunk(
+            cfg, fam, mesh, params_sh, chunk, caches_tree=base.caches, paged=True)
 
     def __getattr__(self, name):
         return getattr(self._base, name)

@@ -103,3 +103,28 @@ def test_chunked_prefill_paged_with_decode_traffic(tiny_opt):
         return [r.output_ids for r in reqs]
 
     assert run(8) == run(0)
+
+
+def test_chunked_prefill_tp_matches_single_device(tiny_opt):
+    """Chunked prefill under TP shard_map (strips and paged): streams match
+    the single-device chunked engine."""
+    import copy
+
+    from pb_llm_tpu.parallel import mesh as pmesh
+    from pb_llm_tpu.runtime.tp_engine import TPEngine
+
+    params, cfg, fam = tiny_opt
+    for kw in ({}, {"page_size": 8}):
+        ecfg = EngineConfig(n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32),
+                            prefill_chunk=8, **kw)
+        ref = Engine(copy.deepcopy(params), cfg, fam, ecfg)
+        reqs = lambda: [Request(request_id=0, prompt_ids=list(PROMPT), max_new_tokens=5)]
+        r = reqs()
+        ContinuousBatcher(ref).run(r)
+        want = r[0].output_ids
+
+        mesh = pmesh.make_mesh(dp=1, tp=4)
+        eng = TPEngine(copy.deepcopy(params), cfg, fam, ecfg, mesh)
+        g = reqs()
+        ContinuousBatcher(eng).run(g)
+        assert g[0].output_ids == want, (kw, g[0].output_ids, want)
