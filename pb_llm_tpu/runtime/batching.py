@@ -83,16 +83,25 @@ class ContinuousBatcher:
             batch, reserved, bucket = [], 0, None
             while free and self.queue and len(batch) < max_k:
                 req = self.queue[0]
-                if not self.engine.can_admit(len(req.prompt_ids), reserved_pages=reserved):
-                    break  # paged pool full: wait for a retirement to free pages
                 if chunk and len(req.prompt_ids) > chunk:
                     # long prompt: claim the slot and prefill it one chunk
-                    # per tick (step interleaves decode between chunks)
+                    # per tick (step interleaves decode between chunks).
+                    # No bucket applies — gate on (and reserve) the pages for
+                    # the WHOLE prompt so chunks can't exhaust the pool that
+                    # this tick's co-admissions were promised
+                    pool = self.engine.pool
+                    if pool is not None:
+                        need = pool.pages_needed(len(req.prompt_ids))
+                        if pool.free_pages - reserved < need + 1:
+                            break
+                        reserved += need
                     self.queue.popleft()
                     slot = free.pop(0)
                     self.engine.start_chunked_prefill(slot, req.prompt_ids)
                     self._prefilling[slot] = req
                     continue
+                if not self.engine.can_admit(len(req.prompt_ids), reserved_pages=reserved):
+                    break  # paged pool full: wait for a retirement to free pages
                 b = self.engine._bucket(len(req.prompt_ids))
                 if bucket is None:
                     bucket = b
@@ -128,15 +137,18 @@ class ContinuousBatcher:
         the budget is decremented — prompt+output never double-counts the
         pre-preemption tokens (re-checks, drafts and non-host0 shadows all
         see the same history); `_maybe_retire` merges them back."""
+        chunk = getattr(self.engine.ecfg, "prefill_chunk", 0)
         for slot in sorted(self.slot_to_request, key=lambda s: -self._admitted_at[s]):
             req = self.slot_to_request[slot]
             full = req.prompt_ids + req.output_ids
             if len(full) >= self.engine.ecfg.max_seq:
                 continue
-            try:
-                self.engine._bucket(len(full))
-            except ValueError:
-                continue  # grown prompt exceeds the largest prefill bucket
+            if not (chunk and len(full) > chunk):
+                # no chunked path for it: the grown prompt must fit a bucket
+                try:
+                    self.engine._bucket(len(full))
+                except ValueError:
+                    continue
             req.prompt_ids = full
             req.max_new_tokens -= len(req.output_ids)
             req.preempted_output_ids = req.preempted_output_ids + req.output_ids
@@ -227,14 +239,21 @@ class ContinuousBatcher:
                 self._maybe_retire(slot, tok)
         if self.queue and not self.slot_to_request and not self._prefilling:
             # nothing running and the head request still can't be admitted:
-            # it can never fit (pool smaller than its bucket) — fail loudly
-            # instead of spinning forever
+            # it can never fit (pool smaller than its footprint) — fail
+            # loudly instead of spinning forever
             req = self.queue[0]
-            if not self.engine.can_admit(len(req.prompt_ids)):
+            n = len(req.prompt_ids)
+            chunk = getattr(self.engine.ecfg, "prefill_chunk", 0)
+            pool = self.engine.pool
+            if chunk and n > chunk:
+                ok = pool is None or pool.free_pages >= pool.pages_needed(n) + 1
+            else:
+                ok = self.engine.can_admit(n)
+            if not ok:
                 raise RuntimeError(
-                    f"request {req.request_id} (prompt {len(req.prompt_ids)}) "
-                    "cannot be admitted even with an idle engine — page pool "
-                    "smaller than its bucket")
+                    f"request {req.request_id} (prompt {n}) cannot be "
+                    "admitted even with an idle engine — page pool smaller "
+                    "than its footprint")
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
         if (gamma and self.slot_to_request
                 and self.engine.sampling.temperature == 0.0):

@@ -101,6 +101,19 @@ class Engine:
                 raise ValueError(
                     f"prefill_chunk {ecfg.prefill_chunk} must be a multiple of "
                     f"page_size {ecfg.page_size}")
+            if ecfg.max_seq % ecfg.prefill_chunk:
+                # the final chunk's fixed-size window must stay inside the
+                # cache: an unaligned window would clamp the strip scatter
+                # (silent corruption) / shrink the page slice (shape error)
+                raise ValueError(
+                    f"max_seq {ecfg.max_seq} must be a multiple of "
+                    f"prefill_chunk {ecfg.prefill_chunk}")
+            if ecfg.prefill_chunk > max(ecfg.prefill_buckets):
+                # prompts of length (max_bucket, prefill_chunk] would have
+                # neither a bucket nor the chunked path
+                raise ValueError(
+                    f"prefill_chunk {ecfg.prefill_chunk} exceeds the largest "
+                    f"prefill bucket {max(ecfg.prefill_buckets)}")
         if ecfg.page_size:
             from . import paged_kv
 
@@ -336,12 +349,12 @@ class Engine:
         fam, cfg = self.fam, self.cfg
 
         def prefill(params, caches, ids_chunk, chunk_pages, table_row, offset, n_valid):
-            pcaches = [dict(c, slot_pages=chunk_pages, chunk_base=offset,
-                            chunk_table=table_row) for c in caches]
+            pcaches = [dict(c, slot_pages=chunk_pages, chunk_table=table_row)
+                       for c in caches]
             logits, new = fam.forward(params, ids_chunk[None, :], cfg,
                                       kv_caches=pcaches, pos=offset)
             new = [{k: v for k, v in c.items()
-                    if k not in ("slot_pages", "chunk_base", "chunk_table")}
+                    if k not in ("slot_pages", "chunk_table")}
                    for c in new]
             return new, logits[0, n_valid - 1]
 

@@ -57,7 +57,8 @@ class ServingLoop:
             self._thread.join(timeout=30)
 
     def _has_work(self) -> bool:
-        return bool(self.batcher.queue or self.batcher.slot_to_request)
+        return bool(self.batcher.queue or self.batcher.slot_to_request
+                    or self.batcher._prefilling)
 
     def _run(self) -> None:
         """Scheduler thread: the SOLE owner of the batcher/engine.  The

@@ -241,12 +241,12 @@ def make_tp_prefill_chunk(cfg, fam: Family, mesh: Mesh, params_tree, chunk: int,
 
     if paged:
         def local_chunk(params, caches, ids_chunk, chunk_pages, table_row, offset, n_valid):
-            pcaches = [dict(c, slot_pages=chunk_pages, chunk_base=offset,
-                            chunk_table=table_row) for c in caches]
+            pcaches = [dict(c, slot_pages=chunk_pages, chunk_table=table_row)
+                       for c in caches]
             logits, new = fam.forward(params, ids_chunk[None, :], lcfg,
                                       linear_fn=_tp_linear_fn, kv_caches=pcaches, pos=offset)
             new = [{k: v for k, v in c.items()
-                    if k not in ("slot_pages", "chunk_base", "chunk_table")}
+                    if k not in ("slot_pages", "chunk_table")}
                    for c in new]
             nl = logits[0, n_valid - 1]
             if nl.shape[-1] != cfg.vocab_size:
