@@ -128,3 +128,38 @@ def test_chunked_prefill_tp_matches_single_device(tiny_opt):
         g = reqs()
         ContinuousBatcher(eng).run(g)
         assert g[0].output_ids == want, (kw, g[0].output_ids, want)
+
+
+def test_chunked_prefill_with_spec_and_paged(tiny_opt):
+    """Everything at once: paged pool + speculative decode + chunked prefill
+    — a long prompt's chunks interleave with another slot's spec verifies
+    (whose parked-slot writes must stay clamped to safe positions); outputs
+    equal the plain (no chunk, no spec) paged run."""
+    params, cfg, fam = tiny_opt
+
+    def run(**kw):
+        reqs = [
+            Request(request_id=0, prompt_ids=[7, 8, 9, 7], max_new_tokens=10),
+            Request(request_id=1, prompt_ids=list(PROMPT), max_new_tokens=6),
+        ]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32), page_size=8, **kw))
+        ContinuousBatcher(eng).run(reqs)
+        return [r.output_ids for r in reqs]
+
+    plain = run()
+    combo = run(prefill_chunk=8, spec_gamma=2)
+    assert combo == plain, (combo, plain)
+
+
+def test_chunked_config_validation(tiny_opt):
+    params, cfg, fam = tiny_opt
+    with pytest.raises(ValueError):  # max_seq not divisible by chunk
+        Engine(params, cfg, fam, EngineConfig(
+            max_seq=50, prefill_buckets=(8, 50), prefill_chunk=8))
+    with pytest.raises(ValueError):  # chunk exceeds largest bucket
+        Engine(params, cfg, fam, EngineConfig(
+            max_seq=64, prefill_buckets=(8,), prefill_chunk=16))
+    with pytest.raises(ValueError):  # chunk not page-aligned
+        Engine(params, cfg, fam, EngineConfig(
+            max_seq=64, prefill_buckets=(8, 16), page_size=8, prefill_chunk=12))
