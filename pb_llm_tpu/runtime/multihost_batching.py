@@ -62,6 +62,10 @@ class MultiHostBatcher:
         # broadcast record) so preemption picks the same victim everywhere
         self._admit_seq = 0
         self._admitted_at: Dict[int, int] = {}
+        # chunked-prefill jobs: deterministic from the broadcast record (the
+        # prompt is in the record; chunks advance FIFO one per tick), so
+        # every host runs them in lockstep with no extra coordination
+        self._prefilling: Dict[int, Request] = {}
 
     def submit(self, req: Request) -> None:
         """Requests are fed on host 0; other hosts receive them via broadcast."""
@@ -77,18 +81,23 @@ class MultiHostBatcher:
         retire on exactly the same tick as host 0's rich request."""
         rec = np.full((self.max_admits, 5 + self.max_prompt), -1, np.int32)
         if self.is_host0:
-            free = [s for s in self.engine.free_slots() if s not in self.slot_to_request]
+            free = [s for s in self.engine.free_slots()
+                    if s not in self.slot_to_request and s not in self._prefilling]
             # paged pools gate admission on free pages; pages are only
             # allocated at prefill time (in _apply_admissions), so account
             # for every admission IN THIS RECORD before checking the next
             pool = getattr(self.engine, "pool", None)
+            chunk = getattr(self.engine.ecfg, "prefill_chunk", 0)
             pages_left = pool.free_pages if pool is not None else None
             for row, slot in enumerate(free[: self.max_admits]):
                 if not self.queue:
                     break
                 if pool is not None:
                     n = min(len(self.queue[0].prompt_ids), self.max_prompt)
-                    need = pool.pages_needed(self.engine._bucket(n))
+                    if chunk and n > chunk:  # chunked: whole-prompt pages
+                        need = pool.pages_needed(n)
+                    else:
+                        need = pool.pages_needed(self.engine._bucket(n))
                     if pages_left < need + 1:  # +1 page of decode headroom
                         break
                     pages_left -= need
@@ -125,6 +134,14 @@ class MultiHostBatcher:
                 )
             self._admitted_at[slot] = self._admit_seq
             self._admit_seq += 1
+            chunk = getattr(self.engine.ecfg, "prefill_chunk", 0)
+            if chunk and len(prompt) > chunk:
+                # long prompt: every host starts the SAME chunked job (the
+                # record carries the prompt; chunks advance FIFO in step())
+                req = self.slot_to_request.pop(slot)
+                self._prefilling[slot] = req
+                self.engine.start_chunked_prefill(slot, prompt)
+                continue
             rows.append((slot, prompt))
         max_k = max(1, getattr(self.engine.ecfg, "max_prefill_batch", 1))
         i = 0
@@ -198,6 +215,24 @@ class MultiHostBatcher:
     def step(self) -> None:
         rec = _broadcast(self._admission_record())
         self._apply_admissions(rec)
+        if self._prefilling:
+            # advance ONE chunked job — FIFO over the (identical-everywhere)
+            # insertion order, so every host enqueues the same chunk program
+            slot = next(iter(self._prefilling))
+            req = self._prefilling[slot]
+            try:
+                tok = self.engine.prefill_chunk_step(slot)
+            except PoolExhausted:
+                if not self._preempt_one():
+                    raise
+                return
+            if tok is not None:
+                del self._prefilling[slot]
+                self.stats.prefills += 1
+                self.slot_to_request[slot] = req
+                req.output_ids.append(tok)
+                self.stats.generated_tokens += 1
+                self._maybe_retire(slot, tok)
         if not self.slot_to_request:
             # idle engine (identical on every rank): if host 0's head request
             # still can't be admitted it never fits — fail loudly EVERYWHERE
@@ -264,7 +299,9 @@ class MultiHostBatcher:
 
     def pending(self) -> bool:
         """Any work left? Queue length must come from host 0's view."""
-        local = np.asarray([len(self.queue) + len(self.slot_to_request)], np.int32)
+        local = np.asarray(
+            [len(self.queue) + len(self.slot_to_request) + len(self._prefilling)],
+            np.int32)
         return int(_broadcast(local)[0]) > 0
 
     def run(self, requests: Sequence[Request]) -> List[Request]:

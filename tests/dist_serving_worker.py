@@ -51,8 +51,8 @@ def main():
     fam = family_for("opt")
 
     eng = Engine(params, cfg, fam, EngineConfig(
-        n_slots=2, max_seq=64, prefill_buckets=(8,),
-        max_prefill_batch=2, spec_gamma=2))
+        n_slots=2, max_seq=64, prefill_buckets=(8, 16),
+        max_prefill_batch=2, spec_gamma=2, prefill_chunk=8))
 
     class Capturing(MultiHostBatcher):
         """Record every request object (incl. non-host0 shadows) so each
@@ -72,7 +72,10 @@ def main():
     # eos_token_id=9 exercises the record's eos field (retirement must not
     # diverge across hosts) - the repetitive prompt makes 9 likely to fire.
     reqs = [Request(request_id=i, prompt_ids=[7, 8, 9, 7, 8, 9, 7, 8],
-                    max_new_tokens=10, eos_token_id=9) for i in range(4)]
+                    max_new_tokens=10, eos_token_id=9) for i in range(3)]
+    # a LONG prompt exercises lockstep chunked prefill across processes
+    reqs.append(Request(request_id=3, prompt_ids=[7, 8, 9] * 4,
+                        max_new_tokens=10, eos_token_id=9))
     b.run(reqs)
 
     streams = {str(rid): req.output_ids for rid, req in sorted(b.seen.items())}

@@ -163,3 +163,24 @@ def test_chunked_config_validation(tiny_opt):
     with pytest.raises(ValueError):  # chunk not page-aligned
         Engine(params, cfg, fam, EngineConfig(
             max_seq=64, prefill_buckets=(8, 16), page_size=8, prefill_chunk=12))
+
+
+def test_multihost_batcher_chunked(tiny_opt):
+    """Single-process MultiHostBatcher with chunked prefill: outputs equal
+    the non-chunked run (lockstep chunk jobs from the broadcast record)."""
+    from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
+
+    params, cfg, fam = tiny_opt
+
+    def run(chunk):
+        reqs = [
+            Request(request_id=0, prompt_ids=[7, 8, 9, 7], max_new_tokens=8),
+            Request(request_id=1, prompt_ids=list(PROMPT), max_new_tokens=6),
+        ]
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32),
+            prefill_chunk=chunk))
+        MultiHostBatcher(eng, max_prompt=32).run(reqs)
+        return [r.output_ids for r in reqs]
+
+    assert run(8) == run(0)
