@@ -40,6 +40,10 @@ class Request:
     # output_ids at retirement so callers see the full stream
     preempted_output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # host-side streaming hook: called with each generated token as it is
+    # emitted (scheduler thread — keep it non-blocking).  Never broadcast.
+    on_token: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
 
 @dataclasses.dataclass
@@ -115,14 +119,11 @@ class ContinuousBatcher:
                 return
             firsts = self.engine.prefill_batch([(s, r.prompt_ids) for s, r in batch])
             for slot, req in batch:
-                first = firsts[slot]
                 self.stats.prefills += 1
-                req.output_ids.append(first)
-                self.stats.generated_tokens += 1
                 self.slot_to_request[slot] = req
                 self._admitted_at[slot] = self._admit_seq
                 self._admit_seq += 1
-                self._maybe_retire(slot, first)
+                self._emit(slot, req, firsts[slot])
 
     def _preempt_one(self) -> bool:
         """Paged-pool pressure valve (vLLM-style recompute preemption): evict
@@ -159,6 +160,15 @@ class ContinuousBatcher:
             self.stats.preemptions += 1
             return True
         return False
+
+    def _emit(self, slot: int, req: Request, token: int,
+              length: Optional[int] = None) -> None:
+        """Append one generated token: stats, streaming callback, retirement."""
+        req.output_ids.append(token)
+        self.stats.generated_tokens += 1
+        if req.on_token is not None:
+            req.on_token(token)
+        self._maybe_retire(slot, token, length=length)
 
     def _maybe_retire(self, slot: int, token: int, length: Optional[int] = None) -> None:
         """``length``: the slot's sequence length AS OF this token — the
@@ -231,12 +241,10 @@ class ContinuousBatcher:
             if tok is not None:
                 del self._prefilling[slot]
                 self.stats.prefills += 1
-                req.output_ids.append(tok)
-                self.stats.generated_tokens += 1
                 self.slot_to_request[slot] = req
                 self._admitted_at[slot] = self._admit_seq
                 self._admit_seq += 1
-                self._maybe_retire(slot, tok)
+                self._emit(slot, req, tok)
         if self.queue and not self.slot_to_request and not self._prefilling:
             # nothing running and the head request still can't be admitted:
             # it can never fit (pool smaller than its footprint) — fail
@@ -276,9 +284,7 @@ class ContinuousBatcher:
                     # judge each token at ITS position, not the final one
                     base_len = int(self.engine.lengths[slot]) - len(toks)
                     for idx, tok in enumerate(toks):
-                        req.output_ids.append(tok)
-                        self.stats.generated_tokens += 1
-                        self._maybe_retire(slot, tok, length=base_len + idx + 1)
+                        self._emit(slot, req, tok, length=base_len + idx + 1)
                         if req.done:
                             break  # tokens past EOS/budget are discarded
                 return
@@ -294,9 +300,7 @@ class ContinuousBatcher:
             req = self.slot_to_request.get(slot)
             if req is None:
                 continue
-            req.output_ids.append(tok)
-            self.stats.generated_tokens += 1
-            self._maybe_retire(slot, tok)
+            self._emit(slot, req, tok)
         self.stats.decode_steps += 1
 
     def run(self, requests: Sequence[Request]) -> List[Request]:

@@ -7,7 +7,9 @@ and a stdlib `ThreadingHTTPServer` exposes
 
     POST /generate   {"prompt": "...", "max_new_tokens": 32, ...}
                      or {"prompt_ids": [...]} → blocks until the request
-                     retires, returns {"request_id", "output_ids", "text"?}
+                     retires, returns {"request_id", "output_ids", "text"?}.
+                     With "stream": true, tokens arrive as NDJSON lines the
+                     moment the batcher emits them (Connection: close).
     GET  /health     {"status": "ok"}
     GET  /stats      batcher counters (tokens, steps, prefills, tokens/s)
 
@@ -93,13 +95,15 @@ class ServingLoop:
     # -- request API -------------------------------------------------------
 
     def submit(self, prompt_ids: List[int], max_new_tokens: int = 32,
-               eos_token_id: Optional[int] = None) -> Request:
+               eos_token_id: Optional[int] = None,
+               on_token: Optional[Callable[[int], None]] = None) -> Request:
         with self._cond:
             if self._error is not None:
                 raise RuntimeError(f"serving loop died: {self._error!r}")
             self._next_id += 1
             req = Request(request_id=self._next_id, prompt_ids=list(prompt_ids),
-                          max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
+                          max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+                          on_token=on_token)
             self._pending.append(req)
             self._cond.notify_all()
             return req
@@ -153,6 +157,38 @@ def make_handler(loop: ServingLoop,
                 })
             return self._reply(404, {"error": f"unknown path {self.path}"})
 
+        def _stream(self, ids, payload):
+            """Token streaming: one NDJSON line per generated token, over a
+            Connection: close response (no Content-Length; the client reads
+            until EOF).  The scheduler thread feeds a queue via the request's
+            on_token hook; this handler thread drains it."""
+            import queue as queue_mod
+
+            q: "queue_mod.Queue" = queue_mod.Queue()
+            req = loop.submit(
+                ids, max_new_tokens=int(payload.get("max_new_tokens", 32)),
+                eos_token_id=payload.get("eos_token_id"), on_token=q.put)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            while True:
+                try:
+                    tok = q.get(timeout=request_timeout)
+                except queue_mod.Empty:
+                    break
+                line = {"token": int(tok)}
+                if decode is not None:
+                    line["text"] = decode([int(tok)])
+                self.wfile.write((json.dumps(line) + "\n").encode())
+                self.wfile.flush()
+                if req.done and q.empty():
+                    break
+            tail = {"request_id": req.request_id, "done": req.done,
+                    "output_ids": req.output_ids}
+            self.wfile.write((json.dumps(tail) + "\n").encode())
+            self.close_connection = True
+
         def do_POST(self):
             if self.path != "/generate":
                 return self._reply(404, {"error": f"unknown path {self.path}"})
@@ -165,6 +201,8 @@ def make_handler(loop: ServingLoop,
                     ids = encode(payload["prompt"])
                 else:
                     return self._reply(400, {"error": "need prompt_ids (or prompt, when the server has a tokenizer)"})
+                if payload.get("stream"):
+                    return self._stream(ids, payload)
                 req = loop.generate(
                     ids,
                     max_new_tokens=int(payload.get("max_new_tokens", 32)),

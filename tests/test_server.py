@@ -108,3 +108,29 @@ def test_serving_loop_library_surface(tiny_engine):
         assert req.done and len(req.output_ids) == 4
     finally:
         loop.shutdown()
+
+
+def test_http_streaming(tiny_engine):
+    """stream=true: one NDJSON line per token over a Connection: close
+    response; the concatenated stream equals the non-streamed output."""
+    prompt = [5, 17, 99, 3]
+    want = _greedy_reference(tiny_engine, prompt, 6)
+
+    server = serve_http(tiny_engine, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt_ids": prompt, "max_new_tokens": 6,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            lines = [json.loads(l) for l in r.read().decode().splitlines()]
+        toks = [l["token"] for l in lines if "token" in l]
+        tail = lines[-1]
+        assert toks == want, (toks, want)
+        assert tail["done"] and tail["output_ids"] == want
+    finally:
+        server.shutdown()
+        server.serving_loop.shutdown()
