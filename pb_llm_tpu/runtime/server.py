@@ -168,22 +168,32 @@ def make_handler(loop: ServingLoop,
             req = loop.submit(
                 ids, max_new_tokens=int(payload.get("max_new_tokens", 32)),
                 eos_token_id=payload.get("eos_token_id"), on_token=q.put)
+
+            # completion sentinel from a watcher thread: the on_token callback
+            # fires BEFORE retirement sets req.done, so polling done after the
+            # last token races the scheduler and can strand this handler on an
+            # empty queue.  loop.wait() observes the retirement notification.
+            def _watch():
+                try:
+                    loop.wait(req, timeout=request_timeout)
+                except Exception:
+                    pass
+                q.put(None)
+
+            threading.Thread(target=_watch, daemon=True).start()
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Connection", "close")
             self.end_headers()
             while True:
-                try:
-                    tok = q.get(timeout=request_timeout)
-                except queue_mod.Empty:
+                tok = q.get()
+                if tok is None:
                     break
                 line = {"token": int(tok)}
                 if decode is not None:
                     line["text"] = decode([int(tok)])
                 self.wfile.write((json.dumps(line) + "\n").encode())
                 self.wfile.flush()
-                if req.done and q.empty():
-                    break
             tail = {"request_id": req.request_id, "done": req.done,
                     "output_ids": req.output_ids}
             self.wfile.write((json.dumps(tail) + "\n").encode())
