@@ -164,6 +164,7 @@ class Engine:
         self.active[slot] = False
         self.lengths[slot] = 0
         self._prefill_logits.pop(slot, None)
+        self._chunk_jobs.pop(slot, None)  # abandon any in-flight chunk job
         if self.pool is not None:
             self.pool.release(slot)
             self._refresh_table()
