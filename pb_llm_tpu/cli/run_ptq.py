@@ -88,6 +88,8 @@ def load_model_and_tokenizer(args):
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     from ..calib.pipeline import quantize_model_ptq, save_masks
     from ..core.config import PTQJobConfig

@@ -44,8 +44,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(no head-of-line blocking; 0 disables)")
     p.add_argument("--spec_gamma", type=int, default=0,
                    help="greedy-exact speculative decoding: verify this many "
-                        "prompt-lookup draft tokens per decode step (token "
-                        "streams identical to plain greedy; 0 disables)")
+                        "draft tokens per decode step (token streams "
+                        "identical to plain greedy; 0 disables). Drafts come "
+                        "from prompt-lookup unless a --draft_* flag is given")
+    p.add_argument("--draft_model_id", type=str, default=None,
+                   help="draft MODEL for speculative decoding: HF id of a "
+                        "small same-vocab model proposing the spec_gamma "
+                        "tokens (lifts acceptance on non-repetitive text)")
+    p.add_argument("--draft_checkpoint", type=str, default=None,
+                   help="dense checkpoint dir for the draft model")
+    p.add_argument("--draft_pbw", type=str, default=None,
+                   help="PBW packed checkpoint dir for the draft model")
+    p.add_argument("--draft_synthetic", action="store_true",
+                   help="with --synthetic: use a 1-layer synthetic draft model")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over stacked decoder layers: one compiled "
                         "decode body instead of num_layers unrolled copies")
@@ -61,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     import time
 
@@ -135,11 +148,53 @@ def main(argv=None) -> int:
                        SamplingParams(temperature=args.temperature))
     else:
         eng = Engine(params, cfg, fam, ecfg, SamplingParams(temperature=args.temperature))
+
+    draft_source = None
+    if args.draft_model_id or args.draft_checkpoint or args.draft_pbw or args.draft_synthetic:
+        if not args.spec_gamma:
+            raise SystemExit("--draft_* requires --spec_gamma > 0")
+        from ..runtime.draft import ModelDraftSource
+
+        if args.draft_synthetic:
+            if not args.synthetic:
+                raise SystemExit("--draft_synthetic requires --synthetic")
+            from ..models.llama import LlamaConfig, init_params as llama_init
+            from ..models.opt import OPTConfig, init_params as opt_init
+
+            if fam.name == "opt":
+                dcfg = OPTConfig(vocab_size=259, hidden_size=32, ffn_dim=64,
+                                 num_hidden_layers=1, num_attention_heads=4,
+                                 max_position_embeddings=256)
+                dparams = opt_init(dcfg, jax.random.PRNGKey(1))
+            else:
+                dcfg = LlamaConfig(vocab_size=259, hidden_size=32, intermediate_size=64,
+                                   num_hidden_layers=1, num_attention_heads=4,
+                                   num_key_value_heads=4, max_position_embeddings=256)
+                dparams = llama_init(dcfg, jax.random.PRNGKey(1))
+            dfam = fam
+        else:
+            from ..models import hf_import
+
+            dparams, dcfg, _ = hf_import.from_pretrained(args.draft_model_id or args.model_id)
+            dfam = family_for(args.draft_model_id or args.model_id)
+            if args.draft_checkpoint:
+                from ..utils.checkpoint import load_dense_checkpoint
+
+                dparams, _ = load_dense_checkpoint(args.draft_checkpoint)
+            if args.draft_pbw:
+                from ..core.pbw import install_pbw, load_pbw
+
+                dlayers, _ = load_pbw(args.draft_pbw)
+                dparams = install_pbw(dparams, dlayers)
+        decfg = EngineConfig(n_slots=args.slots, max_seq=max_seq,
+                             prefill_buckets=buckets)
+        draft_source = ModelDraftSource(Engine(dparams, dcfg, dfam, decfg))
     if args.http:
         from ..runtime.server import serve_http
 
         server = serve_http(eng, host=args.host, port=args.http,
-                            encode=tokenizer.encode, decode=tokenizer.decode)
+                            encode=tokenizer.encode, decode=tokenizer.decode,
+                            draft_source=draft_source)
         print(f"serving on http://{args.host}:{args.http}  "
               f"(POST /generate, GET /health, GET /stats)")
         try:
@@ -153,7 +208,7 @@ def main(argv=None) -> int:
             server.serving_loop.shutdown()
         return 0
 
-    batcher = ContinuousBatcher(eng)
+    batcher = ContinuousBatcher(eng, draft_source=draft_source)
     reqs = [
         Request(request_id=i, prompt_ids=tokenizer.encode(t)[: max_seq // 2], max_new_tokens=args.max_new_tokens)
         for i, t in enumerate(texts)

@@ -19,6 +19,11 @@ from . import pallas_pb
 _MODE = os.environ.get("PB_TPU_PACKED_BACKEND", "auto")
 # engine-grade bf16 dots on the large-m (prefill) path
 _PREFILL_BF16 = os.environ.get("PB_TPU_PREFILL_BF16", "0") == "1"
+# v2 prefill variants (scripts/bench_v2_prefill.py ARMS=variants):
+#   gather: "take" (XLA column gather) | "dot" (one-hot MXU dot)
+#   extract: "pallas" (dequant kernel) | "xla" (broadcast shift/AND)
+_PREFILL_GATHER = os.environ.get("PB_TPU_PREFILL_GATHER", "take")
+_PREFILL_EXTRACT = os.environ.get("PB_TPU_PREFILL_EXTRACT", "pallas")
 
 
 def set_backend(mode: str) -> None:
@@ -43,12 +48,13 @@ def pb_matmul(x: jnp.ndarray, p) -> jnp.ndarray:
         mode = "pallas" if (_on_tpu() and supported) else "xla"
     if mode == "pallas" and not supported:
         mode = "xla"
+    v2_kw = dict(prefill_gather=_PREFILL_GATHER, prefill_extract=_PREFILL_EXTRACT) if v2 else {}
     if mode == "pallas":
         fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas
-        return fn(x, p, prefill_bf16=_PREFILL_BF16)
+        return fn(x, p, prefill_bf16=_PREFILL_BF16, **v2_kw)
     if mode == "pallas_interpret":
         fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas
-        return fn(x, p, interpret=True, prefill_bf16=_PREFILL_BF16)
+        return fn(x, p, interpret=True, prefill_bf16=_PREFILL_BF16, **v2_kw)
     return (matmul_reference_v2 if v2 else matmul_reference)(x, p)
 
 

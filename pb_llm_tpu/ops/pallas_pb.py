@@ -350,6 +350,31 @@ def _dequant_v2_binary(p: PackedLinearV2, dtype=jnp.bfloat16,
     return w_bin
 
 
+def dequant_v2_binary_xla(p: PackedLinearV2, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Pure-XLA binary-part dequant: same output as `_dequant_v2_binary` but
+    expressed as broadcast shift/AND on the uint32 planes, letting XLA fuse
+    the whole extraction into one HBM pass with no Pallas kernel boundary.
+    Prefill-variant experiment (docs/ROADMAP.md item 1c): whether XLA's
+    fusion of extraction → bf16 write beats the Pallas dequant kernel is a
+    measured question (`scripts/bench_v2_prefill.py` ARMS=extract)."""
+    ic, oc = p.ic_local, p.oc_local
+    scale = p.low_scale[0].astype(jnp.float32)
+    mean = p.low_mean[0].astype(jnp.float32)
+    beta = mean - scale
+    ws = p.sign_packed  # [ic//32, oc], block-major words, bit b ↔ row b*g+i
+    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)[:, None, None]
+    parts = []
+    w_off = 0
+    for rows in packing.block_sizes(ic, p.pack_block_local):
+        g = rows // WORD_BITS
+        blk = ws[w_off : w_off + g]
+        bits = (blk[None, :, :] >> shifts) & jnp.uint32(1)  # [32, g, oc]
+        parts.append(bits.reshape(rows, oc))
+        w_off += g
+    bits = jnp.concatenate(parts, axis=0).astype(jnp.float32)  # [ic, oc] {0,1}
+    return (beta[None, :] + (2.0 * scale)[None, :] * bits).astype(dtype)
+
+
 def dequant_v2_pallas(p: PackedLinearV2, dtype=jnp.bfloat16,
                       oc_tile: Optional[int] = None,
                       interpret: bool = False) -> jnp.ndarray:
@@ -374,7 +399,8 @@ def dequant_v2_pallas(p: PackedLinearV2, dtype=jnp.bfloat16,
     return w_bin.at[idx_g, :].set(vals.astype(dtype), mode="drop")
 
 
-def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype):
+def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype,
+                     gather: str = "take", extract: str = "pallas"):
     """Hybrid prefill: Pallas extracts the binary weight (cheap HBM stream),
     XLA runs the heavy dots at full MXU rate (Mosaic's large-m dot lowers
     ~2.5x below XLA's matmul — scripts/bench_pallas_matmul.py).
@@ -393,7 +419,10 @@ def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dt
     if p.n_row_groups != 1:
         return _planar_v2_call(x, p, oc_tile, interpret, dot_dtype)
     m, ic = x.shape
-    w_bin = _dequant_v2_binary(p, dtype=dot_dtype, oc_tile=oc_tile, interpret=interpret)
+    if extract == "xla":
+        w_bin = dequant_v2_binary_xla(p, dtype=dot_dtype)
+    else:
+        w_bin = _dequant_v2_binary(p, dtype=dot_dtype, oc_tile=oc_tile, interpret=interpret)
 
     kps = p.k_pad_shard_local
     ic_s = p.ic_shard_local
@@ -402,8 +431,18 @@ def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dt
     idx_g = jnp.where(idx_l == ic_s, jnp.int32(ic), idx_l + shard_off)
 
     xf = x.astype(jnp.float32)
-    xpad = jnp.concatenate([xf, jnp.zeros((m, 1), jnp.float32)], axis=1)
-    xg = jnp.take(xpad, idx_g, axis=1)  # [m, k_pad]; sentinels hit the zero col
+    if gather == "dot":
+        # XLA gathers are slow on TPU at large m — select the k_pad salient
+        # columns with a one-hot MXU dot instead (sentinel slots match no
+        # row → zero column).  HIGHEST precision: the multiplier is exactly
+        # 1.0, so the bf16 passes reproduce x to f32-split accuracy.
+        sel = (idx_g[None, :] == jnp.arange(ic, dtype=jnp.int32)[:, None])
+        xg = jnp.dot(xf, sel.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    else:
+        xpad = jnp.concatenate([xf, jnp.zeros((m, 1), jnp.float32)], axis=1)
+        xg = jnp.take(xpad, idx_g, axis=1)  # [m, k_pad]; sentinels hit the zero col
 
     beta = p.low_mean[0].astype(jnp.float32) - p.low_scale[0].astype(jnp.float32)
     corr = ((p.side_val.astype(jnp.float32) - p.high_zero[None, :])
@@ -455,13 +494,16 @@ def pallas_supported_v2(p: PackedLinearV2) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "oc_tile", "prefill_bf16"))
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "oc_tile", "prefill_bf16", "prefill_gather", "prefill_extract"))
 def pb_matmul_pallas_v2(
     x: jnp.ndarray,
     p: PackedLinearV2,
     interpret: bool = False,
     oc_tile: int | None = None,
     prefill_bf16: bool = False,
+    prefill_gather: str = "take",
+    prefill_extract: str = "pallas",
 ) -> jnp.ndarray:
     """y = x @ dequant_v2(p) (+ bias); x [m, ic] → y [m, oc] float32."""
     m, ic = x.shape
@@ -470,7 +512,8 @@ def pb_matmul_pallas_v2(
         if oc_tile is None:
             oc_tile = _default_oc_tile(p.oc_local)  # scratch [ic, oc_tile] caps the tile
         dot_dtype = jnp.bfloat16 if prefill_bf16 else jnp.float32
-        return _v2_prefill_call(x, p, oc_tile, interpret, dot_dtype)
+        return _v2_prefill_call(x, p, oc_tile, interpret, dot_dtype,
+                                gather=prefill_gather, extract=prefill_extract)
     if oc_tile is None:
         oc_tile = _decode_oc_tile_v2(p, m)
     return _planar_v2_call(x, p, oc_tile, interpret, jnp.float32)

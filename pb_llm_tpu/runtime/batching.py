@@ -62,8 +62,13 @@ class BatcherStats:
 
 
 class ContinuousBatcher:
-    def __init__(self, engine: Engine):
+    def __init__(self, engine: Engine, draft_source=None):
+        """``draft_source``: optional object with
+        ``propose(batcher, gamma) -> Optional[np.ndarray]`` replacing the
+        built-in prompt-lookup drafts (see `runtime.draft.ModelDraftSource`).
+        Only consulted when ``engine.ecfg.spec_gamma > 0``."""
         self.engine = engine
+        self.draft_source = draft_source
         self.queue: deque[Request] = deque()
         self.slot_to_request: Dict[int, Request] = {}
         self.stats = BatcherStats()
@@ -265,7 +270,10 @@ class ContinuousBatcher:
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
         if (gamma and self.slot_to_request
                 and self.engine.sampling.temperature == 0.0):
-            drafts = self._propose_drafts(gamma)
+            if self.draft_source is not None:
+                drafts = self.draft_source.propose(self, gamma)
+            else:
+                drafts = self._propose_drafts(gamma)
             if drafts is not None:
                 try:
                     tok_lists = self.engine.spec_decode_step(drafts)

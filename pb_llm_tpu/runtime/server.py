@@ -35,8 +35,8 @@ from .engine import Engine
 class ServingLoop:
     """Thread-safe wrapper: one scheduler thread owns all engine calls."""
 
-    def __init__(self, engine: Engine):
-        self.batcher = ContinuousBatcher(engine)
+    def __init__(self, engine: Engine, draft_source=None):
+        self.batcher = ContinuousBatcher(engine, draft_source=draft_source)
         self._cond = threading.Condition()
         self._pending: list = []  # handler→scheduler handoff; under _cond
         self._stop = False
@@ -232,12 +232,12 @@ def make_handler(loop: ServingLoop,
 
 
 def serve_http(engine: Engine, host: str = "0.0.0.0", port: int = 8000,
-               encode=None, decode=None) -> ThreadingHTTPServer:
+               encode=None, decode=None, draft_source=None) -> ThreadingHTTPServer:
     """Start the scheduler loop + HTTP server; returns the (running) server.
 
     Call `server.shutdown()` then `server.serving_loop.shutdown()` to stop.
     """
-    loop = ServingLoop(engine).start()
+    loop = ServingLoop(engine, draft_source=draft_source).start()
     server = ThreadingHTTPServer((host, port), make_handler(loop, encode, decode))
     server.serving_loop = loop
     t = threading.Thread(target=server.serve_forever, daemon=True)

@@ -107,7 +107,7 @@ def bench_dense():
     return slope_time(mk, (W,), tag="dense")
 
 
-def bench_v2_prefill(oc_tile):
+def bench_v2_prefill(oc_tile, gather="take", extract="pallas"):
     from pb_llm_tpu.core import pbw
     from pb_llm_tpu.ops import pallas_pb
 
@@ -127,13 +127,33 @@ def bench_v2_prefill(oc_tile):
                     bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
                 )
                 y = pallas_pb.pb_matmul_pallas_v2(c, p, oc_tile=oc_tile,
-                                                  prefill_bf16=PREFILL_BF16)
+                                                  prefill_bf16=PREFILL_BF16,
+                                                  prefill_gather=gather,
+                                                  prefill_extract=extract)
                 return c + y[:, :IC] * 1e-8, ()
             c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
             return jnp.sum(c)
         return loop
 
-    return slope_time(mk, stk, tag=f"v2pf ot={oc_tile}"), k_pad
+    return slope_time(mk, stk, tag=f"v2pf ot={oc_tile} {gather}/{extract}"), k_pad
+
+
+def main_variants():
+    """ROADMAP 1c: gather (take vs one-hot dot) x extract (pallas vs XLA)
+    arms + dense, all in ONE process so tunnel drift cancels."""
+    log(f"backend: {jax.default_backend()}, M={M}, bf16={PREFILL_BF16} [variants]")
+    t_dense = bench_dense()
+    flops = 2 * M * IC * OC
+    log(f"dense bf16 m={M}: {t_dense*1e6:.1f} us ({flops/t_dense/1e12:.1f} TFLOP/s)")
+    results = {}
+    for gather, extract in (("take", "pallas"), ("dot", "pallas"),
+                            ("take", "xla"), ("dot", "xla")):
+        (t, _), = (bench_v2_prefill(256, gather, extract),)
+        results[f"{gather}/{extract}"] = t
+        log(f"v2 prefill {gather}/{extract}: {t*1e6:.1f} us | vs dense {t_dense/t:.3f}x"
+            f" | {flops/t/1e12:.1f} TFLOP/s")
+    best = min(results, key=results.get)
+    log(f"BEST: {best} {results[best]*1e6:.1f} us ({t_dense/results[best]:.3f}x dense)")
 
 
 def main():
@@ -312,5 +332,7 @@ if __name__ == "__main__":
         diag()
     elif os.environ.get("ARMS") == "decomp":
         bench_decomp()
+    elif os.environ.get("ARMS") == "variants":
+        main_variants()
     else:
         main()

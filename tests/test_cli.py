@@ -76,6 +76,29 @@ def test_serve_synthetic(capsys):
     assert "tokens/s=" in out and "requests=3" in out
 
 
+def test_serve_synthetic_draft_model_spec(capsys):
+    """--spec_gamma + --draft_synthetic: the draft-model speculative path
+    end-to-end through the CLI (streams are exactness-tested in
+    test_spec_decode; this covers the wiring)."""
+    rc = serve.main([
+        "--model_id", "facebook/opt-synth", "--synthetic",
+        "--slots", "2", "--n_requests", "3", "--max_new_tokens", "4",
+        "--spec_gamma", "2", "--draft_synthetic",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tokens/s=" in out and "requests=3" in out
+
+
+def test_serve_draft_requires_spec_gamma():
+    import pytest
+    with pytest.raises(SystemExit):
+        serve.main([
+            "--model_id", "facebook/opt-synth", "--synthetic",
+            "--draft_synthetic",
+        ])
+
+
 def test_checkpoint_roundtrip_mixed_tree(tmp_path):
     from pb_llm_tpu.utils.checkpoint import load_dense_checkpoint, save_dense_checkpoint
     from tests.test_sharding import _make_packed

@@ -387,6 +387,43 @@ def test_v2_prefill_kernel_ic_shards():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_v2_prefill_variants_match_reference():
+    """ROADMAP 1c experiment paths: one-hot-dot gather and pure-XLA
+    extraction must equal the default take/pallas hybrid numerics."""
+    w_q, _, p, _, b = _make_v2(oc=256, ic=256, col_tile=0, bias=True)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((300, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        for gather in ("take", "dot"):
+            for extract in ("pallas", "xla"):
+                got = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+                    x, p, interpret=True, oc_tile=128,
+                    prefill_gather=gather, prefill_extract=extract))
+                np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
+                                           err_msg=f"{gather}/{extract}")
+
+
+def test_v2_prefill_variants_ic_shards():
+    # col_tile=0 → global selection (n_row_groups == 1) so the hybrid path
+    # (the only consumer of gather/extract) actually runs
+    w_q, _, p, _ = _make_v2_sharded(oc=256, ic=256, ic_shards=4, col_tile=0)
+    assert p.n_row_groups == 1
+    x = jnp.asarray(np.random.default_rng(10).standard_normal((300, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+            x, p, interpret=True, oc_tile=128,
+            prefill_gather="dot", prefill_extract="xla"))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dequant_v2_binary_xla_matches_pallas():
+    _, _, p, _, _ = _make_v2(oc=256, ic=256, col_tile=0, bias=True)
+    w_pl = np.asarray(pallas_pb._dequant_v2_binary(p, dtype=jnp.float32, interpret=True))
+    w_xla = np.asarray(pallas_pb.dequant_v2_binary_xla(p, dtype=jnp.float32))
+    np.testing.assert_allclose(w_xla, w_pl, rtol=0, atol=0)
+
+
 def test_tpengine_v2_hybrid_prefill():
     """v2 global-column leaves under TP with a bucket >= 256: exercises the
     hybrid prefill (Pallas dequant + XLA two-dot) inside shard_map, token-

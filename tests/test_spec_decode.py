@@ -244,3 +244,115 @@ def test_preemption_with_spec_and_double_preemption(tiny_opt):
     assert stats.preemptions >= 1
     assert tight == roomy, (stats.preemptions, tight, roomy)
     assert all(len(o) == 14 for o in tight)
+
+
+# ---------------------------------------------------------------------------
+# draft-MODEL speculative decoding (runtime.draft.ModelDraftSource)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_opt_draft():
+    """A DIFFERENT (smaller, differently-seeded) model over the same vocab —
+    a realistic draft: correlated with nothing, so acceptance is luck, but
+    streams must still be exact."""
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=1,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, dropout=0.0,
+    )
+    torch.manual_seed(1)
+    model = OPTForCausalLM(hf_cfg).eval().float()
+    params, cfg, _ = hf_import.from_torch_model(model)
+    return params, cfg, family_for("opt")
+
+
+def _draft_source(dparams, dcfg, dfam, n_slots=2, max_seq=64):
+    from pb_llm_tpu.runtime.draft import ModelDraftSource
+
+    return ModelDraftSource(Engine(dparams, dcfg, dfam, EngineConfig(
+        n_slots=n_slots, max_seq=max_seq, prefill_buckets=(8, 16, 32))))
+
+
+def test_model_draft_spec_matches_plain(tiny_opt, tiny_opt_draft):
+    """Batcher + ModelDraftSource: outputs identical to plain greedy decode
+    on NON-repetitive prompts (where prompt-lookup would rarely fire)."""
+    params, cfg, fam = tiny_opt
+    dparams, dcfg, dfam = tiny_opt_draft
+
+    def run(gamma, source=None, page_size=0):
+        reqs = [Request(request_id=i, prompt_ids=[3 + 11 * i, 29, 64 + i, 90 - i],
+                        max_new_tokens=12) for i in range(3)]
+        ekw = dict(page_size=page_size, n_pages=24) if page_size else {}
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=gamma, **ekw))
+        b = ContinuousBatcher(eng, draft_source=source)
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b.stats
+
+    plain, _ = run(0)
+    spec, stats = run(3, source=_draft_source(dparams, dcfg, dfam))
+    assert spec == plain
+    assert stats.spec_drafted > 0
+    # paged target engine + strip draft engine compose too
+    spec_p, stats_p = run(3, source=_draft_source(dparams, dcfg, dfam), page_size=8)
+    assert spec_p == plain
+    assert stats_p.spec_drafted > 0
+
+
+def test_model_draft_self_accepts_everything(tiny_opt):
+    """Draft == target model: every draft token is the target's own argmax,
+    so acceptance is 100% and each verify advances γ+1 tokens."""
+    params, cfg, fam = tiny_opt
+
+    reqs = [Request(request_id=i, prompt_ids=[5 + i, 17, 99, 3],
+                    max_new_tokens=12) for i in range(2)]
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=3))
+    b = ContinuousBatcher(eng, draft_source=_draft_source(params, cfg, fam))
+    b.run(reqs)
+    assert b.stats.spec_drafted > 0
+    assert b.stats.spec_accepted == b.stats.spec_drafted
+
+
+def test_model_draft_catchup_after_plain_ticks(tiny_opt, tiny_opt_draft):
+    """Ticks run WITHOUT the source (near-max_seq fallback, temperature
+    fallback) leave the draft engine behind; the next propose() must
+    force-feed the missed tokens and then draft exactly what a freshly
+    prefilled draft engine would."""
+    from types import SimpleNamespace
+
+    params, cfg, fam = tiny_opt
+    dparams, dcfg, dfam = tiny_opt_draft
+    prompt = [5, 17, 99, 3]
+
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,)))
+    req = Request(request_id=0, prompt_ids=prompt, max_new_tokens=16)
+    req.output_ids.append(eng.prefill(0, prompt))
+    fake = SimpleNamespace(engine=eng, slot_to_request={0: req})
+
+    src = _draft_source(dparams, dcfg, dfam)
+    d1 = src.propose(fake, 3)          # lazy admission path
+    assert d1 is not None
+
+    # ... then 2 scheduler ticks that bypassed the source entirely
+    # (propose() rolled the draft 3 ahead on speculation; these plain steps
+    # also exercise the rollback branch)
+    for _ in range(2):
+        req.output_ids.append(eng.decode_step()[0])
+
+    d2 = src.propose(fake, 3)          # rollback + catch-up path
+
+    # oracle: a FRESH draft engine prefilled with the full history
+    hist = prompt + req.output_ids
+    fresh = Engine(dparams, dcfg, dfam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8, 16, 32)))
+    fresh.prefill(0, hist[:-1])
+    fresh.last_token[0] = hist[-1]
+    want = []
+    for _ in range(3):
+        want.append(fresh.decode_step()[0])
+    assert list(d2[0]) == want
