@@ -32,6 +32,11 @@ class Request:
     prompt_ids: List[int]
     max_new_tokens: int = 64
     eos_token_id: Optional[int] = None
+    # per-request sampling override (None -> the engine's SamplingParams).
+    # Greedy requests batch with sampled ones in one decode program; the
+    # scheduler skips speculative ticks while any ACTIVE request samples
+    # stochastically (spec verify is greedy-exact only).
+    sampling: Optional[object] = None
     # filled during serving
     output_ids: List[int] = dataclasses.field(default_factory=list)
     # tokens generated BEFORE a recompute-preemption: they were folded into
@@ -106,6 +111,7 @@ class ContinuousBatcher:
                         reserved += need
                     self.queue.popleft()
                     slot = free.pop(0)
+                    self.engine.set_slot_sampling(slot, req.sampling)
                     self.engine.start_chunked_prefill(slot, req.prompt_ids)
                     self._prefilling[slot] = req
                     continue
@@ -122,6 +128,8 @@ class ContinuousBatcher:
                 batch.append((free.pop(0), req))
             if not batch:
                 return
+            for s_, r_ in batch:
+                self.engine.set_slot_sampling(s_, r_.sampling)
             firsts = self.engine.prefill_batch([(s, r.prompt_ids) for s, r in batch])
             for slot, req in batch:
                 self.stats.prefills += 1
@@ -268,8 +276,7 @@ class ContinuousBatcher:
                     "admitted even with an idle engine — page pool smaller "
                     "than its footprint")
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
-        if (gamma and self.slot_to_request
-                and self.engine.sampling.temperature == 0.0):
+        if (gamma and self.slot_to_request and self.engine.greedy_ok()):
             if self.draft_source is not None:
                 drafts = self.draft_source.propose(self, gamma)
             else:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..models.registry import Family
 from . import kv_cache as kvmod
-from .sampler import SamplingParams, sample
+from .sampler import SamplingParams, sample, sample_vec
 
 
 @dataclasses.dataclass
@@ -137,8 +137,13 @@ class Engine:
         self.active = np.zeros(ecfg.n_slots, bool)
         self.last_token = np.zeros(ecfg.n_slots, np.int32)
         self._key = jax.random.PRNGKey(0)
+        # per-slot SamplingParams overrides (per-request sampling): installed
+        # by the scheduler at admission, cleared on release.  Decode switches
+        # to a vectorized-sampler program while any override is installed.
+        self._slot_sampling: Dict[int, SamplingParams] = {}
         self._prefill_jit: Dict[int, Any] = {}
         self._decode_jit = None
+        self._decode_vec_jit = None
         self._forced_jit = None
         self._spec_jit = None
         self._prefill_logits: Dict[int, Any] = {}
@@ -163,11 +168,41 @@ class Engine:
     def release(self, slot: int) -> None:
         self.active[slot] = False
         self.lengths[slot] = 0
+        self._slot_sampling.pop(slot, None)
         self._prefill_logits.pop(slot, None)
         self._chunk_jobs.pop(slot, None)  # abandon any in-flight chunk job
         if self.pool is not None:
             self.pool.release(slot)
             self._refresh_table()
+
+    # ---------------- per-request sampling ----------------
+
+    def set_slot_sampling(self, slot: int, sp: Optional[SamplingParams]) -> None:
+        """Install (or clear, with None) a per-slot SamplingParams override.
+        Engine-wide `self.sampling` stays the default for other slots."""
+        if sp is None:
+            self._slot_sampling.pop(slot, None)
+        else:
+            self._slot_sampling[slot] = sp
+
+    def _sampling_for(self, slot: int) -> SamplingParams:
+        return self._slot_sampling.get(slot, self.sampling)
+
+    def greedy_ok(self) -> bool:
+        """True when every slot samples greedily (speculative decoding and
+        the batched-greedy fast paths are exact only then)."""
+        if self.sampling.temperature != 0.0:
+            return False
+        return all(sp.temperature == 0.0 for sp in self._slot_sampling.values())
+
+    def _sampling_vectors(self):
+        n = self.ecfg.n_slots
+        temp = np.full(n, self.sampling.temperature, np.float32)
+        tk = np.full(n, self.sampling.top_k, np.int32)
+        tp = np.full(n, self.sampling.top_p, np.float32)
+        for s, sp in self._slot_sampling.items():
+            temp[s], tk[s], tp[s] = sp.temperature, sp.top_k, sp.top_p
+        return jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp)
 
     def _refresh_table(self) -> None:
         """Push the host page table into every layer's cache dict."""
@@ -310,7 +345,15 @@ class Engine:
                 self.params, self.caches, jnp.asarray(ids),
                 jnp.asarray(slots), jnp.asarray(true_lens))
         self._key, sub = jax.random.split(self._key)
-        toks = np.asarray(sample(next_logits, sub, self.sampling))
+        if self._slot_sampling:
+            subs = jax.random.split(sub, len(rows))
+            toks = np.asarray([
+                int(sample(next_logits[r : r + 1], subs[r],
+                           self._sampling_for(int(slot_r)))[0])
+                for r, (slot_r, _) in enumerate(rows)
+            ])
+        else:
+            toks = np.asarray(sample(next_logits, sub, self.sampling))
         out: Dict[int, int] = {}
         for r, (s, p) in enumerate(pairs):
             self.lengths[s] = len(p)
@@ -416,7 +459,7 @@ class Engine:
             return None
         del self._chunk_jobs[slot]
         self._key, sub = jax.random.split(self._key)
-        tok = int(sample(next_logits[None, :], sub, self.sampling)[0])
+        tok = int(sample(next_logits[None, :], sub, self._sampling_for(slot))[0])
         self.lengths[slot] = n
         self.active[slot] = True
         self.last_token[slot] = tok
@@ -449,7 +492,7 @@ class Engine:
                 self.params, self.caches, jnp.asarray(ids), slot, n
             )
         self._key, sub = jax.random.split(self._key)
-        tok = int(sample(next_logits[None, :], sub, self.sampling)[0])
+        tok = int(sample(next_logits[None, :], sub, self._sampling_for(slot))[0])
         self.lengths[slot] = n
         self.active[slot] = True
         self.last_token[slot] = tok
@@ -470,6 +513,22 @@ class Engine:
                 params, last_tokens[:, None], cfg, kv_caches=caches, pos=lengths
             )
             toks = sample(logits[:, 0, :], key, sampling)
+            toks = jnp.where(active, toks, 0)
+            lengths = jnp.where(active, lengths + 1, lengths)
+            return caches, toks, lengths
+
+        return jax.jit(decode)
+
+    def _make_decode_vec(self):
+        """Decode with PER-SLOT sampling params as traced vectors (the
+        per-request sampling path; compiled only when overrides exist)."""
+        fam, cfg = self.fam, self.cfg
+
+        def decode(params, caches, last_tokens, lengths, active, key, temp, tk, tp):
+            logits, caches = fam.forward(
+                params, last_tokens[:, None], cfg, kv_caches=caches, pos=lengths
+            )
+            toks = sample_vec(logits[:, 0, :], key, temp, tk, tp)
             toks = jnp.where(active, toks, 0)
             lengths = jnp.where(active, lengths + 1, lengths)
             return caches, toks, lengths
@@ -551,9 +610,10 @@ class Engine:
         where tokens = the accepted draft prefix + one correction token —
         between 1 and γ+1 tokens per active slot, and the concatenated
         stream is EXACTLY what plain greedy decode would emit."""
-        if self.sampling.temperature != 0.0:
+        if not self.greedy_ok():
             raise ValueError("speculative decoding is greedy-exact only; "
-                             "temperature>0 must use decode_step")
+                             "temperature>0 (engine-wide or per-slot) must "
+                             "use decode_step")
         if not self.active.any():
             return {}
         gamma = drafts.shape[1]
@@ -610,14 +670,24 @@ class Engine:
                 if self.active[i]:
                     self._ensure_pages(i, int(self.lengths[i]) + 1)
         self._key, sub = jax.random.split(self._key)
-        self.caches, toks, lengths = self._decode_jit(
-            self.params,
-            self.caches,
-            jnp.asarray(self.last_token),
-            jnp.asarray(self.lengths),
-            jnp.asarray(self.active),
-            sub,
-        )
+        if self._slot_sampling:
+            if self._decode_vec_jit is None:
+                self._decode_vec_jit = self._make_decode_vec()
+            temp, tk, tp = self._sampling_vectors()
+            self.caches, toks, lengths = self._decode_vec_jit(
+                self.params, self.caches, jnp.asarray(self.last_token),
+                jnp.asarray(self.lengths), jnp.asarray(self.active), sub,
+                temp, tk, tp,
+            )
+        else:
+            self.caches, toks, lengths = self._decode_jit(
+                self.params,
+                self.caches,
+                jnp.asarray(self.last_token),
+                jnp.asarray(self.lengths),
+                jnp.asarray(self.active),
+                sub,
+            )
         toks = np.asarray(toks)
         self.lengths = np.array(lengths)  # writable host copy
         out = {}

@@ -69,6 +69,12 @@ class MultiHostBatcher:
 
     def submit(self, req: Request) -> None:
         """Requests are fed on host 0; other hosts receive them via broadcast."""
+        if req.sampling is not None:
+            # the int32 admission record doesn't carry sampling params yet;
+            # silently dropping them on non-host0 shadows would diverge
+            raise NotImplementedError(
+                "per-request sampling is single-host only (the broadcast "
+                "record does not carry SamplingParams)")
         if self.is_host0:
             self.queue.append(req)
 
@@ -250,8 +256,7 @@ class MultiHostBatcher:
                     f"request {stuck - 1} cannot be admitted even with an "
                     "idle engine — page pool smaller than its bucket")
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
-        if (gamma and self.slot_to_request
-                and self.engine.sampling.temperature == 0.0):
+        if (gamma and self.slot_to_request and self.engine.greedy_ok()):
             # drafts are a pure function of request histories, which are
             # identical on every host (prompt from the broadcast record,
             # outputs from identical decode streams) — no extra broadcast

@@ -96,14 +96,15 @@ class ServingLoop:
 
     def submit(self, prompt_ids: List[int], max_new_tokens: int = 32,
                eos_token_id: Optional[int] = None,
-               on_token: Optional[Callable[[int], None]] = None) -> Request:
+               on_token: Optional[Callable[[int], None]] = None,
+               sampling=None) -> Request:
         with self._cond:
             if self._error is not None:
                 raise RuntimeError(f"serving loop died: {self._error!r}")
             self._next_id += 1
             req = Request(request_id=self._next_id, prompt_ids=list(prompt_ids),
                           max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-                          on_token=on_token)
+                          on_token=on_token, sampling=sampling)
             self._pending.append(req)
             self._cond.notify_all()
             return req
@@ -118,14 +119,29 @@ class ServingLoop:
 
     def generate(self, prompt_ids: List[int], max_new_tokens: int = 32,
                  eos_token_id: Optional[int] = None,
-                 timeout: Optional[float] = None) -> Request:
-        return self.wait(self.submit(prompt_ids, max_new_tokens, eos_token_id), timeout)
+                 timeout: Optional[float] = None, sampling=None) -> Request:
+        return self.wait(
+            self.submit(prompt_ids, max_new_tokens, eos_token_id,
+                        sampling=sampling), timeout)
 
 
 def make_handler(loop: ServingLoop,
                  encode: Optional[Callable[[str], List[int]]] = None,
                  decode: Optional[Callable[[List[int]], str]] = None,
                  request_timeout: float = 600.0):
+    def _sampling_from(payload):
+        """Per-request SamplingParams from JSON fields, or None (engine
+        default) when no sampling field is present."""
+        if not any(k in payload for k in ("temperature", "top_k", "top_p")):
+            return None
+        from .sampler import SamplingParams
+
+        return SamplingParams(
+            temperature=float(payload.get("temperature", 0.0)),
+            top_k=int(payload.get("top_k", 0)),
+            top_p=float(payload.get("top_p", 1.0)),
+        )
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -167,7 +183,8 @@ def make_handler(loop: ServingLoop,
             q: "queue_mod.Queue" = queue_mod.Queue()
             req = loop.submit(
                 ids, max_new_tokens=int(payload.get("max_new_tokens", 32)),
-                eos_token_id=payload.get("eos_token_id"), on_token=q.put)
+                eos_token_id=payload.get("eos_token_id"), on_token=q.put,
+                sampling=_sampling_from(payload))
 
             # completion sentinel from a watcher thread: the on_token callback
             # fires BEFORE retirement sets req.done, so polling done after the
@@ -218,6 +235,7 @@ def make_handler(loop: ServingLoop,
                     max_new_tokens=int(payload.get("max_new_tokens", 32)),
                     eos_token_id=payload.get("eos_token_id"),
                     timeout=request_timeout,
+                    sampling=_sampling_from(payload),
                 )
             except TimeoutError as e:
                 return self._reply(504, {"error": str(e)})

@@ -419,11 +419,31 @@ class TPEngine:
 
             return decode
 
+        def make_decode_vec():
+            # per-request sampling: the tp forward is the shard_map; sampling
+            # happens on the gathered logits in plain jit land, so the
+            # vectorized sampler slots straight in (same contract as
+            # Engine._make_decode_vec)
+            from .sampler import sample_vec
+
+            step = make_tp_step(cfg, fam, mesh, params_sh, caches_tree=base.caches)
+
+            @jax.jit
+            def decode(params, caches, last_tokens, lengths, active, key, temp, tk, tp):
+                caches, logits = step(params, caches, last_tokens, lengths)
+                toks = sample_vec(logits, key, temp, tk, tp)
+                toks = jnp.where(active, toks, 0)
+                lengths = jnp.where(active, lengths + 1, lengths)
+                return caches, toks, lengths
+
+            return decode
+
         base._make_prefill = make_prefill
         base._make_prefill_paged = make_prefill_paged
         base._make_prefill_batch = make_prefill_batch
         base._make_prefill_paged_batch = make_prefill_paged_batch
         base._make_decode = make_decode
+        base._make_decode_vec = make_decode_vec
         base._make_spec = lambda gamma: make_tp_spec(
             cfg, fam, mesh, params_sh, caches_tree=base.caches)
         base._make_prefill_chunk = lambda chunk: make_tp_prefill_chunk(

@@ -134,3 +134,27 @@ def test_http_streaming(tiny_engine):
     finally:
         server.shutdown()
         server.serving_loop.shutdown()
+
+
+def test_http_per_request_sampling(tiny_engine):
+    """Per-request sampling over HTTP: a top_k=1 stochastic request must be
+    exactly greedy (determinism anchor), and mixing greedy + sampled
+    requests leaves the greedy one bit-exact."""
+    prompt = [5, 17, 99, 3]
+    want = _greedy_reference(tiny_engine, prompt, 6)
+
+    server = serve_http(tiny_engine, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    try:
+        res_g = _post(port, {"prompt_ids": prompt, "max_new_tokens": 6})
+        res_k1 = _post(port, {"prompt_ids": prompt, "max_new_tokens": 6,
+                              "temperature": 1.0, "top_k": 1})
+        res_s = _post(port, {"prompt_ids": [42, 7, 11], "max_new_tokens": 6,
+                             "temperature": 0.9, "top_p": 0.8})
+        assert res_g["output_ids"] == want
+        assert res_k1["output_ids"] == want
+        assert len(res_s["output_ids"]) == 6
+        assert all(0 <= t < 128 for t in res_s["output_ids"])
+    finally:
+        server.shutdown()
+        server.serving_loop.shutdown()
