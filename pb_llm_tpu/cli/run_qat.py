@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style parameter/optimizer sharding over the "
+                        "dp axis (shards the frozen sim-8bit masters too); "
+                        "numerics unchanged, memory per chip ~1/dp")
     p.add_argument("--metrics", type=str, default=None)
     return p
 
@@ -102,7 +106,7 @@ def main(argv=None) -> int:
         from ..parallel import mesh as pmesh, sharding
 
         mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp)
-        params = sharding.shard_params(params, mesh, fam.name)
+        params = sharding.shard_params(params, mesh, fam.name, fsdp=args.fsdp)
 
     data = get_qat_dataset(args.dataset, tokenizer, args.data_percent, seqlen=seqlen,
                            batch_size=args.batch_size, source=source)

@@ -132,13 +132,61 @@ def _leaf_spec(name: str, leaf: Any) -> Any:
     return None
 
 
-def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+def _add_fsdp(spec: Any, leaf: Any) -> Any:
+    """Add 'dp' to the first free dim of a >=2-D array spec (FSDP/ZeRO-3
+    storage sharding: XLA all-gathers the leaf at each use, the optimizer
+    update stays sharded).  Specs already using dp, scalars and vectors are
+    untouched; non-divisible dims are later replicated by sanitize_specs."""
+    if not isinstance(spec, P) or getattr(leaf, "ndim", 0) < 2:
+        return spec
+    used = set()
+    for ax in spec:
+        for a in (ax if isinstance(ax, tuple) else (ax,)):
+            if a is not None:
+                used.add(a)
+    if "dp" in used:
+        return spec
+    dims = list(spec) + [None] * (leaf.ndim - len(spec))
+    for d in range(leaf.ndim):
+        if dims[d] is None:
+            dims[d] = "dp"
+            return P(*dims)
+    return spec
+
+
+def _fsdp_leaf(spec: Any, leaf: Any) -> Any:
+    """FSDP-ify one leaf spec: QATLinear weight+outlier_mask, dense dict w,
+    plain arrays.  Packed (inference) formats are skipped — their plane
+    layout invariants are all-or-nothing (see sanitize_specs)."""
+    import dataclasses
+
+    if isinstance(spec, QATLinear):
+        return dataclasses.replace(
+            spec,
+            weight=_add_fsdp(spec.weight, leaf.weight),
+            outlier_mask=_add_fsdp(spec.outlier_mask, leaf.outlier_mask),
+        )
+    if isinstance(spec, dict) and "w" in spec:
+        return dict(spec, w=_add_fsdp(spec["w"], leaf.get("w")))
+    if isinstance(spec, P):
+        return _add_fsdp(spec, leaf)
+    return spec
+
+
+def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] = None,
+                fsdp: bool = False) -> Dict[str, Any]:
     """PartitionSpec tree matching the model param tree.
 
     With ``mesh`` given, any leaf whose sharded dimension is not divisible by
     the mesh axis falls back to replication (e.g. odd vocab sizes under
     vocab-parallel lm_head) — placement and shard_map in_specs must use the
-    SAME sanitized tree."""
+    SAME sanitized tree.
+
+    ``fsdp=True`` additionally shards every >=2-D trainable leaf's first
+    free dimension over the ``dp`` axis (ZeRO-3-style parameter/optimizer
+    sharding; the QAT frozen sim-8bit masters are the memory hog at 7B+).
+    GSPMD inserts the per-use all-gathers; numerics are unchanged
+    (tests/test_sharding.py)."""
     specs: Dict[str, Any] = {}
     for key, val in params.items():
         if key == "layers":
@@ -157,6 +205,16 @@ def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] =
             specs[key] = P()  # replicated; vocab sharding is a later optimization
         else:
             specs[key] = None if val is None else jax.tree_util.tree_map(lambda _: P(), val)
+
+    if fsdp:
+        for key, spec in specs.items():
+            if key == "layers":
+                specs[key] = [
+                    {n: _fsdp_leaf(s, lp[n]) for n, s in lspec.items()}
+                    for lp, lspec in zip(params["layers"], spec)
+                ]
+            elif spec is not None:
+                specs[key] = _fsdp_leaf(spec, params.get(key))
 
     if mesh is not None:
         specs = sanitize_specs(params, specs, mesh)
@@ -226,9 +284,10 @@ def sanitize_specs(params: Dict[str, Any], specs: Dict[str, Any], mesh: Mesh) ->
     return out
 
 
-def shard_params(params: Dict[str, Any], mesh: Mesh, family_name: str) -> Dict[str, Any]:
+def shard_params(params: Dict[str, Any], mesh: Mesh, family_name: str,
+                 fsdp: bool = False) -> Dict[str, Any]:
     """device_put the tree with the TP/DP NamedShardings."""
-    specs = param_specs(params, family_name, mesh)
+    specs = param_specs(params, family_name, mesh, fsdp=fsdp)
 
     def put(leaf, spec):
         if leaf is None:

@@ -130,3 +130,45 @@ def test_qat_train_step_sharded_matches_unsharded(tiny_llama_setup):
     w_ref = np.asarray(p1["layers"][0]["q_proj"].weight)
     w_sh = np.asarray(p1_sh["layers"][0]["q_proj"].weight)
     np.testing.assert_allclose(w_sh, w_ref, atol=1e-5, rtol=1e-4)
+
+
+def test_qat_train_step_fsdp_matches_unsharded(tiny_llama_setup):
+    """FSDP (ZeRO-3-style) parameter sharding over dp: the big QAT leaves
+    (weight + frozen outlier_mask) live sharded over dp ON TOP of the tp
+    layout, GSPMD all-gathers them per use, and the train step's numerics
+    are unchanged."""
+    params, cfg, fam = tiny_llama_setup
+    qcfg = tq.QATConfig(outlier_fraction=0.1, train_steps=4, learning_rate=1e-3, remat=False)
+    qp = tq.replace_linears(copy.deepcopy(params), fam, qcfg)
+    batch = {"input_ids": np.random.default_rng(4).integers(0, 128, size=(4, 16))}
+
+    opt = tq.make_optimizer(qcfg, qp)
+    step = jax.jit(tq.make_train_step(cfg, fam, qcfg, opt))
+    s0 = opt.init(qp)
+    p1, _, loss_ref = step(qp, s0, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    m = pmesh.make_mesh(dp=2, tp=4)
+    qp_sh = sharding.shard_params(copy.deepcopy(qp), m, "llama", fsdp=True)
+    # the big leaves must actually be dp-sharded (storage, not just specs)
+    w = qp_sh["layers"][0]["q_proj"].weight
+    spec_axes = {a for ax in w.sharding.spec if ax is not None
+                 for a in (ax if isinstance(ax, tuple) else (ax,))}
+    assert "dp" in spec_axes, w.sharding
+    mask = qp_sh["layers"][0]["q_proj"].outlier_mask
+    assert any(ax is not None for ax in mask.sharding.spec), mask.sharding
+
+    s0_sh = opt.init(qp_sh)
+    ids_sh = jax.device_put(jnp.asarray(batch["input_ids"]), NamedSharding(m, P("dp", None)))
+    p1_sh, _, loss_sh = step(qp_sh, s0_sh, {"input_ids": ids_sh})
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    w_ref = np.asarray(p1["layers"][0]["q_proj"].weight)
+    w_sh = np.asarray(p1_sh["layers"][0]["q_proj"].weight)
+    np.testing.assert_allclose(w_sh, w_ref, atol=1e-5, rtol=1e-4)
+    # optimizer state followed the param sharding (ZeRO: no replicated moments)
+    mu = jax.tree_util.tree_leaves(
+        s0_sh, is_leaf=lambda x: hasattr(x, "sharding"))
+    assert any(
+        "dp" in {a for ax in getattr(l.sharding, "spec", P()) if ax is not None
+                 for a in (ax if isinstance(ax, tuple) else (ax,))}
+        for l in mu if hasattr(l, "sharding") and getattr(l, "ndim", 0) >= 2)
