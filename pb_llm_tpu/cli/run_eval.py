@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval-text construction flavor (the two reference pipelines differ)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--metrics", type=str, default=None)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ways for the ppl forward: shard "
+                        "each eval window over an sp mesh axis with ring "
+                        "attention (long windows beyond one chip's memory); "
+                        "seqlen must be divisible by sp")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over stacked layers for the ppl forward "
                         "(one compiled body; large models compile in seconds)")
@@ -96,7 +101,14 @@ def main(argv=None) -> int:
             evaltok = get_eval_tokens(ds, tokenizer, source=source)
         else:
             _, evaltok = get_loaders(ds, tokenizer, nsamples=2, seqlen=seqlen, flavor="ptq", source=source)
-        ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen, window_limit=args.ppl_limit)
+        if args.sp > 1:
+            from ..eval.ppl import perplexity_sp
+            from ..parallel.ring_attention import make_sp_mesh
+
+            ppl = perplexity_sp(params, cfg, fam.forward, evaltok, make_sp_mesh(args.sp),
+                                seqlen=seqlen, window_limit=args.ppl_limit)
+        else:
+            ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen, window_limit=args.ppl_limit)
         log.log("ppl", dataset=ds, ppl=ppl)
         print(f"{ds} perplexity: {ppl:.4f}")
 

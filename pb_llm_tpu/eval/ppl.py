@@ -56,3 +56,24 @@ def perplexity(
         w = jnp.asarray(ids[i * seqlen : (i + 1) * seqlen])
         total += float(window_nll(w))
     return float(np.exp(total / (nsamples * seqlen)))
+
+
+def perplexity_sp(
+    params: Dict[str, Any],
+    cfg: Any,
+    forward: Callable,
+    token_ids: np.ndarray,
+    mesh,
+    seqlen: Optional[int] = None,
+    window_limit: Optional[int] = None,
+) -> float:
+    """Sequence-parallel perplexity: identical protocol, but each window's
+    forward runs with the sequence sharded over ``mesh``'s 'sp' axis and
+    attention as a ring (`parallel.ring_attention`) — windows longer than
+    one chip's memory evaluate across the slice.  seqlen must be divisible
+    by the sp axis size.  Numerics match `perplexity` (tests)."""
+    from ..models.attention import sequence_parallel
+
+    with sequence_parallel(mesh):
+        return perplexity(params, cfg, forward, token_ids,
+                          seqlen=seqlen, window_limit=window_limit)

@@ -29,6 +29,33 @@ def set_attention_impl(impl: str) -> None:
     _ATTN_IMPL = impl
 
 
+# sequence-parallel context: while set, the no-cache full-sequence attention
+# runs as RING attention over the mesh's 'sp' axis (parallel.ring_attention)
+# instead of letting GSPMD all-gather the sequence — the long-context eval
+# path (reference fixes seqlen at 2048 on one device, SURVEY §5.7).
+_SP_MESH = None
+
+
+class sequence_parallel:
+    """Context manager: `with sequence_parallel(mesh): fam.forward(...)`
+    makes every full-sequence attention a ring attention over mesh['sp'].
+    Affects tracing — enter it around the first (compiling) call."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _SP_MESH
+        self._prev = _SP_MESH
+        _SP_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _SP_MESH
+        _SP_MESH = self._prev
+        return False
+
+
 def _flash_eligible(t: int, d: int) -> bool:
     # Measured (scripts/bench_flash.py, T=2048/4096, H=32, D=128): with
     # 512x512 blocks the flash kernel beats XLA's fused attention 2.4-2.5x
@@ -42,6 +69,17 @@ def _flash_eligible(t: int, d: int) -> bool:
 def full_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale) -> jnp.ndarray:
     """Dispatch for the no-cache (prefill/eval) path. q,k,v: [B,T,H*,D]."""
     b, t, hq, d = q.shape
+    if _SP_MESH is not None:
+        from ..parallel.ring_attention import ring_attention
+
+        hkv = k.shape[2]
+        if hq != hkv:
+            k = jnp.repeat(k, hq // hkv, axis=2)
+            v = jnp.repeat(v, hq // hkv, axis=2)
+        # scale may be traced (closed over model params): fold it into q so
+        # the ring body's static args stay static
+        q = q * jnp.asarray(scale, q.dtype)
+        return ring_attention(q, k, v, 1.0, _SP_MESH).astype(q.dtype)
     impl = _ATTN_IMPL
     if impl == "auto":
         impl = "flash" if _flash_eligible(t, d) else "xla"

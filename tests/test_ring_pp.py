@@ -103,3 +103,38 @@ def test_ring_attention_flash_inner_matches_full(sp):
     ref = masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
     out = ring_attention(q, k, v, scale, make_sp_mesh(sp), inner="flash_interpret")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_sp_forward_perplexity_matches_single_device():
+    """ROADMAP 9 wiring: the whole eval forward under sequence_parallel
+    (ring attention, activations T-sharded) reproduces the single-device
+    windowed perplexity exactly (protocol of eval_ppl_utils.py:71-86)."""
+    from pb_llm_tpu.eval.ppl import perplexity, perplexity_sp
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.parallel.ring_attention import make_sp_mesh
+
+    cfg, params = _tiny_llama(layers=2)
+    fam = family_for("llama")
+    ids = np.random.default_rng(7).integers(0, cfg.vocab_size, size=(3 * 32,))
+    want = perplexity(params, cfg, fam.forward, ids, seqlen=32)
+    got = perplexity_sp(params, cfg, fam.forward, ids, make_sp_mesh(8), seqlen=32)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_sp_forward_gqa_matches():
+    """GQA KV heads repeat before the ring (same contract as flash)."""
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.attention import sequence_parallel
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.parallel.ring_attention import make_sp_mesh
+
+    cfg = jllama.LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                             num_hidden_layers=2, num_attention_heads=8,
+                             num_key_value_heads=2, max_position_embeddings=128)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(3))
+    fam = family_for("llama")
+    ids = jnp.asarray(np.random.default_rng(8).integers(0, 64, size=(2, 32)))
+    ref, _ = fam.forward(params, ids, cfg)
+    with sequence_parallel(make_sp_mesh(8)):
+        got, _ = jax.jit(lambda p, i: fam.forward(p, i, cfg))(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
