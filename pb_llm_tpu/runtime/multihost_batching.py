@@ -69,23 +69,23 @@ class MultiHostBatcher:
 
     def submit(self, req: Request) -> None:
         """Requests are fed on host 0; other hosts receive them via broadcast."""
-        if req.sampling is not None:
-            # the int32 admission record doesn't carry sampling params yet;
-            # silently dropping them on non-host0 shadows would diverge
-            raise NotImplementedError(
-                "per-request sampling is single-host only (the broadcast "
-                "record does not carry SamplingParams)")
         if self.is_host0:
             self.queue.append(req)
 
+    _REC_META = 8  # columns before the prompt
+
     def _admission_record(self) -> np.ndarray:
-        """Fixed-shape [max_admits, 5 + max_prompt] int32 record:
-        (slot, request_id, budget_left, eos, true_len, prompt...)
+        """Fixed-shape [max_admits, 8 + max_prompt] int32 record:
+        (slot, request_id, budget_left, eos, true_len,
+         temp_fp, top_k, top_p_fp, prompt...)
         slot=-1 ⇒ empty row; eos=-1 ⇒ no EOS.  budget_left is the REMAINING
         token budget (max_new_tokens minus tokens already generated before a
         preemption) so shadow requests — which start with empty output_ids —
-        retire on exactly the same tick as host 0's rich request."""
-        rec = np.full((self.max_admits, 5 + self.max_prompt), -1, np.int32)
+        retire on exactly the same tick as host 0's rich request.
+        Per-request sampling rides as 1e-6 fixed point (temp_fp = -1 ⇒ no
+        override); EVERY host — host 0 included — installs the DECODED
+        values so fixed-point rounding can never diverge ranks."""
+        rec = np.full((self.max_admits, self._REC_META + self.max_prompt), -1, np.int32)
         if self.is_host0:
             free = [s for s in self.engine.free_slots()
                     if s not in self.slot_to_request and s not in self._prefilling]
@@ -114,7 +114,12 @@ class MultiHostBatcher:
                 rec[row, 2] = req.max_new_tokens - len(req.output_ids)
                 rec[row, 3] = -1 if req.eos_token_id is None else req.eos_token_id
                 rec[row, 4] = len(ids)
-                rec[row, 5 : 5 + len(ids)] = ids
+                if req.sampling is not None:
+                    rec[row, 5] = round(req.sampling.temperature * 1e6)
+                    rec[row, 6] = req.sampling.top_k
+                    rec[row, 7] = round(req.sampling.top_p * 1e6)
+                m = self._REC_META
+                rec[row, m : m + len(ids)] = ids
                 # host 0 keeps the rich Request object
                 self.slot_to_request[slot] = req
         return rec
@@ -130,13 +135,25 @@ class MultiHostBatcher:
             if slot < 0:
                 continue
             true_len = int(row[4])
-            prompt = row[5 : 5 + true_len].tolist()
+            m = self._REC_META
+            prompt = row[m : m + true_len].tolist()
+            sp = None
+            if int(row[5]) >= 0:
+                from .sampler import SamplingParams
+
+                sp = SamplingParams(temperature=int(row[5]) / 1e6,
+                                    top_k=int(row[6]),
+                                    top_p=int(row[7]) / 1e6)
+            # every host installs the record-DECODED params (host 0 too: its
+            # rich request may hold a value the fixed point rounded)
+            self.engine.set_slot_sampling(slot, sp)
             if not self.is_host0:
                 # non-host0 processes mirror with a shadow Request
                 self.slot_to_request[slot] = Request(
                     request_id=int(row[1]), prompt_ids=prompt,
                     max_new_tokens=int(row[2]),
                     eos_token_id=None if int(row[3]) < 0 else int(row[3]),
+                    sampling=sp,
                 )
             self._admitted_at[slot] = self._admit_seq
             self._admit_seq += 1

@@ -76,6 +76,15 @@ def main():
     # a LONG prompt exercises lockstep chunked prefill across processes
     reqs.append(Request(request_id=3, prompt_ids=[7, 8, 9] * 4,
                         max_new_tokens=10, eos_token_id=9))
+    # a stochastically-SAMPLED request exercises the record's fixed-point
+    # sampling columns: every rank decodes the same params and shares the
+    # engine PRNG seed, so even sampled streams must be byte-identical —
+    # and its presence must pause spec ticks identically everywhere
+    from pb_llm_tpu.runtime.sampler import SamplingParams
+
+    reqs.append(Request(request_id=4, prompt_ids=[3, 14, 15],
+                        max_new_tokens=6,
+                        sampling=SamplingParams(temperature=0.937, top_k=12)))
     b.run(reqs)
 
     streams = {str(rid): req.output_ids for rid, req in sorted(b.seen.items())}

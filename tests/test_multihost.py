@@ -8,10 +8,20 @@ import numpy as np
 import pytest
 
 
+def _free_port() -> str:
+    """Bind-then-release a free localhost port: concurrent pytest runs (or a
+    parallel full-suite run) must not collide on a fixed coordinator port."""
+    import socket
+
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        return str(sk.getsockname()[1])
+
+
 @pytest.mark.timeout(180)
 def test_two_process_dcn_matmul(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
-    port = "12387"
+    port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
     procs = [
         subprocess.Popen(
@@ -53,7 +63,7 @@ def test_two_process_serving_determinism(tmp_path):
     import json
 
     worker = os.path.join(os.path.dirname(__file__), "dist_serving_worker.py")
-    port = "12391"
+    port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
     procs = [
         subprocess.Popen(
@@ -73,7 +83,10 @@ def test_two_process_serving_determinism(tmp_path):
     r1 = json.load(open(tmp_path / "serving_1.json"))
     assert r0["streams"] == r1["streams"], (r0["streams"], r1["streams"])
     assert r0["stats"] == r1["stats"], (r0["stats"], r1["stats"])
-    assert len(r0["streams"]) == 4 and all(v for v in r0["streams"].values())
+    # 5 requests: 3 repetitive (spec), 1 long (chunked), 1 sampled (record
+    # fixed-point sampling columns)
+    assert len(r0["streams"]) == 5 and all(v for v in r0["streams"].values())
+    assert len(r0["streams"]["4"]) == 6  # the sampled stream completed
     # eos actually fired for at least one request (the record's eos field
     # was exercised, not just carried)
     assert any(v[-1] == 9 and len(v) < 10 for v in r0["streams"].values()) or \

@@ -188,13 +188,36 @@ def test_tp_engine_per_request_sampling(tiny_opt):
     assert all(0 <= t < 128 for t in reqs[1].output_ids)
 
 
-def test_multihost_rejects_per_request_sampling(tiny_opt):
+def test_multihost_per_request_sampling(tiny_opt):
+    """Per-request sampling rides the broadcast admission record as fixed
+    point; single-process MultiHostBatcher must (a) keep greedy requests
+    bit-exact, (b) be deterministic run-to-run (the cross-host determinism
+    precondition: every rank decodes the same record and shares the PRNG
+    seed), (c) exercise the encode→decode path even on host 0."""
     from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
 
     params, cfg, fam = tiny_opt
-    eng = Engine(params, cfg, fam, EngineConfig(
-        n_slots=2, max_seq=64, prefill_buckets=(8,)))
-    b = MultiHostBatcher(eng)
-    with pytest.raises(NotImplementedError):
-        b.submit(Request(request_id=0, prompt_ids=[1, 2],
-                         sampling=SamplingParams(temperature=0.5)))
+    p0, p1 = [5, 17, 99, 3], [42, 7, 11]
+    plain, _ = _run(params, cfg, fam,
+                    [Request(request_id=0, prompt_ids=p0, max_new_tokens=8)])
+
+    def run_mh():
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=64, prefill_buckets=(8,)))
+        b = MultiHostBatcher(eng)
+        reqs = [
+            Request(request_id=0, prompt_ids=p0, max_new_tokens=8),
+            Request(request_id=1, prompt_ids=p1, max_new_tokens=8,
+                    sampling=SamplingParams(temperature=0.937, top_k=12)),
+        ]
+        for r in reqs:
+            b.submit(r)
+        while any(not r.done for r in reqs):
+            b.step()
+        return [r.output_ids for r in reqs]
+
+    out_a = run_mh()
+    out_b = run_mh()
+    assert out_a == out_b                      # determinism precondition
+    assert out_a[0] == plain[0]                # greedy stays exact
+    assert len(out_a[1]) == 8 and all(0 <= t < 128 for t in out_a[1])
