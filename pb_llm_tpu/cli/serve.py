@@ -175,8 +175,15 @@ def main(argv=None) -> int:
         else:
             from ..models import hf_import
 
-            dparams, dcfg, _ = hf_import.from_pretrained(args.draft_model_id or args.model_id)
-            dfam = family_for(args.draft_model_id or args.model_id)
+            if not args.draft_model_id:
+                # a checkpoint alone has no config: building the draft engine
+                # from the TARGET's config would shape the draft KV caches
+                # (and positions) wrong — require the id explicitly
+                raise SystemExit(
+                    "--draft_checkpoint/--draft_pbw need --draft_model_id "
+                    "(the draft model's config/architecture)")
+            dparams, dcfg, _ = hf_import.from_pretrained(args.draft_model_id)
+            dfam = family_for(args.draft_model_id)
             if args.draft_checkpoint:
                 from ..utils.checkpoint import load_dense_checkpoint
 

@@ -132,12 +132,14 @@ def _leaf_spec(name: str, leaf: Any) -> Any:
     return None
 
 
-def _add_fsdp(spec: Any, leaf: Any) -> Any:
-    """Add 'dp' to the first free dim of a >=2-D array spec (FSDP/ZeRO-3
-    storage sharding: XLA all-gathers the leaf at each use, the optimizer
-    update stays sharded).  Specs already using dp, scalars and vectors are
-    untouched; non-divisible dims are later replicated by sanitize_specs."""
-    if not isinstance(spec, P) or getattr(leaf, "ndim", 0) < 2:
+def _add_fsdp(spec: Any, leaf: Any, dp: int) -> Any:
+    """Add 'dp' to the first free DIVISIBLE dim of a >=2-D array spec
+    (FSDP/ZeRO-3 storage sharding: XLA all-gathers the leaf at each use,
+    the optimizer update stays sharded).  Specs already using dp, scalars
+    and vectors are untouched.  Divisibility is checked HERE, per dim —
+    handing sanitize_specs a bad dim would make it replicate the whole
+    leaf, dropping its existing tp sharding (worse memory than no fsdp)."""
+    if not isinstance(spec, P) or getattr(leaf, "ndim", 0) < 2 or dp <= 1:
         return spec
     used = set()
     for ax in spec:
@@ -148,13 +150,13 @@ def _add_fsdp(spec: Any, leaf: Any) -> Any:
         return spec
     dims = list(spec) + [None] * (leaf.ndim - len(spec))
     for d in range(leaf.ndim):
-        if dims[d] is None:
+        if dims[d] is None and leaf.shape[d] % dp == 0:
             dims[d] = "dp"
             return P(*dims)
     return spec
 
 
-def _fsdp_leaf(spec: Any, leaf: Any) -> Any:
+def _fsdp_leaf(spec: Any, leaf: Any, dp: int) -> Any:
     """FSDP-ify one leaf spec: QATLinear weight+outlier_mask, dense dict w,
     plain arrays.  Packed (inference) formats are skipped — their plane
     layout invariants are all-or-nothing (see sanitize_specs)."""
@@ -163,13 +165,13 @@ def _fsdp_leaf(spec: Any, leaf: Any) -> Any:
     if isinstance(spec, QATLinear):
         return dataclasses.replace(
             spec,
-            weight=_add_fsdp(spec.weight, leaf.weight),
-            outlier_mask=_add_fsdp(spec.outlier_mask, leaf.outlier_mask),
+            weight=_add_fsdp(spec.weight, leaf.weight, dp),
+            outlier_mask=_add_fsdp(spec.outlier_mask, leaf.outlier_mask, dp),
         )
     if isinstance(spec, dict) and "w" in spec:
-        return dict(spec, w=_add_fsdp(spec["w"], leaf.get("w")))
+        return dict(spec, w=_add_fsdp(spec["w"], leaf.get("w"), dp))
     if isinstance(spec, P):
-        return _add_fsdp(spec, leaf)
+        return _add_fsdp(spec, leaf, dp)
     return spec
 
 
@@ -207,14 +209,15 @@ def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] =
             specs[key] = None if val is None else jax.tree_util.tree_map(lambda _: P(), val)
 
     if fsdp:
+        dp = mesh.shape.get("dp", 1) if mesh is not None else 1
         for key, spec in specs.items():
             if key == "layers":
                 specs[key] = [
-                    {n: _fsdp_leaf(s, lp[n]) for n, s in lspec.items()}
+                    {n: _fsdp_leaf(s, lp[n], dp) for n, s in lspec.items()}
                     for lp, lspec in zip(params["layers"], spec)
                 ]
             elif spec is not None:
-                specs[key] = _fsdp_leaf(spec, params.get(key))
+                specs[key] = _fsdp_leaf(spec, params.get(key), dp)
 
     if mesh is not None:
         specs = sanitize_specs(params, specs, mesh)

@@ -53,7 +53,20 @@ class ModelDraftSource:
             raise ValueError("draft engine must sample greedily")
         if draft.pool is not None:
             raise ValueError("draft engine must use strip caches")
+        mpe = getattr(draft.cfg, "max_position_embeddings", None)
+        if mpe and mpe < draft.ecfg.max_seq:
+            # past the draft's position table JAX clamps the gather —
+            # garbage drafts with no error; fail at construction instead
+            raise ValueError(
+                f"draft model max_position_embeddings {mpe} < engine "
+                f"max_seq {draft.ecfg.max_seq}: drafts past position {mpe} "
+                "would silently degenerate")
         self.draft = draft
+        # which request each draft slot was prefilled for: a slot can be
+        # retired AND re-admitted to a new request between two propose()
+        # calls (the batcher admits before the decode tick), and the stale
+        # KV would otherwise be silently reused for the new request
+        self._slot_request: Dict[int, object] = {}
 
     def propose(self, batcher, gamma: int) -> Optional[np.ndarray]:
         """Drafts [n_slots, γ] for the batcher's active slots, or None to
@@ -70,10 +83,14 @@ class ModelDraftSource:
             if target.lengths[slot] + gamma + 1 >= d.ecfg.max_seq:
                 return None
 
-        # drop slots the batcher retired/preempted since the last tick
+        # drop slots the batcher retired/preempted since the last tick, and
+        # slots REUSED for a different request (retire + re-admit can both
+        # happen between two propose() calls — the old KV must not leak)
         for s in range(d.ecfg.n_slots):
-            if d.active[s] and s not in slots:
+            if d.active[s] and (s not in slots
+                                or self._slot_request.get(s) is not slots[s]):
                 d.release(s)
+                self._slot_request.pop(s, None)
 
         hists = {}
         for slot, req in slots.items():
@@ -82,6 +99,7 @@ class ModelDraftSource:
             lt = len(hist) - 1  # target cache rows hold hist[:lt]
             if not d.active[slot]:
                 d.prefill(slot, hist[:lt])
+                self._slot_request[slot] = req
             elif d.lengths[slot] > lt:
                 # verify-step rollback: rows ≤ lt hold the accepted stream
                 d.lengths[slot] = lt

@@ -346,11 +346,14 @@ class Engine:
                 jnp.asarray(slots), jnp.asarray(true_lens))
         self._key, sub = jax.random.split(self._key)
         if self._slot_sampling:
-            subs = jax.random.split(sub, len(rows))
+            # real rows only — the power-of-two padding repeats row 0 and
+            # its samples would be discarded (each eager sample() is a
+            # blocking device round-trip)
+            subs = jax.random.split(sub, len(pairs))
             toks = np.asarray([
                 int(sample(next_logits[r : r + 1], subs[r],
                            self._sampling_for(int(slot_r)))[0])
-                for r, (slot_r, _) in enumerate(rows)
+                for r, (slot_r, _) in enumerate(pairs)
             ])
         else:
             toks = np.asarray(sample(next_logits, sub, self.sampling))

@@ -131,15 +131,18 @@ def make_handler(loop: ServingLoop,
                  request_timeout: float = 600.0):
     def _sampling_from(payload):
         """Per-request SamplingParams from JSON fields, or None (engine
-        default) when no sampling field is present."""
+        default) when no sampling field is present.  Omitted fields default
+        to the ENGINE's values — a request setting only top_k must not be
+        silently flipped to greedy."""
         if not any(k in payload for k in ("temperature", "top_k", "top_p")):
             return None
         from .sampler import SamplingParams
 
+        base = loop.batcher.engine.sampling
         return SamplingParams(
-            temperature=float(payload.get("temperature", 0.0)),
-            top_k=int(payload.get("top_k", 0)),
-            top_p=float(payload.get("top_p", 1.0)),
+            temperature=float(payload.get("temperature", base.temperature)),
+            top_k=int(payload.get("top_k", base.top_k)),
+            top_p=float(payload.get("top_p", base.top_p)),
         )
 
     class Handler(BaseHTTPRequestHandler):

@@ -27,13 +27,23 @@ def enable_compile_cache() -> str | None:
     setting = os.environ.get("PB_TPU_COMPILE_CACHE", "")
     if setting == "0":
         return None
-    # CPU-only runs: XLA:CPU AOT cache entries record compile-machine
-    # features that can mismatch the loading host (warns, may SIGILL), and
-    # CPU compiles are cheap anyway — only cache for accelerator backends.
-    # (Checked via env so no backend gets initialized here; opting in with
-    # an explicit PB_TPU_COMPILE_CACHE dir overrides.)
-    if not setting and (os.environ.get("JAX_PLATFORMS") or "").strip() == "cpu":
-        return None
+    # CPU runs: XLA:CPU AOT cache entries record compile-machine features
+    # that can mismatch the loading host (warns, may SIGILL on shared/NFS
+    # caches), and CPU compiles are cheap anyway — only cache for
+    # accelerator backends.  An explicit PB_TPU_COMPILE_CACHE dir opts in
+    # regardless.  The cheap env check short-circuits before any backend
+    # initialization; otherwise ask jax for the actual default backend
+    # (the CLI initializes it moments later anyway).
+    if not setting:
+        if (os.environ.get("JAX_PLATFORMS") or "").strip() == "cpu":
+            return None
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:  # pragma: no cover - backend init failure
+            return None
     cache_dir = setting or os.path.join(
         os.path.expanduser("~"), ".cache", "pb_llm_tpu", "xla")
     try:

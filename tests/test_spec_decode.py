@@ -304,11 +304,20 @@ def test_model_draft_spec_matches_plain(tiny_opt, tiny_opt_draft):
 
 def test_model_draft_self_accepts_everything(tiny_opt):
     """Draft == target model: every draft token is the target's own argmax,
-    so acceptance is 100% and each verify advances γ+1 tokens."""
+    so acceptance is 100% and each verify advances γ+1 tokens.
+
+    5 requests over 2 slots with different budgets force slot REUSE between
+    propose() calls (retire + re-admit happen in the same tick, before the
+    spec step) — if the draft engine ever kept a previous request's KV for
+    a reused slot, its drafts would be conditioned on the wrong context and
+    this 100%-acceptance invariant would break (regression: review finding,
+    slot identity tracking in ModelDraftSource)."""
     params, cfg, fam = tiny_opt
 
-    reqs = [Request(request_id=i, prompt_ids=[5 + i, 17, 99, 3],
-                    max_new_tokens=12) for i in range(2)]
+    reqs = [Request(request_id=i,
+                    prompt_ids=[(7 * i + 5) % 128, (13 * i + 17) % 128,
+                                (29 * i + 99) % 128, (41 * i + 3) % 128],
+                    max_new_tokens=4 + 3 * i) for i in range(5)]
     eng = Engine(params, cfg, fam, EngineConfig(
         n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=3))
     b = ContinuousBatcher(eng, draft_source=_draft_source(params, cfg, fam))
