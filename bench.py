@@ -20,6 +20,7 @@ numbers — BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -34,6 +35,8 @@ IC, OC = 4096, 11008  # llama-7b MLP up-projection
 K = 8               # distinct weight tensors per loop (forces HBM streaming)
 L_SHORT, L_LONG = 16, 272
 FRAC_BINARY = 0.9   # BASELINE.json north-star config: low_frac=0.9
+# 4 → nibble-packed sidecar (side_bits=4, ~1.4 b/w); 8 is the headline format
+HIGH_BIT = int(os.environ.get("PB_TPU_BENCH_HIGH_BIT", "8"))
 
 
 def log(msg):
@@ -66,11 +69,15 @@ def make_planes(seed):
     scale = np.abs(wm - mean[:, None]).mean(-1)
     xmin = np.minimum(w.min(1), 0)
     xmax = np.maximum(w.max(1), 0)
-    hs = ((xmax - xmin) / 255).astype(np.float32)
+    maxq = (1 << HIGH_BIT) - 1
+    hs = ((xmax - xmin) / maxq).astype(np.float32)
     hz = np.round(-xmin / hs).astype(np.float32)
-    codes = np.clip(np.round(w / hs[:, None]) + hz[:, None], 0, 255).astype(np.uint8)
+    codes = np.clip(np.round(w / hs[:, None]) + hz[:, None], 0, maxq).astype(np.uint8)
     side_val = np.zeros((k_pad, OC), np.uint8)
     side_val[:k] = codes[:, cols].T
+    if HIGH_BIT <= 4:  # block-paired nibbles (core.pbw.unpack_side_codes)
+        half = k_pad // 2
+        side_val = (side_val[:half] | (side_val[half:] << 4)).astype(np.uint8)
 
     bits = (((w - mean[:, None]) >= 0).T) & ~salient.T  # B' plane: zeroed at salient
     return (
@@ -167,6 +174,7 @@ def bench_packed():
                     sign_packed=s0[k], side_val=s1[k], side_idx=s2[k],
                     low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
                     bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
+                    k_pad_shard=k_pad, side_bits=4 if HIGH_BIT <= 4 else 8,
                 )
                 y = pallas_pb.pb_matmul_pallas_v2(c, p)  # default: whole-oc tile
                 return c + y[:, :IC] * 1e-8, ()

@@ -311,6 +311,11 @@ class PackedLinearV2:
     col_tile: int = dataclasses.field(metadata=dict(static=True))
     pack_block: int = dataclasses.field(metadata=dict(static=True), default=packing.PACK_BLOCK)
     k_pad_shard: int = dataclasses.field(metadata=dict(static=True), default=0)  # 0 → side_val.shape[0]
+    # sidecar code width: 8 (one code per byte) or 4 (two codes per byte,
+    # low nibble = even slot row).  high_bit <= 4 packs nibbles and halves
+    # the sidecar stream (effective bits ~1.4 at low_frac=0.9).  All row
+    # accounting (k_pad, k_pad_shard) stays in UNPACKED slot-row units.
+    side_bits: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
     def ic_local(self) -> int:
@@ -323,16 +328,16 @@ class PackedLinearV2:
     @property
     def k_pad(self) -> int:
         """Total sidecar slot rows in this (possibly shard-local) view."""
-        return self.side_val.shape[0]
+        return self.side_val.shape[0] * (8 // self.side_bits)
 
     @property
     def k_pad_shard_local(self) -> int:
-        return self.k_pad_shard or self.side_val.shape[0]
+        return self.k_pad_shard or self.k_pad
 
     @property
     def shards_local(self) -> int:
         """ic shards visible in this view (1 inside a shard_map local view)."""
-        return self.side_val.shape[0] // self.k_pad_shard_local
+        return self.k_pad // self.k_pad_shard_local
 
     @property
     def ic_shard_local(self) -> int:
@@ -351,6 +356,23 @@ class PackedLinearV2:
         bits = self.sign_packed.size * 32 + self.side_val.size * 8 + self.side_idx.size * 32
         bits += (self.low_scale.size + self.low_mean.size + self.high_scale.size + self.high_zero.size) * 32
         return bits / n
+
+
+def unpack_side_codes(side_val: jnp.ndarray, side_bits: int, shards: int = 1) -> jnp.ndarray:
+    """Sidecar codes as UNPACKED uint8 [k_pad, oc].  side_bits=4 stores two
+    codes per byte with BLOCK pairing per shard segment: packed row r of a
+    segment holds slot rows r (low nibble) and r + kps/2 (high nibble) —
+    unpacking is then a concat, not an interleave (cheap in Pallas too)."""
+    if side_bits == 8:
+        return side_val
+    if side_bits != 4:
+        raise ValueError(f"side_bits must be 4 or 8, got {side_bits}")
+    lo = side_val & jnp.uint8(0x0F)
+    hi = side_val >> jnp.uint8(4)
+    oc = side_val.shape[1]
+    seg_lo = lo.reshape(shards, -1, oc)
+    seg_hi = hi.reshape(shards, -1, oc)
+    return jnp.concatenate([seg_lo, seg_hi], axis=1).reshape(-1, oc)
 
 
 def column_structured_mask(metric: jnp.ndarray, low_frac: float, col_tile: int,
@@ -460,6 +482,15 @@ def pack_linear_v2(
         lo, hi = t * col_tile, min((t + 1) * col_tile, oc)
         for s, c in enumerate(cols):
             side_val[s * k_pad : s * k_pad + len(c), lo:hi] = codes[lo:hi, s * ic_s + c].T
+    # high_bit <= 4: two codes per byte — halves the sidecar stream.  BLOCK
+    # pairing per shard segment (row r pairs with r + k_pad/2) so unpacking
+    # is a concat, not an interleave; k_pad is a multiple of 32, so halves
+    # are exact and pairs never straddle a shard segment
+    side_bits = 4 if maxq <= 15 else 8
+    if side_bits == 4:
+        seg = side_val.reshape(ic_shards, k_pad, oc)
+        half = k_pad // 2
+        side_val = (seg[:, :half] | (seg[:, half:] << 4)).reshape(ic_shards * half, oc).astype(np.uint8)
 
     mean_rows = jnp.repeat(low_mean, ic, axis=0)[:ic]
     bits = ((w_q.T - mean_rows) >= 0) & ~jnp.asarray(salient.T)
@@ -479,6 +510,7 @@ def pack_linear_v2(
         high_zero=hz,
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
         ic=ic, oc=oc, col_tile=col_tile, pack_block=pack_block, k_pad_shard=k_pad,
+        side_bits=side_bits,
     )
     w_rt = dequantize_v2(packed).T
     diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6)),
@@ -495,6 +527,7 @@ def dequantize_v2(p: PackedLinearV2) -> jnp.ndarray:
     range (sentinel rows land in a per-shard sink row)."""
     ic, oc = p.ic_local, p.oc_local
     shards, ic_s, kps = p.shards_local, p.ic_shard_local, p.k_pad_shard_local
+    side_val = unpack_side_codes(p.side_val, p.side_bits, p.shards_local)
     bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
     w_bin = p.low_mean[0][None, :] + (2.0 * bits - 1.0) * p.low_scale[0][None, :]
 
@@ -506,7 +539,7 @@ def dequantize_v2(p: PackedLinearV2) -> jnp.ndarray:
             idx = p.side_idx[s * kps : (s + 1) * kps, t]
             colsel = jnp.zeros((ic_s + 1,), jnp.float32).at[idx].set(1.0)
             vals = jnp.zeros((ic_s + 1, hi - lo), jnp.float32).at[idx].set(
-                p.side_val[s * kps : (s + 1) * kps, lo:hi].astype(jnp.float32))
+                side_val[s * kps : (s + 1) * kps, lo:hi].astype(jnp.float32))
             codes = codes.at[:, s, lo:hi].set(vals)
             m = m.at[:, s, lo:hi].set(colsel[:, None])
     codes = codes[:ic_s].transpose(1, 0, 2).reshape(ic, oc)
@@ -558,7 +591,7 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
             meta["layers"][name] = {
                 "format": "v2", "ic": p.ic, "oc": p.oc, "col_tile": p.col_tile,
                 "pack_block": p.pack_block, "k_pad_shard": p.k_pad_shard_local,
-                "has_bias": p.bias is not None,
+                "side_bits": p.side_bits, "has_bias": p.bias is not None,
             }
             fields = _FIELDS_V2
         else:
@@ -599,7 +632,7 @@ class PBWShardWriter:
             self._meta[name] = {
                 "format": "v2", "ic": p.ic, "oc": p.oc, "col_tile": p.col_tile,
                 "pack_block": p.pack_block, "k_pad_shard": p.k_pad_shard_local,
-                "has_bias": p.bias is not None,
+                "side_bits": p.side_bits, "has_bias": p.bias is not None,
             }
             fields = _FIELDS_V2
         else:
@@ -673,7 +706,8 @@ def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
             layers[name] = PackedLinearV2(
                 ic=lm["ic"], oc=lm["oc"], col_tile=lm["col_tile"],
                 pack_block=lm.get("pack_block", packing.PACK_BLOCK),
-                k_pad_shard=lm.get("k_pad_shard", 0), **kw,
+                k_pad_shard=lm.get("k_pad_shard", 0),
+                side_bits=lm.get("side_bits", 8), **kw,
             )
             continue
         kw = {f: jnp.asarray(z[f"{name}::{f}"]) for f in _FIELDS if f"{name}::{f}" in z}

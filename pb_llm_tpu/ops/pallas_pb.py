@@ -194,7 +194,8 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
 
 
 def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
-                      oc_tile: int, pack_block: int, chunk: int, dot_dtype):
+                      oc_tile: int, pack_block: int, chunk: int, dot_dtype,
+                      side_bits: int = 8, shards: int = 1):
     xb = x_ref[:]
     mrows = xb.shape[0]
     acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
@@ -216,7 +217,17 @@ def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
     sums = []
     for j in range(n_chunks):
         xg = xg_ref[j]  # [m, k_pad]
-        v = v_ref[:, j * chunk : (j + 1) * chunk].astype(jnp.int32).astype(dot_dtype)
+        raw = v_ref[:, j * chunk : (j + 1) * chunk].astype(jnp.int32)
+        if side_bits == 4:
+            # block-paired nibbles per shard segment: concat lo/hi halves
+            # (cheap sublane concat; see core.pbw.unpack_side_codes)
+            kps_packed = raw.shape[0] // shards
+            segs = []
+            for s_ in range(shards):
+                seg = raw[s_ * kps_packed : (s_ + 1) * kps_packed]
+                segs += [seg & 0xF, seg >> 4]
+            raw = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+        v = raw.astype(dot_dtype)
         parts.append(jnp.dot(xg.astype(dot_dtype), v, preferred_element_type=jnp.float32))
         sums.append(jnp.broadcast_to(jnp.sum(xg, axis=1, keepdims=True), (mrows, chunk)))
     acc_v = jnp.concatenate(parts, axis=1) if n_chunks > 1 else parts[0]
@@ -257,6 +268,7 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
     kernel = functools.partial(
         _planar_v2_kernel, ic=ic, oc_tile=oc_tile,
         pack_block=p.pack_block_local, chunk=chunk, dot_dtype=dot_dtype,
+        side_bits=p.side_bits, shards=p.shards_local,
     )
     out = pl.pallas_call(
         kernel,
@@ -268,7 +280,7 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
                          lambda i, mi, _gpt=gpt, _ot=oc_tile, _ct=p.col_tile:
                          (((i * _ot) // _ct) // _gpt, mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.k_pad, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.side_val.shape[0], oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, mi: (mi, i), memory_space=pltpu.VMEM),
@@ -395,7 +407,10 @@ def dequant_v2_pallas(p: PackedLinearV2, dtype=jnp.bfloat16,
     idx_l = p.side_idx[:, 0]  # [k_pad] (global selection: one row group)
     shard_off = (jnp.arange(idx_l.shape[0], dtype=jnp.int32) // kps) * ic_s
     idx_g = jnp.where(idx_l == ic_s, jnp.int32(ic), idx_l + shard_off)
-    vals = (p.side_val.astype(jnp.float32) - p.high_zero[None, :]) * p.high_scale[None, :]
+    from ..core.pbw import unpack_side_codes
+
+    codes = unpack_side_codes(p.side_val, p.side_bits, p.shards_local)
+    vals = (codes.astype(jnp.float32) - p.high_zero[None, :]) * p.high_scale[None, :]
     return w_bin.at[idx_g, :].set(vals.astype(dtype), mode="drop")
 
 
@@ -444,8 +459,11 @@ def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dt
         xpad = jnp.concatenate([xf, jnp.zeros((m, 1), jnp.float32)], axis=1)
         xg = jnp.take(xpad, idx_g, axis=1)  # [m, k_pad]; sentinels hit the zero col
 
+    from ..core.pbw import unpack_side_codes
+
+    codes = unpack_side_codes(p.side_val, p.side_bits, p.shards_local)
     beta = p.low_mean[0].astype(jnp.float32) - p.low_scale[0].astype(jnp.float32)
-    corr = ((p.side_val.astype(jnp.float32) - p.high_zero[None, :])
+    corr = ((codes.astype(jnp.float32) - p.high_zero[None, :])
             * p.high_scale[None, :] - beta[None, :])
 
     def dot(a, b):
@@ -472,7 +490,7 @@ def _decode_oc_tile_v2(p: PackedLinearV2, m: int) -> int:
     otherwise the generic tile."""
     oc = p.oc_local
     m_tile = min(_round_up(max(m, 8), 8), 256)
-    vmem = ((p.ic_local // 32) * oc * 4 + p.k_pad * oc
+    vmem = ((p.ic_local // 32) * oc * 4 + p.side_val.shape[0] * oc
             + m_tile * (p.ic_local + oc) * 4 + 5 * oc * 4)
     if vmem < _PLANAR_VMEM_CAP and p.col_tile >= oc:
         return oc

@@ -14,14 +14,15 @@ from pb_llm_tpu.quant.high_quant import high_calibrate, high_quantize
 from pb_llm_tpu.quant.low_quant import low_calibrate, low_quantize
 
 
-def _make_v2(oc=64, ic=128, method="xnor", low_frac=0.8, col_tile=16, seed=0, bias=False):
+def _make_v2(oc=64, ic=128, method="xnor", low_frac=0.8, col_tile=16, seed=0, bias=False,
+             high_bits=8):
     rng = np.random.default_rng(seed)
     w = rng.standard_normal((oc, ic)).astype(np.float32)
     # column-heavy scales so the structured mask is a realistic selection
     w *= (1.0 + 3.0 * (rng.random(ic) < 0.1))[None, :]
     mask = np.asarray(pbw.column_structured_mask(jnp.abs(jnp.asarray(w)), low_frac, col_tile))
     low_state = low_calibrate(jnp.asarray(w * mask), method, -1)
-    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    high_state = high_calibrate(jnp.asarray(w), bits=high_bits)
     q_low = np.asarray(low_quantize(jnp.asarray(w), low_state, method, -1))
     q_high = np.asarray(high_quantize(jnp.asarray(w), high_state))
     w_q = np.where(mask, q_low, q_high)
@@ -465,3 +466,83 @@ def test_tpengine_v2_hybrid_prefill():
     for _ in range(3):
         got.append(eng.decode_step()[0])
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit sidecar (side_bits=4: two codes per byte, block-paired nibbles)
+# ---------------------------------------------------------------------------
+
+
+def test_v2_4bit_sidecar_pack_dequant_exact():
+    w_q, mask, p, diag, _ = _make_v2(oc=64, ic=128, high_bits=4)
+    assert p.side_bits == 4
+    assert diag["pack_mismatch"] == 0.0
+    np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(p)).T, w_q,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_v2_4bit_effective_bits_halves_sidecar():
+    _, _, p8, d8, _ = _make_v2(oc=256, ic=512, low_frac=0.9, col_tile=64, high_bits=8)
+    _, _, p4, d4, _ = _make_v2(oc=256, ic=512, low_frac=0.9, col_tile=64, high_bits=4)
+    assert p4.side_val.shape[0] * 2 == p8.side_val.shape[0]
+    assert p4.k_pad == p8.k_pad  # row accounting stays in unpacked units
+    # sidecar stream halves: ~1 + 0.1·4 vs ~1 + 0.1·8 (plus shared overhead)
+    assert d4["effective_bits"] < d8["effective_bits"] - 0.3
+
+
+def test_v2_4bit_kernel_decode_and_prefill_match_reference():
+    w_q, _, p, _, b = _make_v2(oc=256, ic=256, col_tile=0, bias=True, high_bits=4)
+    assert p.side_bits == 4 and p.n_row_groups == 1
+    for m in (8, 300):  # planar decode path and hybrid prefill path
+        x = jnp.asarray(np.random.default_rng(m).standard_normal((m, 256)).astype(np.float32))
+        with jax.default_matmul_precision("float32"):
+            ref = np.asarray(pbw.matmul_reference_v2(x, p))
+            got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4, err_msg=f"m={m}")
+
+
+def test_v2_4bit_row_groups_kernel():
+    """Per-row-group layout (col_tile < oc) also runs the planar kernel with
+    nibble unpack."""
+    w_q, _, p, diag, _ = _make_v2(oc=256, ic=256, col_tile=64, high_bits=4)
+    assert p.side_bits == 4 and p.n_row_groups == 4
+    assert diag["pack_mismatch"] == 0.0
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((8, 256)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=128))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_v2_4bit_ic_shards_pack_dequant():
+    rng = np.random.default_rng(31)
+    oc, ic, S = 64, 256, 4
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    mask = np.asarray(pbw.column_structured_mask(jnp.abs(jnp.asarray(w)), 0.8, 0, ic_shards=S))
+    low_state = low_calibrate(jnp.asarray(w * mask), "xnor", -1)
+    high_state = high_calibrate(jnp.asarray(w), bits=4)
+    w_q = np.where(mask, np.asarray(low_quantize(jnp.asarray(w), low_state, "xnor", -1)),
+                   np.asarray(high_quantize(jnp.asarray(w), high_state)))
+    p, diag = pbw.pack_linear_v2(jnp.asarray(w_q), jnp.asarray(mask), low_state, high_state,
+                                 "xnor", col_tile=0, ic_shards=S, pack_block=ic // S)
+    assert p.side_bits == 4 and p.shards_local == S
+    assert diag["pack_mismatch"] == 0.0
+    np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(p)).T, w_q, rtol=1e-6, atol=1e-7)
+    x = jnp.asarray(rng.standard_normal((8, ic)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(x, p, interpret=True, oc_tile=64))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_v2_4bit_serialization_roundtrip(tmp_path):
+    from pb_llm_tpu.core.pbw import load_pbw, save_pbw
+
+    _, _, p, _, _ = _make_v2(oc=64, ic=128, high_bits=4, bias=True)
+    save_pbw(str(tmp_path / "pbw4"), {"l": p})
+    loaded, _ = load_pbw(str(tmp_path / "pbw4"))
+    lp = loaded["l"]
+    assert lp.side_bits == 4 and lp.k_pad == p.k_pad
+    np.testing.assert_array_equal(np.asarray(lp.side_val), np.asarray(p.side_val))
+    np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(lp)),
+                               np.asarray(pbw.dequantize_v2(p)), rtol=0, atol=0)
