@@ -37,6 +37,14 @@ class Request:
     # scheduler skips speculative ticks while any ACTIVE request samples
     # stochastically (spec verify is greedy-exact only).
     sampling: Optional[object] = None
+    # extra stop tokens (beyond eos_token_id): the request retires when any
+    # of them is emitted (the stop token IS included in the output, like eos)
+    stop_token_ids: Optional[List[int]] = None
+    # request per-token logprobs: filled into output_logprobs (every decode
+    # program computes them anyway; this only controls recording)
+    logprobs: bool = False
+    output_logprobs: List[float] = dataclasses.field(default_factory=list)
+    preempted_output_logprobs: List[float] = dataclasses.field(default_factory=list)
     # filled during serving
     output_ids: List[int] = dataclasses.field(default_factory=list)
     # tokens generated BEFORE a recompute-preemption: they were folded into
@@ -167,6 +175,9 @@ class ContinuousBatcher:
             req.max_new_tokens -= len(req.output_ids)
             req.preempted_output_ids = req.preempted_output_ids + req.output_ids
             req.output_ids = []
+            req.preempted_output_logprobs = (req.preempted_output_logprobs
+                                             + req.output_logprobs)
+            req.output_logprobs = []
             del self.slot_to_request[slot]
             self.engine.release(slot)
             self.queue.appendleft(req)
@@ -178,6 +189,10 @@ class ContinuousBatcher:
               length: Optional[int] = None) -> None:
         """Append one generated token: stats, streaming callback, retirement."""
         req.output_ids.append(token)
+        if req.logprobs:
+            lps = self.engine.token_logprobs.get(slot)
+            if lps:
+                req.output_logprobs.append(lps.pop(0))
         self.stats.generated_tokens += 1
         if req.on_token is not None:
             req.on_token(token)
@@ -189,13 +204,17 @@ class ContinuousBatcher:
         each against its own position, not the window's final length."""
         req = self.slot_to_request[slot]
         hit_eos = req.eos_token_id is not None and token == req.eos_token_id
+        hit_stop = bool(req.stop_token_ids) and token in req.stop_token_ids
         out_of_budget = len(req.output_ids) >= req.max_new_tokens
         cur = self.engine.lengths[slot] if length is None else length
         out_of_cache = cur + 1 >= self.engine.ecfg.max_seq
-        if hit_eos or out_of_budget or out_of_cache:
+        if hit_eos or hit_stop or out_of_budget or out_of_cache:
             req.done = True
             if req.preempted_output_ids:  # merge recompute-preempted tokens back
                 req.output_ids = req.preempted_output_ids + req.output_ids
+                req.output_logprobs = (req.preempted_output_logprobs
+                                       + req.output_logprobs)
+                req.preempted_output_logprobs = []
                 req.max_new_tokens += len(req.preempted_output_ids)
                 req.preempted_output_ids = []
             del self.slot_to_request[slot]

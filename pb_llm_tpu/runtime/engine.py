@@ -31,6 +31,12 @@ from . import kv_cache as kvmod
 from .sampler import SamplingParams, sample, sample_vec
 
 
+def _chosen_logprob(logits: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
+    """log P(tok) under log-softmax(logits); logits [..., V], toks [...]."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, toks[..., None], axis=-1)[..., 0]
+
+
 @dataclasses.dataclass
 class EngineConfig:
     n_slots: int = 8
@@ -148,6 +154,11 @@ class Engine:
         self._spec_jit = None
         self._prefill_logits: Dict[int, Any] = {}
         self._chunk_jobs: Dict[int, list] = {}  # slot -> [prompt_ids, offset]
+        # per-step logprobs of the tokens just emitted (every decode program
+        # computes them — one log-softmax pass per step, negligible vs the
+        # forward): {slot: [lp per emitted token]}.  Schedulers copy them
+        # into requests that asked for logprobs.
+        self.token_logprobs: Dict[int, List[float]] = {}
 
     # ---------------- slot management ----------------
 
@@ -170,6 +181,7 @@ class Engine:
         self.lengths[slot] = 0
         self._slot_sampling.pop(slot, None)
         self._prefill_logits.pop(slot, None)
+        self.token_logprobs.pop(slot, None)
         self._chunk_jobs.pop(slot, None)  # abandon any in-flight chunk job
         if self.pool is not None:
             self.pool.release(slot)
@@ -358,11 +370,14 @@ class Engine:
         else:
             toks = np.asarray(sample(next_logits, sub, self.sampling))
         out: Dict[int, int] = {}
+        lps = np.asarray(_chosen_logprob(
+            next_logits[: len(pairs)], jnp.asarray(np.asarray(toks[: len(pairs)], np.int32))))
         for r, (s, p) in enumerate(pairs):
             self.lengths[s] = len(p)
             self.active[s] = True
             self.last_token[s] = int(toks[r])
             self._prefill_logits[s] = next_logits[r]
+            self.token_logprobs[s] = [float(lps[r])]
             out[s] = int(toks[r])
         return out
 
@@ -463,6 +478,8 @@ class Engine:
         del self._chunk_jobs[slot]
         self._key, sub = jax.random.split(self._key)
         tok = int(sample(next_logits[None, :], sub, self._sampling_for(slot))[0])
+        self.token_logprobs[slot] = [float(_chosen_logprob(
+            next_logits[None, :], jnp.asarray([tok]))[0])]
         self.lengths[slot] = n
         self.active[slot] = True
         self.last_token[slot] = tok
@@ -496,6 +513,8 @@ class Engine:
             )
         self._key, sub = jax.random.split(self._key)
         tok = int(sample(next_logits[None, :], sub, self._sampling_for(slot))[0])
+        self.token_logprobs[slot] = [float(_chosen_logprob(
+            next_logits[None, :], jnp.asarray([tok]))[0])]
         self.lengths[slot] = n
         self.active[slot] = True
         self.last_token[slot] = tok
@@ -517,8 +536,9 @@ class Engine:
             )
             toks = sample(logits[:, 0, :], key, sampling)
             toks = jnp.where(active, toks, 0)
+            lps = _chosen_logprob(logits[:, 0, :], toks)
             lengths = jnp.where(active, lengths + 1, lengths)
-            return caches, toks, lengths
+            return caches, toks, lengths, lps
 
         return jax.jit(decode)
 
@@ -533,8 +553,9 @@ class Engine:
             )
             toks = sample_vec(logits[:, 0, :], key, temp, tk, tp)
             toks = jnp.where(active, toks, 0)
+            lps = _chosen_logprob(logits[:, 0, :], toks)
             lengths = jnp.where(active, lengths + 1, lengths)
-            return caches, toks, lengths
+            return caches, toks, lengths, lps
 
         return jax.jit(decode)
 
@@ -601,7 +622,8 @@ class Engine:
                 params, inputs, cfg, kv_caches=caches, pos=lengths
             )
             preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, γ+1]
-            return caches, preds
+            lps = _chosen_logprob(logits, preds)                   # [B, γ+1]
+            return caches, preds, lps
 
         return jax.jit(step)
 
@@ -638,9 +660,10 @@ class Engine:
                 if self.active[i]:
                     self._ensure_pages(i, int(self.lengths[i]) + gamma + 1)
         inputs = np.concatenate([self.last_token[:, None], drafts.astype(np.int32)], axis=1)
-        self.caches, preds = self._spec_jit(
+        self.caches, preds, lps = self._spec_jit(
             self.params, self.caches, jnp.asarray(inputs), jnp.asarray(self.lengths))
         preds = np.asarray(preds)
+        lps = np.asarray(lps)
         out: Dict[int, List[int]] = {}
         for i in range(self.ecfg.n_slots):
             if not self.active[i]:
@@ -652,6 +675,9 @@ class Engine:
             self.lengths[i] += len(toks)
             self.last_token[i] = toks[-1]
             out[i] = toks
+            # accepted drafts equal preds, so lps[i, j] IS the emitted
+            # token's logprob at position j
+            self.token_logprobs[i] = [float(lps[i, j]) for j in range(len(toks))]
         return out
 
     def decode_step(self) -> Dict[int, int]:
@@ -677,13 +703,13 @@ class Engine:
             if self._decode_vec_jit is None:
                 self._decode_vec_jit = self._make_decode_vec()
             temp, tk, tp = self._sampling_vectors()
-            self.caches, toks, lengths = self._decode_vec_jit(
+            self.caches, toks, lengths, lps = self._decode_vec_jit(
                 self.params, self.caches, jnp.asarray(self.last_token),
                 jnp.asarray(self.lengths), jnp.asarray(self.active), sub,
                 temp, tk, tp,
             )
         else:
-            self.caches, toks, lengths = self._decode_jit(
+            self.caches, toks, lengths, lps = self._decode_jit(
                 self.params,
                 self.caches,
                 jnp.asarray(self.last_token),
@@ -692,6 +718,7 @@ class Engine:
                 sub,
             )
         toks = np.asarray(toks)
+        lps = np.asarray(lps)
         self.lengths = np.array(lengths)  # writable host copy
         out = {}
         for i in range(self.ecfg.n_slots):
@@ -699,4 +726,5 @@ class Engine:
                 # cache row written at old length; emitted token appended
                 self.last_token[i] = int(toks[i])
                 out[i] = int(toks[i])
+                self.token_logprobs[i] = [float(lps[i])]
         return out

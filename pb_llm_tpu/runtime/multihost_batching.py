@@ -72,12 +72,19 @@ class MultiHostBatcher:
         if self.is_host0:
             self.queue.append(req)
 
-    _REC_META = 8  # columns before the prompt
+    _REC_META = 12  # columns before the prompt
+    _MAX_STOP = 4  # stop_token_ids carried in the record (cols 8..11)
+
+    def _record_logprob(self, slot: int, req: Request) -> None:
+        if req.logprobs:
+            lps = self.engine.token_logprobs.get(slot)
+            if lps:
+                req.output_logprobs.append(lps.pop(0))
 
     def _admission_record(self) -> np.ndarray:
-        """Fixed-shape [max_admits, 8 + max_prompt] int32 record:
+        """Fixed-shape [max_admits, 12 + max_prompt] int32 record:
         (slot, request_id, budget_left, eos, true_len,
-         temp_fp, top_k, top_p_fp, prompt...)
+         temp_fp, top_k, top_p_fp, stop_0..stop_3, prompt...)
         slot=-1 ⇒ empty row; eos=-1 ⇒ no EOS.  budget_left is the REMAINING
         token budget (max_new_tokens minus tokens already generated before a
         preemption) so shadow requests — which start with empty output_ids —
@@ -118,6 +125,13 @@ class MultiHostBatcher:
                     rec[row, 5] = round(req.sampling.temperature * 1e6)
                     rec[row, 6] = req.sampling.top_k
                     rec[row, 7] = round(req.sampling.top_p * 1e6)
+                stops = list(req.stop_token_ids or [])
+                if len(stops) > self._MAX_STOP:
+                    raise ValueError(
+                        f"multihost record carries at most {self._MAX_STOP} "
+                        f"stop_token_ids, got {len(stops)}")
+                for si, st in enumerate(stops):
+                    rec[row, 8 + si] = st
                 m = self._REC_META
                 rec[row, m : m + len(ids)] = ids
                 # host 0 keeps the rich Request object
@@ -144,6 +158,7 @@ class MultiHostBatcher:
                 sp = SamplingParams(temperature=int(row[5]) / 1e6,
                                     top_k=int(row[6]),
                                     top_p=int(row[7]) / 1e6)
+            stops = [int(t) for t in row[8:12] if int(t) >= 0] or None
             # every host installs the record-DECODED params (host 0 too: its
             # rich request may hold a value the fixed point rounded)
             self.engine.set_slot_sampling(slot, sp)
@@ -153,7 +168,7 @@ class MultiHostBatcher:
                     request_id=int(row[1]), prompt_ids=prompt,
                     max_new_tokens=int(row[2]),
                     eos_token_id=None if int(row[3]) < 0 else int(row[3]),
-                    sampling=sp,
+                    sampling=sp, stop_token_ids=stops,
                 )
             self._admitted_at[slot] = self._admit_seq
             self._admit_seq += 1
@@ -182,6 +197,7 @@ class MultiHostBatcher:
                 self.stats.prefills += 1
                 req = self.slot_to_request[slot]
                 req.output_ids.append(first)
+                self._record_logprob(slot, req)
                 self.stats.generated_tokens += 1
                 self._maybe_retire(slot, first)
 
@@ -212,6 +228,9 @@ class MultiHostBatcher:
                 req.max_new_tokens -= len(req.output_ids)
                 req.preempted_output_ids = req.preempted_output_ids + req.output_ids
                 req.output_ids = []
+                req.preempted_output_logprobs = (req.preempted_output_logprobs
+                                                 + req.output_logprobs)
+                req.output_logprobs = []
                 self.queue.appendleft(req)
             self.stats.preemptions += 1
             return True
@@ -220,9 +239,11 @@ class MultiHostBatcher:
     def _maybe_retire(self, slot: int, token: int, length=None) -> None:
         req = self.slot_to_request[slot]
         hit_eos = req.eos_token_id is not None and token == req.eos_token_id
+        hit_stop = bool(req.stop_token_ids) and token in req.stop_token_ids
         cur = self.engine.lengths[slot] if length is None else length
         done = (
             hit_eos
+            or hit_stop
             or len(req.output_ids) >= req.max_new_tokens
             or cur + 1 >= self.engine.ecfg.max_seq
         )
@@ -230,6 +251,9 @@ class MultiHostBatcher:
             req.done = True
             if req.preempted_output_ids:  # host 0's rich request only
                 req.output_ids = req.preempted_output_ids + req.output_ids
+                req.output_logprobs = (req.preempted_output_logprobs
+                                       + req.output_logprobs)
+                req.preempted_output_logprobs = []
                 req.max_new_tokens += len(req.preempted_output_ids)
                 req.preempted_output_ids = []
             del self.slot_to_request[slot]
@@ -254,6 +278,7 @@ class MultiHostBatcher:
                 self.stats.prefills += 1
                 self.slot_to_request[slot] = req
                 req.output_ids.append(tok)
+                self._record_logprob(slot, req)
                 self.stats.generated_tokens += 1
                 self._maybe_retire(slot, tok)
         if not self.slot_to_request:
@@ -297,6 +322,7 @@ class MultiHostBatcher:
                     base_len = int(self.engine.lengths[slot]) - len(toks)
                     for idx, tok in enumerate(toks):
                         req.output_ids.append(tok)
+                        self._record_logprob(slot, req)
                         self.stats.generated_tokens += 1
                         self._maybe_retire(slot, tok, length=base_len + idx + 1)
                         if req.done:
@@ -315,6 +341,7 @@ class MultiHostBatcher:
             if req is None:
                 continue
             req.output_ids.append(tok)
+            self._record_logprob(slot, req)
             self.stats.generated_tokens += 1
             self._maybe_retire(slot, tok)
         self.stats.decode_steps += 1

@@ -97,14 +97,15 @@ class ServingLoop:
     def submit(self, prompt_ids: List[int], max_new_tokens: int = 32,
                eos_token_id: Optional[int] = None,
                on_token: Optional[Callable[[int], None]] = None,
-               sampling=None) -> Request:
+               sampling=None, stop_token_ids=None, logprobs: bool = False) -> Request:
         with self._cond:
             if self._error is not None:
                 raise RuntimeError(f"serving loop died: {self._error!r}")
             self._next_id += 1
             req = Request(request_id=self._next_id, prompt_ids=list(prompt_ids),
                           max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-                          on_token=on_token, sampling=sampling)
+                          on_token=on_token, sampling=sampling,
+                          stop_token_ids=stop_token_ids, logprobs=logprobs)
             self._pending.append(req)
             self._cond.notify_all()
             return req
@@ -119,10 +120,12 @@ class ServingLoop:
 
     def generate(self, prompt_ids: List[int], max_new_tokens: int = 32,
                  eos_token_id: Optional[int] = None,
-                 timeout: Optional[float] = None, sampling=None) -> Request:
+                 timeout: Optional[float] = None, sampling=None,
+                 stop_token_ids=None, logprobs: bool = False) -> Request:
         return self.wait(
             self.submit(prompt_ids, max_new_tokens, eos_token_id,
-                        sampling=sampling), timeout)
+                        sampling=sampling, stop_token_ids=stop_token_ids,
+                        logprobs=logprobs), timeout)
 
 
 def make_handler(loop: ServingLoop,
@@ -187,7 +190,9 @@ def make_handler(loop: ServingLoop,
             req = loop.submit(
                 ids, max_new_tokens=int(payload.get("max_new_tokens", 32)),
                 eos_token_id=payload.get("eos_token_id"), on_token=q.put,
-                sampling=_sampling_from(payload))
+                sampling=_sampling_from(payload),
+                stop_token_ids=payload.get("stop_token_ids"),
+                logprobs=bool(payload.get("logprobs")))
 
             # completion sentinel from a watcher thread: the on_token callback
             # fires BEFORE retirement sets req.done, so polling done after the
@@ -216,6 +221,8 @@ def make_handler(loop: ServingLoop,
                 self.wfile.flush()
             tail = {"request_id": req.request_id, "done": req.done,
                     "output_ids": req.output_ids}
+            if req.logprobs:
+                tail["logprobs"] = req.output_logprobs
             self.wfile.write((json.dumps(tail) + "\n").encode())
             self.close_connection = True
 
@@ -239,12 +246,16 @@ def make_handler(loop: ServingLoop,
                     eos_token_id=payload.get("eos_token_id"),
                     timeout=request_timeout,
                     sampling=_sampling_from(payload),
+                    stop_token_ids=payload.get("stop_token_ids"),
+                    logprobs=bool(payload.get("logprobs")),
                 )
             except TimeoutError as e:
                 return self._reply(504, {"error": str(e)})
             except Exception as e:  # malformed JSON, bad types
                 return self._reply(400, {"error": str(e)})
             out = {"request_id": req.request_id, "output_ids": req.output_ids}
+            if req.logprobs:
+                out["logprobs"] = req.output_logprobs
             if decode is not None:
                 out["text"] = decode(req.output_ids)
             return self._reply(200, out)

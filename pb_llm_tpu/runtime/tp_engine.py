@@ -216,13 +216,15 @@ def make_tp_spec(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Call
         if logits.shape[-1] != cfg.vocab_size:
             logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return caches, preds
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lps = jnp.take_along_axis(lp, preds[..., None], axis=-1)[..., 0]
+        return caches, preds, lps
 
     fn = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(pspecs, cache_specs, P(), P()),
-        out_specs=(cache_specs, P()),
+        out_specs=(cache_specs, P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -414,8 +416,11 @@ class TPEngine:
                 caches, logits = step(params, caches, last_tokens, lengths)
                 toks = sample(logits, key, sampling_)
                 toks = jnp.where(active, toks, 0)
+                from .engine import _chosen_logprob
+
+                lps = _chosen_logprob(logits, toks)
                 lengths = jnp.where(active, lengths + 1, lengths)
-                return caches, toks, lengths
+                return caches, toks, lengths, lps
 
             return decode
 
@@ -433,8 +438,11 @@ class TPEngine:
                 caches, logits = step(params, caches, last_tokens, lengths)
                 toks = sample_vec(logits, key, temp, tk, tp)
                 toks = jnp.where(active, toks, 0)
+                from .engine import _chosen_logprob
+
+                lps = _chosen_logprob(logits, toks)
                 lengths = jnp.where(active, lengths + 1, lengths)
-                return caches, toks, lengths
+                return caches, toks, lengths, lps
 
             return decode
 
