@@ -151,3 +151,25 @@ def test_mix_dataset(tok, src):
     calib, ev = get_loaders("mix", tok, nsamples=7, seqlen=32, source=src)
     assert calib.shape == (7, 32)  # 3 + 2 + 2
     assert ev.size == 0
+
+
+def test_score_many_batched_matches_sequential(tiny_lm, tok):
+    """Batched scoring (several same-bucket requests in ONE forward) must be
+    row-wise equal to one-at-a-time scoring — including mixed buckets and a
+    non-power-of-two group (padded rows discarded)."""
+    params, cfg, fam = tiny_lm
+    pairs = [
+        ("the weather is", " nice"),
+        ("the weather is", " bad"),
+        ("a much longer context sentence that lands in the bigger bucket "
+         "because it keeps going and going", " yes"),
+        ("tiny", " x"),
+        ("the weather is", " okay"),
+    ]
+    seq = T.LoglikelihoodScorer(params, cfg, fam, tok, buckets=(32, 64), max_batch=1)
+    bat = T.LoglikelihoodScorer(params, cfg, fam, tok, buckets=(32, 64), max_batch=4)
+    want = [seq.score(c, t) for c, t in pairs]
+    got = bat.score_many(pairs)
+    for (lw, gw), (lg, gg) in zip(want, got):
+        np.testing.assert_allclose(lg, lw, rtol=1e-5, atol=1e-6)
+        assert gg == gw
