@@ -20,6 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tasks", type=str, default="", help="comma list; suites: llmqat, mmlu")
     p.add_argument("--eval_ppl", type=str, default="wikitext2,ptb,c4")
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--ppl_batch", type=int, default=4,
+                   help="eval windows per forward (protocol-preserving ~Bx ppl throughput)")
     p.add_argument("--ppl_limit", type=int, default=None, help="max ppl windows per dataset (evaluate.py:144-145 early stop)")
     p.add_argument("--seqlen", type=int, default=None)
     p.add_argument("--flavor", type=str, default="qat", choices=["ptq", "qat"],
@@ -108,7 +110,8 @@ def main(argv=None) -> int:
             ppl = perplexity_sp(params, cfg, fam.forward, evaltok, make_sp_mesh(args.sp),
                                 seqlen=seqlen, window_limit=args.ppl_limit)
         else:
-            ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen, window_limit=args.ppl_limit)
+            ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen, window_limit=args.ppl_limit,
+                             window_batch=args.ppl_batch)
         log.log("ppl", dataset=ds, ppl=ppl)
         print(f"{ds} perplexity: {ppl:.4f}")
 

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip quantization; eval a previously saved artifact "
                         "(HF dir or dense checkpoint; run.py:278-280)")
     p.add_argument("--disable_gptq", action="store_true")
+    p.add_argument("--ppl_batch", type=int, default=4,
+                   help="eval windows per forward (protocol-preserving ~Bx ppl throughput)")
     p.add_argument("--log_wandb", action="store_true", help="accepted for parity; unused (as in the reference)")
     # TPU-build extras
     p.add_argument("--format", dest="fmt", type=str, default="sim", choices=["sim", "packed", "packed_v2"])
@@ -146,7 +148,8 @@ def main(argv=None) -> int:
     for ds in job.eval_datasets:
         _, evaltok = get_loaders(ds, tokenizer, nsamples=2, seed=job.seed, seqlen=seqlen,
                                  flavor="ptq", source=source, model=job.model)
-        ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen)
+        ppl = perplexity(params, cfg, fam.forward, evaltok, seqlen=seqlen,
+                         window_batch=args.ppl_batch)
         log.log("ppl", dataset=ds, ppl=ppl)
         print(f"{ds} perplexity: {ppl:.4f}")
 

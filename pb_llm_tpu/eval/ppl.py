@@ -36,8 +36,15 @@ def perplexity(
     token_ids: np.ndarray,
     seqlen: Optional[int] = None,
     window_limit: Optional[int] = None,
+    window_batch: int = 1,
 ) -> float:
-    """``token_ids``: [1, N] or [N] int array of the joined eval text."""
+    """``token_ids``: [1, N] or [N] int array of the joined eval text.
+
+    ``window_batch`` > 1 runs that many windows per forward (the protocol is
+    a sum of per-window NLLs, so batching changes throughput, not the
+    number): the forward is weight-stream-bound at batch 1, so this is ~B×
+    eval throughput.  The tail short-batch pads by repeating window 0 and
+    masks the padding out of the sum."""
     seqlen = seqlen or cfg.seqlen
     ids = np.asarray(token_ids).reshape(-1)
     nsamples = ids.size // seqlen
@@ -45,16 +52,27 @@ def perplexity(
         nsamples = min(nsamples, window_limit)
     if nsamples == 0:
         raise ValueError(f"eval text shorter than one {seqlen}-token window")
+    wb = max(1, min(window_batch, nsamples))
 
     @jax.jit
-    def window_nll(window):
-        logits, _ = forward(params, window[None, :], cfg)
-        return cross_entropy_shifted(logits, window[None, :]) * seqlen
+    def batch_nll(windows, valid):
+        # windows [B, seqlen]; valid [B] masks tail padding
+        logits, _ = forward(params, windows, cfg)
+        lg = logits[:, :-1, :].astype(jnp.float32)
+        tg = windows[:, 1:]
+        logz = jax.scipy.special.logsumexp(lg, axis=-1)
+        gold = jnp.take_along_axis(lg, tg[..., None], axis=-1)[..., 0]
+        per_window = jnp.mean(logz - gold, axis=1) * seqlen
+        return jnp.sum(jnp.where(valid, per_window, 0.0))
 
     total = 0.0
-    for i in range(nsamples):
-        w = jnp.asarray(ids[i * seqlen : (i + 1) * seqlen])
-        total += float(window_nll(w))
+    for lo in range(0, nsamples, wb):
+        n = min(wb, nsamples - lo)
+        rows = [ids[(lo + i) * seqlen : (lo + i + 1) * seqlen] for i in range(n)]
+        rows += [rows[0]] * (wb - n)
+        valid = np.zeros(wb, bool)
+        valid[:n] = True
+        total += float(batch_nll(jnp.asarray(np.stack(rows)), jnp.asarray(valid)))
     return float(np.exp(total / (nsamples * seqlen)))
 
 

@@ -173,3 +173,15 @@ def test_score_many_batched_matches_sequential(tiny_lm, tok):
     for (lw, gw), (lg, gg) in zip(want, got):
         np.testing.assert_allclose(lg, lw, rtol=1e-5, atol=1e-6)
         assert gg == gw
+
+
+def test_perplexity_window_batch_matches_sequential(tiny_lm, tok):
+    """Batched windows (incl. a masked tail pad) must reproduce the
+    sequential protocol value."""
+    from pb_llm_tpu.eval.ppl import perplexity
+
+    params, cfg, fam = tiny_lm
+    ids = np.random.default_rng(3).integers(0, 300, size=(5 * 24,))
+    want = perplexity(params, cfg, fam.forward, ids, seqlen=24, window_batch=1)
+    got = perplexity(params, cfg, fam.forward, ids, seqlen=24, window_batch=4)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
