@@ -197,6 +197,10 @@ def main(argv=None) -> int:
                              prefill_buckets=buckets)
         draft_source = ModelDraftSource(Engine(dparams, dcfg, dfam, decfg))
     if args.http:
+        if jax.process_count() > 1:
+            raise SystemExit(
+                "--http is single-process (requests arrive at one host); "
+                "multi-process deployments drive MultiHostBatcher directly")
         from ..runtime.server import serve_http
 
         server = serve_http(eng, host=args.host, port=args.http,
@@ -215,7 +219,15 @@ def main(argv=None) -> int:
             server.serving_loop.shutdown()
         return 0
 
-    batcher = ContinuousBatcher(eng, draft_source=draft_source)
+    if jax.process_count() > 1:
+        # pod deployment: host-0 admission broadcast keeps every process
+        # enqueueing identical programs (runtime.multihost_batching); the
+        # draft source needs no extra coordination (replicated engine)
+        from ..runtime.multihost_batching import MultiHostBatcher
+
+        batcher = MultiHostBatcher(eng, draft_source=draft_source)
+    else:
+        batcher = ContinuousBatcher(eng, draft_source=draft_source)
     reqs = [
         Request(request_id=i, prompt_ids=tokenizer.encode(t)[: max_seq // 2], max_new_tokens=args.max_new_tokens)
         for i, t in enumerate(texts)

@@ -50,10 +50,17 @@ class _Admission:
 
 
 class MultiHostBatcher:
-    def __init__(self, engine: Engine, max_admits_per_tick: int = 4, max_prompt: int = 512):
+    def __init__(self, engine: Engine, max_admits_per_tick: int = 4, max_prompt: int = 512,
+                 draft_source=None):
         self.engine = engine
         self.max_admits = max_admits_per_tick
         self.max_prompt = max_prompt
+        # optional draft-model source (`runtime.draft.ModelDraftSource`):
+        # needs NO extra broadcast — propose() is a deterministic function of
+        # request histories (identical on every host from the admission
+        # record + identical decode streams) through a replicated draft
+        # engine, so every host computes the same drafts independently
+        self.draft_source = draft_source
         self.is_host0 = jax.process_index() == 0
         self.queue: deque[Request] = deque()
         self.slot_to_request: Dict[int, Request] = {}
@@ -301,10 +308,15 @@ class MultiHostBatcher:
         if (gamma and self.slot_to_request and self.engine.greedy_ok()):
             # drafts are a pure function of request histories, which are
             # identical on every host (prompt from the broadcast record,
-            # outputs from identical decode streams) — no extra broadcast
+            # outputs from identical decode streams) — no extra broadcast,
+            # whether they come from prompt-lookup or a replicated draft
+            # model (each host rolls its own identical draft engine)
             from .batching import ContinuousBatcher
 
-            drafts = ContinuousBatcher._propose_drafts(self, gamma)
+            if self.draft_source is not None:
+                drafts = self.draft_source.propose(self, gamma)
+            else:
+                drafts = ContinuousBatcher._propose_drafts(self, gamma)
             if drafts is not None:
                 try:
                     tok_lists = self.engine.spec_decode_step(drafts)

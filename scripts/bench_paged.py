@@ -12,6 +12,11 @@ ONE process (tunnel drift cancels):
   vpu       — scores/PV via VPU multiply-reduce instead of 2·Hkv MXU
               micro-dots per step
   fused_vpu — both
+  multislotN — N slots share one grid step (grid (B/N, maxp), N
+              table-directed page operands): each step's dots carry batch
+              N·Hkv so the MXU work is big enough to hide the VPU softmax,
+              and Mosaic can overlap N independent page DMAs
+              (docs/ROADMAP.md item 7's remaining candidate)
 
 Timing: kernel inside lax.scan over iterations; per-iteration tables (scan
 xs) point at different pages of a pool far larger than VMEM, so every read
@@ -139,6 +144,99 @@ def paged_fused(q, kv_pages, table, lengths, scale, page_size, vpu=False):
     )(table.astype(jnp.int32), lengths.astype(jnp.int32), q, kv_pages)
 
 
+def _kernel_multislot(table_ref, len_ref, q_ref, *rest, page_size,
+                      n_pages_per_slot, n_groups, n_slots):
+    """S slots per grid step: page operands k0..k{S-1} are table-directed
+    per slot; dots run batched over S·Hkv.  Uniform lengths assumed (bench
+    harness uses lengths == ctx everywhere)."""
+    kv_refs = rest[:n_slots]
+    o_ref, m_ref, l_ref, acc_ref = rest[n_slots:]
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[pl.program_id(0) * n_slots]
+    start = p * page_size
+
+    @pl.when(start < length)
+    def _():
+        s_, hq, d = q_ref.shape
+        hkv = hq // n_groups
+        q = q_ref[:].reshape(n_slots * hkv, n_groups, d)
+        k = jnp.concatenate([kv_refs[s][0, 0] for s in range(n_slots)], axis=0)
+        v = jnp.concatenate([kv_refs[s][0, 1] for s in range(n_slots)], axis=0)
+        # [S*Hkv, G, page]: batch over slot-kv-head pairs, contract D
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(pos < length, s, NEG_INF)
+        m_prev = m_ref[:, :1].reshape(n_slots * hkv, n_groups, 1)
+        l_prev = l_ref[:, :1].reshape(n_slots * hkv, n_groups, 1)
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        pw = jnp.exp(s - m_next)
+        pw = jnp.where(pos < length, pw, 0.0)
+        l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
+        l_ref[:] = jnp.broadcast_to(l_next.reshape(n_slots * hq, 1), l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_next.reshape(n_slots * hq, 1), m_ref.shape)
+        pv = jax.lax.dot_general(
+            pw.astype(v.dtype) if v.dtype != jnp.float32 else pw, v,
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha.reshape(n_slots * hq, 1) + pv.reshape(n_slots * hq, d)
+
+    @pl.when(p == n_pages_per_slot - 1)
+    def _():
+        d = q_ref.shape[2]
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[:] = (acc_ref[:] * l_inv).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "n_slots"))
+def paged_multislot(q, kv_pages, table, lengths, scale, page_size, n_slots=4):
+    b, hq, d = q.shape
+    hkv = kv_pages.shape[2]
+    maxp = table.shape[1]
+    assert b % n_slots == 0
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
+    def page_spec(s):
+        return pl.BlockSpec(
+            (1, 2, hkv, page_size, d),
+            lambda bi, p, tbl, ln, s=s: (tbl[bi * n_slots + s, p], 0, 0, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // n_slots, maxp),
+        in_specs=[pl.BlockSpec((n_slots, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0))]
+                 + [page_spec(s) for s in range(n_slots)],
+        out_specs=pl.BlockSpec((n_slots, hq, d), lambda bi, p, tbl, ln: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots * hq, 128), jnp.float32),
+            pltpu.VMEM((n_slots * hq, 128), jnp.float32),
+            pltpu.VMEM((n_slots * hq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_multislot, page_size=page_size, n_pages_per_slot=maxp,
+        n_groups=hq // hkv, n_slots=n_slots)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(table.astype(jnp.int32), lengths.astype(jnp.int32), q,
+      *([kv_pages] * n_slots))
+
+
 # ---------------------------------------------------------------- harness
 def main():
     ap = argparse.ArgumentParser()
@@ -187,12 +285,14 @@ def main():
         "base": (lambda qq, tbl, a, b: paged_attention(qq, a, b, tbl, lengths, scale, PS), (kp, vp)),
         "fused": (lambda qq, tbl, a: paged_fused(qq, a, tbl, lengths, scale, PS, vpu=False), (kvp,)),
         "fused_vpu": (lambda qq, tbl, a: paged_fused(qq, a, tbl, lengths, scale, PS, vpu=True), (kvp,)),
+        "multislot2": (lambda qq, tbl, a: paged_multislot(qq, a, tbl, lengths, scale, PS, n_slots=2), (kvp,)),
+        "multislot4": (lambda qq, tbl, a: paged_multislot(qq, a, tbl, lengths, scale, PS, n_slots=4), (kvp,)),
     }
 
     # correctness cross-check (same table)
     tb = tables(1, 99)[0]
     ref = paged_attention(q, kp, vp, tb, lengths, scale, PS)
-    for name in ("fused", "fused_vpu"):
+    for name in ("fused", "fused_vpu", "multislot2", "multislot4"):
         fn, pool = arms[name]
         got = fn(q, tb, *pool)
         err = float(jnp.max(jnp.abs(got - ref)))

@@ -365,3 +365,34 @@ def test_model_draft_catchup_after_plain_ticks(tiny_opt, tiny_opt_draft):
     for _ in range(3):
         want.append(fresh.decode_step()[0])
     assert list(d2[0]) == want
+
+
+def test_model_draft_under_multihost_batcher(tiny_opt, tiny_opt_draft):
+    """MultiHostBatcher + ModelDraftSource (single process: the broadcast is
+    identity): streams identical to plain greedy ContinuousBatcher.  On a
+    pod the same wiring is deterministic without extra broadcasts — drafts
+    are a pure function of the (replicated) request histories through a
+    replicated draft engine."""
+    from pb_llm_tpu.runtime.multihost_batching import MultiHostBatcher
+
+    params, cfg, fam = tiny_opt
+    dparams, dcfg, dfam = tiny_opt_draft
+
+    def reqs():
+        return [Request(request_id=i, prompt_ids=[3 + 11 * i, 29, 64 + i, 90 - i],
+                        max_new_tokens=12) for i in range(3)]
+
+    plain_reqs = reqs()
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,)))
+    ContinuousBatcher(eng).run(plain_reqs)
+
+    spec_reqs = reqs()
+    eng2 = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=3))
+    b = MultiHostBatcher(eng2, max_prompt=8,
+                         draft_source=_draft_source(dparams, dcfg, dfam))
+    b.run(spec_reqs)
+
+    assert [r.output_ids for r in spec_reqs] == [r.output_ids for r in plain_reqs]
+    assert b.stats.spec_drafted > 0
