@@ -288,8 +288,11 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
             dimension_semantics=("parallel", "parallel"),
             # in larger programs XLA may pin the kernel OUTPUT in VMEM
             # (S(1)), pushing the whole-oc decode tile past the 16 MB scoped
-            # default by <1 MB — give headroom (v5e: 128 MB VMEM)
-            vmem_limit_bytes=40 * 1024 * 1024,
+            # default by <1 MB — give headroom (v5e: 128 MB VMEM).  64 MB:
+            # a speculative-verify window (m = slots·(γ+1) rows) at the
+            # whole-oc down_proj tile measured 42.2 MB against the previous
+            # 40 MB limit (double-buffered operands exceed the naive sum)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * m_pad * ic * oc,
