@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_pages", type=int, default=0,
                    help="page-pool size (0 = full strip capacity; lower values "
                         "oversubscribe slots under length variance)")
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="prefix caching over the paged pool (requires "
+                        "--page_size): requests sharing a page-aligned "
+                        "prompt prefix reuse its cached KV pages and only "
+                        "prefill their suffix")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways: shard packed weights + KV over a tp mesh "
                         "(one shard_map per program; same batcher interface)")
@@ -136,6 +141,7 @@ def main(argv=None) -> int:
         cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
         scan_layers=args.scan_layers,
         page_size=args.page_size, n_pages=args.n_pages,
+        prefix_cache=args.prefix_cache,
         max_prefill_batch=args.prefill_batch,
         spec_gamma=args.spec_gamma,
         prefill_chunk=args.prefill_chunk,

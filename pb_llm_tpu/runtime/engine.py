@@ -57,6 +57,14 @@ class EngineConfig:
     # HBM byte vs f32.
     page_size: int = 0
     n_pages: int = 0
+    # prefix caching over the paged pool (requires page_size > 0): full
+    # prompt pages are indexed by a token chain hash; a new request sharing
+    # a page-aligned prefix with any earlier prompt reuses the cached pages
+    # (refcounted, LRU-evicted) and prefills only its suffix — see
+    # `runtime.paged_kv.PagePool` docstring.  Greedy token streams are
+    # IDENTICAL with the cache on or off (the reused K/V rows are exactly
+    # what recomputation would produce).
+    prefix_cache: bool = False
     # batched prefill: the scheduler may prefill up to this many same-bucket
     # prompts in ONE program (m = K·bucket).  The packed hybrid prefill path
     # pays a per-layer w_bin dequant (HBM round-trip) that single-slot
@@ -129,9 +137,12 @@ class Engine:
                 if b % ecfg.page_size:
                     raise ValueError(f"prefill bucket {b} not divisible by page_size {ecfg.page_size}")
             n_pages = ecfg.n_pages or ecfg.n_slots * ecfg.max_seq // ecfg.page_size
-            self.pool = paged_kv.PagePool(n_pages, ecfg.page_size, ecfg.n_slots, ecfg.max_seq)
+            self.pool = paged_kv.PagePool(n_pages, ecfg.page_size, ecfg.n_slots,
+                                          ecfg.max_seq, prefix_cache=ecfg.prefix_cache)
             self.caches = self.pool.make_layer_cache(n_layers, kv_heads, head_dim, ecfg.cache_dtype)
         else:
+            if ecfg.prefix_cache:
+                raise ValueError("prefix_cache requires a paged pool (page_size > 0)")
             self.caches = kvmod.make_caches(cfg, ecfg.n_slots, ecfg.max_seq, n_layers, kv_heads, head_dim, ecfg.cache_dtype)
         if ecfg.scan_layers:
             from ..models import stacking
@@ -321,9 +332,25 @@ class Engine:
         pairs = list(pairs)
         if not pairs:
             return {}
+        out_hits: Dict[int, int] = {}
+        if self.pool is not None and self.ecfg.prefix_cache:
+            # prefix-cache hits take the (cheaper) suffix path individually;
+            # only the misses batch.  Same-tick identical prompts don't share
+            # (the first one's pages register only after its prefill runs).
+            rest = []
+            for s, p in pairs:
+                matched, pages = self._match_prefix(p)
+                if matched:
+                    out_hits[s] = self._prefill_suffix(s, p, matched, pages)
+                else:
+                    rest.append((s, p))
+            pairs = rest
+            if not pairs:
+                return out_hits
         if len(pairs) == 1:
             slot, ids = pairs[0]
-            return {slot: self.prefill(slot, ids)}
+            out_hits[slot] = self.prefill(slot, ids)
+            return out_hits
         lens = [len(p) for _, p in pairs]
         if max(lens) >= self.ecfg.max_seq:
             raise ValueError("prompt longer than max_seq")
@@ -379,6 +406,9 @@ class Engine:
             self._prefill_logits[s] = next_logits[r]
             self.token_logprobs[s] = [float(lps[r])]
             out[s] = int(toks[r])
+            if self.pool is not None:
+                self.pool.register_chain(s, p)
+        out.update(out_hits)
         return out
 
     # ---------------- chunked prefill ----------------
@@ -430,7 +460,18 @@ class Engine:
             raise ValueError("prompt longer than max_seq")
         if not self.ecfg.prefill_chunk:
             raise ValueError("EngineConfig.prefill_chunk is 0")
-        self._chunk_jobs[slot] = [list(prompt_ids), 0]
+        start = 0
+        matched, pages = self._match_prefix(prompt_ids)
+        if matched:
+            # chunk offsets must stay prefill_chunk-aligned (the step slices
+            # the table row in whole chunks): align the hit DOWN, attach only
+            # the aligned pages, and start the job mid-prompt
+            ps, C = self.ecfg.page_size, self.ecfg.prefill_chunk
+            start = (matched * ps // C) * C
+            if start:
+                self.pool.attach(slot, pages[: start // ps])
+                self._refresh_table()
+        self._chunk_jobs[slot] = [list(prompt_ids), start]
         # PARK the slot at max_seq-1 while chunks land: batched decode steps
         # write a garbage row for every INACTIVE slot at lengths[slot] — at 0
         # that would corrupt the freshly written chunk rows.  Position
@@ -476,6 +517,23 @@ class Engine:
             self._chunk_jobs[slot][1] = end
             return None
         del self._chunk_jobs[slot]
+        tok = self._finish_prompt(slot, n, next_logits)
+        if self.pool is not None:
+            self.pool.register_chain(slot, ids)
+        return tok
+
+    def _match_prefix(self, prompt_ids: Sequence[int]):
+        """(matched_pages, page_ids) from the pool's prefix cache — capped so
+        at least the prompt's final token always runs prefill compute (the
+        next-token logits must come from a real forward)."""
+        if self.pool is None or not self.ecfg.prefix_cache:
+            return 0, []
+        cap = (len(prompt_ids) - 1) // self.ecfg.page_size
+        return self.pool.match_prefix(prompt_ids, cap)
+
+    def _finish_prompt(self, slot: int, n: int, next_logits) -> int:
+        """Common prefill tail: sample the first token, activate the slot,
+        stash teacher-forcing logits, register the prompt's pages."""
         self._key, sub = jax.random.split(self._key)
         tok = int(sample(next_logits[None, :], sub, self._sampling_for(slot))[0])
         self.token_logprobs[slot] = [float(_chosen_logprob(
@@ -486,11 +544,44 @@ class Engine:
         self._prefill_logits[slot] = next_logits
         return tok
 
+    def _prefill_suffix(self, slot: int, prompt_ids: Sequence[int],
+                        matched: int, pages: Sequence[int]) -> int:
+        """Prefix-cache hit: adopt ``matched`` cached pages, run ONLY the
+        prompt suffix through the chunk-paged program (its rows attend the
+        cached history via the slot's full table row at base = offset), then
+        register any new full pages."""
+        pool, ps = self.pool, self.ecfg.page_size
+        n = len(prompt_ids)
+        pool.attach(slot, pages)
+        self._refresh_table()
+        offset = matched * ps
+        C = self._bucket(n - offset)  # suffix padded to a (page-aligned) bucket
+        key = ("chunk", C)
+        if key not in self._prefill_jit:
+            self._prefill_jit[key] = self._make_prefill_chunk_paged(C)
+        self._ensure_pages(slot, min(offset + C, self.ecfg.max_seq))
+        row = self.pool.table[slot]
+        npg = C // ps
+        chunk_pages = np.full(npg, pool.trash_page, np.int32)
+        valid = row[offset // ps : min((offset + C) // ps, row.shape[0])]
+        chunk_pages[: len(valid)] = valid
+        ids = np.zeros(C, np.int32)
+        ids[: n - offset] = prompt_ids[offset:]
+        self.caches, next_logits = self._prefill_jit[key](
+            self.params, self.caches, jnp.asarray(ids), jnp.asarray(chunk_pages),
+            jnp.asarray(row[None, :]), offset, n - offset)
+        tok = self._finish_prompt(slot, n, next_logits)
+        pool.register_chain(slot, prompt_ids)
+        return tok
+
     def prefill(self, slot: int, prompt_ids: Sequence[int]) -> int:
         """Fill a slot's cache with the prompt; returns the first generated token."""
         n = len(prompt_ids)
         if n >= self.ecfg.max_seq:
             raise ValueError("prompt longer than max_seq")
+        matched, pages = self._match_prefix(prompt_ids)
+        if matched:
+            return self._prefill_suffix(slot, prompt_ids, matched, pages)
         bucket = self._bucket(n)
         if bucket not in self._prefill_jit:
             self._prefill_jit[bucket] = (
@@ -511,16 +602,11 @@ class Engine:
             self.caches, next_logits = self._prefill_jit[bucket](
                 self.params, self.caches, jnp.asarray(ids), slot, n
             )
-        self._key, sub = jax.random.split(self._key)
-        tok = int(sample(next_logits[None, :], sub, self._sampling_for(slot))[0])
-        self.token_logprobs[slot] = [float(_chosen_logprob(
-            next_logits[None, :], jnp.asarray([tok]))[0])]
-        self.lengths[slot] = n
-        self.active[slot] = True
-        self.last_token[slot] = tok
-        # kept for teacher-forced scoring: P(t0 | prompt) comes from THESE
-        # logits, not from a decode step conditioned on the sampled token
-        self._prefill_logits[slot] = next_logits
+        # _finish_prompt keeps the logits for teacher-forced scoring:
+        # P(t0 | prompt) comes from THESE logits, not from a decode step
+        tok = self._finish_prompt(slot, n, next_logits)
+        if self.pool is not None:
+            self.pool.register_chain(slot, prompt_ids)
         return tok
 
     # ---------------- decode ----------------

@@ -12,20 +12,38 @@ Allocation is host-side and incremental: `ensure(slot, length)` grows the
 slot's page list from a free list; `release(slot)` returns pages.  Table
 rows always contain VALID page indices (freed/unused entries keep index 0)
 because the kernel masks by length, not by table sentinel.
+
+**Prefix caching** (``prefix_cache=True``): full prompt pages are indexed by
+a rolling chain hash over their token ids (page i's key covers tokens
+[0, (i+1)·page) — exactly the causal dependency of its K/V rows), so a new
+request whose prompt shares a page-aligned prefix with any earlier prompt
+ATTACHES the cached pages (refcount++) instead of recomputing them; only the
+suffix runs prefill compute (`Engine._prefill_suffix`).  Shared full pages
+are read-only by construction — writes only ever land at positions >= the
+writing slot's length, which lies past every full shared page — so no
+copy-on-write is needed.  Released pages whose refcount hits 0 stay cached
+in an LRU (`evictable`) and are reclaimed only when allocation would
+otherwise fail, vLLM-style.  All bookkeeping is deterministic host Python
+(int/tuple hashes are not seed-randomized), so multi-host replicas that see
+the same admission order keep identical tables.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from collections import OrderedDict
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+_CHAIN_SEED = 0x9E3779B9  # fixed root of the page-chain hash
+
 
 class PagePool:
-    def __init__(self, n_pages: int, page_size: int, n_slots: int, max_seq: int):
+    def __init__(self, n_pages: int, page_size: int, n_slots: int, max_seq: int,
+                 prefix_cache: bool = False):
         """Host-side page bookkeeping; the page ARRAYS live in the engine's
         per-layer cache dicts (jit-functional), only the table/free-list are
         mutable host state.
@@ -44,6 +62,14 @@ class PagePool:
         self.table = np.full((n_slots, self.max_pages_per_slot), self.trash_page, np.int32)
         self.owned: List[List[int]] = [[] for _ in range(n_slots)]
         self.free_list: List[int] = list(range(n_pages - 1, -1, -1))
+        # prefix cache state (all host-side, deterministic)
+        self.prefix_cache = prefix_cache
+        self.ref = np.zeros(n_pages, np.int32)       # owners per page
+        self.hash_page: Dict[int, int] = {}          # chain hash -> page id
+        self.page_hash: Dict[int, int] = {}          # page id -> chain hash
+        self.evictable: "OrderedDict[int, None]" = OrderedDict()  # ref==0, cached (LRU)
+        self.prefix_queries = 0
+        self.prefix_hit_pages = 0
 
     # -- host-side bookkeeping ----------------------------------------------
 
@@ -51,7 +77,20 @@ class PagePool:
         return -(-length // self.page_size)
 
     def can_admit(self, length: int) -> bool:
-        return len(self.free_list) >= self.pages_needed(length)
+        return self.free_pages >= self.pages_needed(length)
+
+    def _alloc_page(self) -> int:
+        if self.free_list:
+            pg = self.free_list.pop()
+        elif self.evictable:
+            # reclaim the least-recently-released cached page
+            pg, _ = self.evictable.popitem(last=False)
+            h = self.page_hash.pop(pg)
+            self.hash_page.pop(h, None)
+        else:
+            raise RuntimeError("page pool exhausted")
+        self.ref[pg] = 1
+        return pg
 
     def ensure(self, slot: int, length: int) -> None:
         """Grow slot's page list to cover ``length`` tokens."""
@@ -59,20 +98,77 @@ class PagePool:
         if need > self.max_pages_per_slot:
             raise ValueError(f"length {length} exceeds max_seq")
         while len(self.owned[slot]) < need:
-            if not self.free_list:
-                raise RuntimeError("page pool exhausted")
-            pg = self.free_list.pop()
+            pg = self._alloc_page()
             self.table[slot, len(self.owned[slot])] = pg
             self.owned[slot].append(pg)
 
     def release(self, slot: int) -> None:
-        self.free_list.extend(reversed(self.owned[slot]))
+        for pg in reversed(self.owned[slot]):
+            self.ref[pg] -= 1
+            if self.ref[pg] == 0:
+                if pg in self.page_hash:  # stays cached, reclaimable (LRU)
+                    self.evictable[pg] = None
+                else:
+                    self.free_list.append(pg)
         self.owned[slot] = []
         self.table[slot, :] = self.trash_page
 
     @property
     def free_pages(self) -> int:
-        return len(self.free_list)
+        """Allocatable pages: truly free + cached-but-unreferenced."""
+        return len(self.free_list) + len(self.evictable)
+
+    # -- prefix cache --------------------------------------------------------
+
+    def _chain_hashes(self, tokens: Sequence[int], n_full: int) -> List[int]:
+        """Rolling hashes h_i over tokens[0:(i+1)·page] for i < n_full."""
+        ps = self.page_size
+        out, h = [], _CHAIN_SEED
+        for i in range(n_full):
+            h = hash((h, tuple(tokens[i * ps : (i + 1) * ps])))
+            out.append(h)
+        return out
+
+    def match_prefix(self, tokens: Sequence[int], max_pages: int) -> Tuple[int, List[int]]:
+        """Longest cached page chain covering tokens' page-aligned prefix,
+        capped at ``max_pages`` (callers cap at (len-1)//page so at least one
+        token always runs prefill compute).  Returns (n_pages, page_ids) —
+        the pages are NOT attached yet (`attach` does the refcounting)."""
+        if not self.prefix_cache or max_pages <= 0:
+            return 0, []
+        self.prefix_queries += 1
+        pages: List[int] = []
+        for h in self._chain_hashes(tokens, max_pages):
+            pg = self.hash_page.get(h)
+            if pg is None:
+                break
+            pages.append(pg)
+        self.prefix_hit_pages += len(pages)
+        return len(pages), pages
+
+    def attach(self, slot: int, pages: Sequence[int]) -> None:
+        """Adopt cached pages as the slot's leading table entries (ref++)."""
+        if self.owned[slot]:
+            raise RuntimeError(f"attach on non-empty slot {slot}")
+        for i, pg in enumerate(pages):
+            if self.ref[pg] == 0:
+                self.evictable.pop(pg, None)
+            self.ref[pg] += 1
+            self.table[slot, i] = pg
+            self.owned[slot].append(pg)
+
+    def register_chain(self, slot: int, tokens: Sequence[int]) -> None:
+        """Index the slot's full prompt pages by chain hash (first writer
+        wins; pages already cached under the same chain re-register as a
+        no-op).  Call AFTER the prompt's K/V rows are written."""
+        if not self.prefix_cache:
+            return
+        n_full = min(len(tokens) // self.page_size, len(self.owned[slot]))
+        for i, h in enumerate(self._chain_hashes(tokens, n_full)):
+            pg = self.owned[slot][i]
+            if h not in self.hash_page and pg not in self.page_hash:
+                self.hash_page[h] = pg
+                self.page_hash[pg] = h
 
     def table_device(self) -> jnp.ndarray:
         return jnp.asarray(self.table)

@@ -167,7 +167,7 @@ def make_handler(loop: ServingLoop,
                 return self._reply(200, {"status": "ok"})
             if self.path == "/stats":
                 s = loop.batcher.stats
-                return self._reply(200, {
+                out = {
                     "generated_tokens": s.generated_tokens,
                     "decode_steps": s.decode_steps,
                     "prefills": s.prefills,
@@ -176,7 +176,12 @@ def make_handler(loop: ServingLoop,
                     "spec_accepted": s.spec_accepted,
                     "wall_seconds": round(s.wall_seconds, 3),
                     "tokens_per_second": round(s.tokens_per_second, 2),
-                })
+                }
+                pool = getattr(loop.batcher.engine, "pool", None)
+                if pool is not None and pool.prefix_cache:
+                    out["prefix_queries"] = pool.prefix_queries
+                    out["prefix_hit_pages"] = pool.prefix_hit_pages
+                return self._reply(200, out)
             return self._reply(404, {"error": f"unknown path {self.path}"})
 
         def _stream(self, ids, payload):
