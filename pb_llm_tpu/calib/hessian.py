@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -45,3 +46,32 @@ def hessian_update(h: jnp.ndarray, nsamples: int, x: jnp.ndarray) -> tuple[jnp.n
         k = nsamples + 1
         h = h * (nsamples / k) + (2.0 / k) * (x.T @ x)
     return h, k
+
+
+def fold_coefficients(start: int, batch: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-sample rescale scalars for folding samples ``start..start+batch``
+    into a running H: ``h ← h·a_j + b_j·XᵀX`` with a_j = j/(j+1),
+    b_j = 2/(j+1) — computed in Python float exactly like `hessian_update`'s
+    ``nsamples / k`` so a batched scan reproduces its bits."""
+    a = np.asarray([(start + j) / (start + j + 1) for j in range(batch)], np.float32)
+    b = np.asarray([2.0 / (start + j + 1) for j in range(batch)], np.float32)
+    return a, b
+
+
+def hessian_fold_chunk(h: jnp.ndarray, xs: jnp.ndarray,
+                       coef_a: jnp.ndarray, coef_b: jnp.ndarray) -> jnp.ndarray:
+    """Fold a CHUNK of samples ``xs [B, tokens, ic]`` into ``h`` with the
+    exact per-sample rescale sequence of `hessian_update` (lax.scan over the
+    batch) — bit-identical to B eager calls, ONE dispatch.  Coefficients come
+    from `fold_coefficients` (host doubles, like the eager path).  This is
+    the VERDICT r2 item-5 fix: the capture loop was nsamples batch-1
+    dispatches per layer (+one per linear per sample), minutes of pure
+    dispatch latency through a remote-TPU tunnel."""
+    with jax.default_matmul_precision("float32"):
+        def fold(hc, xab):
+            xj, aj, bj = xab
+            xj = xj.astype(jnp.float32)
+            return hc * aj + bj * (xj.T @ xj), None
+
+        h, _ = jax.lax.scan(fold, h, (xs, coef_a, coef_b))
+    return h

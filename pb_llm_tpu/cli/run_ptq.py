@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable_gptq", action="store_true")
     p.add_argument("--ppl_batch", type=int, default=4,
                    help="eval windows per forward (protocol-preserving ~Bx ppl throughput)")
+    p.add_argument("--capture_batch", type=int, default=8,
+                   help="calibration windows per Hessian-capture dispatch "
+                        "(protocol-identical; divides tunnel round-trips)")
     p.add_argument("--log_wandb", action="store_true", help="accepted for parity; unused (as in the reference)")
     # TPU-build extras
     p.add_argument("--format", dest="fmt", type=str, default="sim", choices=["sim", "packed", "packed_v2"])
@@ -139,6 +142,7 @@ def main(argv=None) -> int:
             minlayer=job.minlayer, maxlayer=job.maxlayer,
             quant_only=job.quant_only, invert=job.invert,
             log=lambda m: log.log("layer", msg=m),
+            capture_batch=args.capture_batch,
         )
         log.log("quantized", seconds=report.seconds, total_error=sum(report.errors.values()))
         if job.mask_out:

@@ -24,6 +24,10 @@ _PREFILL_BF16 = os.environ.get("PB_TPU_PREFILL_BF16", "0") == "1"
 #   extract: "pallas" (dequant kernel) | "xla" (broadcast shift/AND)
 _PREFILL_GATHER = os.environ.get("PB_TPU_PREFILL_GATHER", "take")
 _PREFILL_EXTRACT = os.environ.get("PB_TPU_PREFILL_EXTRACT", "pallas")
+# v2 decode dot path: "auto" → paired bf16 planes on real TPU (engine-grade;
+# only x rounds to bf16), exact f32 under interpret/CPU so parity tests stay
+# bit-tight.  Force with "f32" | "bf16" | "pair".
+_DECODE_DOT = os.environ.get("PB_TPU_DECODE_DOT", "auto")
 
 
 def set_backend(mode: str) -> None:
@@ -49,6 +53,11 @@ def pb_matmul(x: jnp.ndarray, p) -> jnp.ndarray:
     if mode == "pallas" and not supported:
         mode = "xla"
     v2_kw = dict(prefill_gather=_PREFILL_GATHER, prefill_extract=_PREFILL_EXTRACT) if v2 else {}
+    if v2:
+        dd = _DECODE_DOT
+        if dd == "auto":
+            dd = "pair" if mode == "pallas" else "f32"
+        v2_kw["decode_dot"] = dd
     if mode == "pallas":
         fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas
         return fn(x, p, prefill_bf16=_PREFILL_BF16, **v2_kw)

@@ -66,6 +66,47 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _bit_plane_pair_bf16(ws: jnp.ndarray, p: int) -> jnp.ndarray:
+    """bf16 {0, 2.0} planes for bit PAIR (p, p+16) of uint32 words ws
+    [g, oc_tile] → [2g, oc_tile].
+
+    bf16 2.0 = 0x4000, so one shift lands bit p at position 14 (low u16
+    half) and bit p+16 at position 30 (high half) simultaneously; one AND
+    with 0x40004000 writes bf16 2.0 into both halves; the sublane bitcast
+    (u32 → u16 → bf16) splits every u32 lane into two bf16 rows — row 2i is
+    the LOW half (bit p of word i), row 2i+1 the high half (bit p+16).
+    Net: 1 VPU op per extracted element, half the f32 single-bit path of
+    `_bit_plane_two`, and the dots run at bf16 MXU rate with k doubled.
+    Callers must feed x in the matching pair-permuted column order
+    (`pair_permute_x`)."""
+    # NOTE: shifts only legalize on 32-bit lanes (Mosaic rejects arith.shli
+    # on i16 vectors), so the shift+AND run in u32 and the sublane split to
+    # bf16 pairs is one bitcast chain per pair.
+    pair = jnp.uint32(0x40004000)
+    if p <= 14:
+        shifted = jax.lax.shift_left(ws, jnp.uint32(14 - p))
+    else:
+        shifted = jax.lax.shift_right_logical(ws, jnp.uint32(p - 14))
+    return pltpu.bitcast(pltpu.bitcast(shifted & pair, jnp.uint16), jnp.bfloat16)
+
+
+def pair_permute_x(xp: jnp.ndarray, ic: int, pack_block: int) -> jnp.ndarray:
+    """Static column permutation matching `_bit_plane_pair_bf16`'s row order:
+    within each pack block (g = rows//32 words), old column b·g + i moves to
+    p·2g + 2i + h where b = p + 16·h.  Rowsums are permutation-invariant, so
+    the kernel's β·rowsum term needs no change.  Cost: one [m, ic] relayout
+    per matmul — negligible at decode m."""
+    m = xp.shape[0]
+    parts = []
+    r_off = 0
+    for rows in packing.block_sizes(ic, pack_block):
+        g = rows // WORD_BITS
+        blk = xp[:, r_off : r_off + rows].reshape(m, 2, 16, g)  # (h, p, i)
+        parts.append(jnp.transpose(blk, (0, 2, 3, 1)).reshape(m, rows))
+        r_off += rows
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
 # ---------------------------------------------------------------------------
 # planar kernel
 # ---------------------------------------------------------------------------
@@ -193,6 +234,33 @@ def _planar_call(x, p: PackedLinear, oc_tile: int, interpret: bool):
 # appended zero column.  Streamed bits/weight: 1 (sign) + 8·salient_frac.
 
 
+def _v2_salient_terms(xg_ref, v_ref, mrows: int, oc_tile: int, chunk: int,
+                      side_bits: int, shards: int, dot_dtype):
+    """(acc_v, rowsum_g) of the sidecar: per oc chunk, the gathered-x dot
+    against the uint8 code plane plus the γ-term's Σ_{j∈salient} x_j."""
+    n_chunks = oc_tile // chunk
+    parts = []
+    sums = []
+    for j in range(n_chunks):
+        xg = xg_ref[j]  # [m, k_pad]
+        raw = v_ref[:, j * chunk : (j + 1) * chunk].astype(jnp.int32)
+        if side_bits == 4:
+            # block-paired nibbles per shard segment: concat lo/hi halves
+            # (cheap sublane concat; see core.pbw.unpack_side_codes)
+            kps_packed = raw.shape[0] // shards
+            segs = []
+            for s_ in range(shards):
+                seg = raw[s_ * kps_packed : (s_ + 1) * kps_packed]
+                segs += [seg & 0xF, seg >> 4]
+            raw = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+        v = raw.astype(dot_dtype)  # codes ≤ 255: exact in bf16
+        parts.append(jnp.dot(xg.astype(dot_dtype), v, preferred_element_type=jnp.float32))
+        sums.append(jnp.broadcast_to(jnp.sum(xg, axis=1, keepdims=True), (mrows, chunk)))
+    acc_v = jnp.concatenate(parts, axis=1) if n_chunks > 1 else parts[0]
+    rowsum_g = jnp.concatenate(sums, axis=1) if n_chunks > 1 else sums[0]
+    return acc_v, rowsum_g
+
+
 def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
                       oc_tile: int, pack_block: int, chunk: int, dot_dtype,
                       side_bits: int = 8, shards: int = 1):
@@ -212,26 +280,8 @@ def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
         w_off += g
         r_off += rows
 
-    n_chunks = oc_tile // chunk
-    parts = []
-    sums = []
-    for j in range(n_chunks):
-        xg = xg_ref[j]  # [m, k_pad]
-        raw = v_ref[:, j * chunk : (j + 1) * chunk].astype(jnp.int32)
-        if side_bits == 4:
-            # block-paired nibbles per shard segment: concat lo/hi halves
-            # (cheap sublane concat; see core.pbw.unpack_side_codes)
-            kps_packed = raw.shape[0] // shards
-            segs = []
-            for s_ in range(shards):
-                seg = raw[s_ * kps_packed : (s_ + 1) * kps_packed]
-                segs += [seg & 0xF, seg >> 4]
-            raw = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
-        v = raw.astype(dot_dtype)
-        parts.append(jnp.dot(xg.astype(dot_dtype), v, preferred_element_type=jnp.float32))
-        sums.append(jnp.broadcast_to(jnp.sum(xg, axis=1, keepdims=True), (mrows, chunk)))
-    acc_v = jnp.concatenate(parts, axis=1) if n_chunks > 1 else parts[0]
-    rowsum_g = jnp.concatenate(sums, axis=1) if n_chunks > 1 else sums[0]
+    acc_v, rowsum_g = _v2_salient_terms(
+        xg_ref, v_ref, mrows, oc_tile, chunk, side_bits, shards, dot_dtype)
 
     rowsum = jnp.sum(xb, axis=1, keepdims=True)
     alpha = coef_ref[0:1, :]
@@ -242,7 +292,45 @@ def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
     o_ref[:] = rowsum * beta + acc_b * alpha + acc_v * hs + rowsum_g * gamma + bias
 
 
-def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype=jnp.float32):
+def _planar_v2_pair_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *,
+                           ic: int, oc_tile: int, pack_block: int, chunk: int,
+                           side_bits: int = 8, shards: int = 1):
+    """Paired bf16 bit-plane decode kernel: 16 dots of [m, 2g]x[2g, oc] per
+    pack block instead of 32 f32 dots of [m, g]x[g, oc] — one VPU op per
+    extracted weight (vs 2) and single-pass bf16 MXU dots (vs multi-pass
+    f32).  x arrives PAIR-PERMUTED (`pair_permute_x`); xb stays f32 so the
+    β·rowsum term keeps f32 accuracy, slices are cast to bf16 per dot (tiny
+    at decode m).  Numerics: bit planes {0,2} and uint8 codes are exact in
+    bf16; only x rounds to bf16 inside the dots — engine-grade (the
+    reference itself runs fp16 torch, and the dense baseline is bf16)."""
+    xb = x_ref[:]
+    mrows = xb.shape[0]
+    acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
+    w_off = r_off = 0
+    for rows in packing.block_sizes(ic, pack_block):
+        g = rows // WORD_BITS
+        ws = s_ref[w_off : w_off + g, :]
+        for p in range(16):
+            xs = xb[:, r_off + p * 2 * g : r_off + (p + 1) * 2 * g].astype(jnp.bfloat16)
+            acc_b += jnp.dot(xs, _bit_plane_pair_bf16(ws, p),
+                             preferred_element_type=jnp.float32)
+        w_off += g
+        r_off += rows
+
+    acc_v, rowsum_g = _v2_salient_terms(
+        xg_ref, v_ref, mrows, oc_tile, chunk, side_bits, shards, jnp.bfloat16)
+
+    rowsum = jnp.sum(xb, axis=1, keepdims=True)
+    alpha = coef_ref[0:1, :]
+    beta = coef_ref[1:2, :]
+    gamma = coef_ref[2:3, :]
+    hs = coef_ref[3:4, :]
+    bias = coef_ref[4:5, :]
+    o_ref[:] = rowsum * beta + acc_b * alpha + acc_v * hs + rowsum_g * gamma + bias
+
+
+def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dtype=jnp.float32,
+                    pair: bool = False):
     m, ic = x.shape
     oc = p.oc_local
     m_pad = _round_up(max(m, 8), 8)
@@ -265,11 +353,20 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)
 
-    kernel = functools.partial(
-        _planar_v2_kernel, ic=ic, oc_tile=oc_tile,
-        pack_block=p.pack_block_local, chunk=chunk, dot_dtype=dot_dtype,
-        side_bits=p.side_bits, shards=p.shards_local,
-    )
+    if pair:
+        kernel = functools.partial(
+            _planar_v2_pair_kernel, ic=ic, oc_tile=oc_tile,
+            pack_block=p.pack_block_local, chunk=chunk,
+            side_bits=p.side_bits, shards=p.shards_local,
+        )
+        x_in = pair_permute_x(xp, ic, p.pack_block_local)
+    else:
+        kernel = functools.partial(
+            _planar_v2_kernel, ic=ic, oc_tile=oc_tile,
+            pack_block=p.pack_block_local, chunk=chunk, dot_dtype=dot_dtype,
+            side_bits=p.side_bits, shards=p.shards_local,
+        )
+        x_in = xp
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
@@ -300,7 +397,7 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, xg, p.sign_packed, p.side_val, coef)
+    )(x_in, xg, p.sign_packed, p.side_val, coef)
     return out[:m]
 
 
@@ -516,7 +613,8 @@ def pallas_supported_v2(p: PackedLinearV2) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "oc_tile", "prefill_bf16", "prefill_gather", "prefill_extract"))
+    "interpret", "oc_tile", "prefill_bf16", "prefill_gather", "prefill_extract",
+    "decode_dot"))
 def pb_matmul_pallas_v2(
     x: jnp.ndarray,
     p: PackedLinearV2,
@@ -525,8 +623,16 @@ def pb_matmul_pallas_v2(
     prefill_bf16: bool = False,
     prefill_gather: str = "take",
     prefill_extract: str = "pallas",
+    decode_dot: str = "f32",
 ) -> jnp.ndarray:
-    """y = x @ dequant_v2(p) (+ bias); x [m, ic] → y [m, oc] float32."""
+    """y = x @ dequant_v2(p) (+ bias); x [m, ic] → y [m, oc] float32.
+
+    ``decode_dot`` picks the small-m (decode) kernel's dot precision:
+      * ``"f32"``  — exact f32 bit-plane dots (parity default);
+      * ``"bf16"`` — same kernel, operands cast to bf16 (3 VPU ops/bit);
+      * ``"pair"`` — paired bf16 planes via one shift+AND per bit PAIR
+        (1 VPU op/bit, k-doubled bf16 dots — the fast serving path).
+    bf16/pair round only x (planes/codes are bf16-exact); engine-grade."""
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if m >= _V2_PREFILL_M:
@@ -537,7 +643,10 @@ def pb_matmul_pallas_v2(
                                 gather=prefill_gather, extract=prefill_extract)
     if oc_tile is None:
         oc_tile = _decode_oc_tile_v2(p, m)
-    return _planar_v2_call(x, p, oc_tile, interpret, jnp.float32)
+    if decode_dot == "pair":
+        return _planar_v2_call(x, p, oc_tile, interpret, jnp.bfloat16, pair=True)
+    dd = jnp.bfloat16 if decode_dot == "bf16" else jnp.float32
+    return _planar_v2_call(x, p, oc_tile, interpret, dd)
 
 
 # ---------------------------------------------------------------------------

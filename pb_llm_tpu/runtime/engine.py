@@ -559,11 +559,27 @@ class Engine:
         key = ("chunk", C)
         if key not in self._prefill_jit:
             self._prefill_jit[key] = self._make_prefill_chunk_paged(C)
-        self._ensure_pages(slot, min(offset + C, self.ecfg.max_seq))
+        # Clamp the ensured/write window to the bucket(n) footprint that
+        # admission reserved (`can_admit`): offset + bucket(n-offset) can
+        # exceed it whenever the suffix pads into the same bucket as the full
+        # prompt, which would both over-pin padding pages and blow past the
+        # reservation (bare pool crash instead of preemption).  Suffix rows
+        # past the clamp pad into the trash page, like the max_seq clamp.
+        limit = pool.pages_needed(self._bucket(n)) * ps
+        target = min(offset + C, limit, self.ecfg.max_seq)
+        need = pool.pages_needed(target) - len(pool.owned[slot])
+        if need > pool.free_pages:
+            pool.release(slot)  # roll back the attach so preemption can retry
+            pool.prefix_hit_pages -= matched
+            self._refresh_table()
+            raise PoolExhausted(
+                f"prefix-hit suffix needs {need} new pages, pool has "
+                f"{pool.free_pages} free — preempt a request")
+        self._ensure_pages(slot, target)
         row = self.pool.table[slot]
         npg = C // ps
         chunk_pages = np.full(npg, pool.trash_page, np.int32)
-        valid = row[offset // ps : min((offset + C) // ps, row.shape[0])]
+        valid = row[offset // ps : min(pool.pages_needed(target), row.shape[0])]
         chunk_pages[: len(valid)] = valid
         ids = np.zeros(C, np.int32)
         ids[: n - offset] = prompt_ids[offset:]

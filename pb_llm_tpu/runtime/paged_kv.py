@@ -143,11 +143,12 @@ class PagePool:
             if pg is None:
                 break
             pages.append(pg)
-        self.prefix_hit_pages += len(pages)
         return len(pages), pages
 
     def attach(self, slot: int, pages: Sequence[int]) -> None:
-        """Adopt cached pages as the slot's leading table entries (ref++)."""
+        """Adopt cached pages as the slot's leading table entries (ref++).
+        `prefix_hit_pages` counts here — pages actually adopted — not in
+        `match_prefix`, whose matches the chunked path may align away."""
         if self.owned[slot]:
             raise RuntimeError(f"attach on non-empty slot {slot}")
         for i, pg in enumerate(pages):
@@ -156,6 +157,7 @@ class PagePool:
             self.ref[pg] += 1
             self.table[slot, i] = pg
             self.owned[slot].append(pg)
+        self.prefix_hit_pages += len(pages)
 
     def register_chain(self, slot: int, tokens: Sequence[int]) -> None:
         """Index the slot's full prompt pages by chain hash (first writer

@@ -92,6 +92,27 @@ def test_ptq_high_only_nearly_lossless(tiny_opt_setup):
     assert len(report.errors) == 2 * 6  # 2 layers × 6 linears
 
 
+def test_batched_capture_bit_identical(tiny_opt_setup):
+    """VERDICT r2 item 5: batched Hessian capture must be protocol-identical
+    — masks BIT-identical and errors equal to the per-sample path (the fold
+    replays the reference's sample-sequential rescale inside one program)."""
+    params, cfg, fam, calib, eval_ids = tiny_opt_setup
+    scfg = SolverConfig(low_frac=0.5, salient_metric="hessian", blocksize=32)
+    _, rep1 = quantize_model_ptq(copy.deepcopy(params), cfg, fam, calib, scfg,
+                                 log=None, capture_batch=1)
+    _, rep4 = quantize_model_ptq(copy.deepcopy(params), cfg, fam, calib, scfg,
+                                 log=None, capture_batch=4)
+    _, rep3 = quantize_model_ptq(copy.deepcopy(params), cfg, fam, calib, scfg,
+                                 log=None, capture_batch=3)  # ragged final chunk
+    assert set(rep1.masks) == set(rep4.masks) == set(rep3.masks)
+    for k in rep1.masks:
+        np.testing.assert_array_equal(rep1.masks[k], rep4.masks[k])
+        np.testing.assert_array_equal(rep1.masks[k], rep3.masks[k])
+    for k in rep1.errors:
+        np.testing.assert_allclose(rep1.errors[k], rep4.errors[k], rtol=1e-5)
+        np.testing.assert_allclose(rep1.errors[k], rep3.errors[k], rtol=1e-5)
+
+
 def test_ptq_packed_matches_sim_exactly(tiny_opt_setup):
     params, cfg, fam, calib, eval_ids = tiny_opt_setup
     cfgq = SolverConfig(low_frac=0.5, salient_metric="hessian", blocksize=32)

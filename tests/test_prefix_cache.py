@@ -186,6 +186,86 @@ def test_prefix_cache_chunked_prefill(tiny_opt):
     assert eng.pool.prefix_hit_pages > 0
 
 
+def test_prefix_suffix_same_bucket_oversubscribed_pool(tiny_opt):
+    """ADVICE r2 (high): when the suffix pads into the SAME bucket as the
+    full prompt, `_prefill_suffix` used to ensure offset + bucket(n-offset)
+    pages — exceeding the bucket(n)+1 reservation `can_admit` made, crashing
+    an oversubscribed pool with a bare RuntimeError (and pinning padding
+    pages even when it fit).  The window is now clamped to the bucket(n)
+    footprint: the same workload completes and matches the cache-off run."""
+    params, cfg, fam = tiny_opt
+    shared = [5, 17, 99, 3, 42, 7, 11, 23, 60, 2, 19, 4, 33, 8, 25, 14]  # 2 pages
+    prompts = [shared + [9], shared + [9, 1, 2, 3, 4, 5, 6, 7, 50]]  # 17 / 25 toks
+    kw = dict(n_slots=1, max_seq=48, prefill_buckets=(8, 32), page_size=8)
+
+    def run(**extra):
+        eng = Engine(params, cfg, fam, EngineConfig(**kw, **extra))
+        reqs = [Request(request_id=i, prompt_ids=list(p), max_new_tokens=4)
+                for i, p in enumerate(prompts)]
+        ContinuousBatcher(eng).run(reqs)
+        return [r.output_ids for r in reqs], eng
+
+    cold, _ = run(n_pages=5)
+    # 5 pages = exactly the bucket(25)+1 reservation; the old suffix path
+    # needed 6 and died in PagePool.ensure
+    warm, eng = run(n_pages=5, prefix_cache=True)
+    assert warm == cold
+    assert eng.pool.prefix_hit_pages == 2
+    assert eng.pool.free_pages == eng.pool.n_pages  # nothing stays pinned
+
+
+def test_chunk_hit_below_chunk_not_counted(tiny_opt):
+    """ADVICE r2 (low): a chunked-prefill hit that aligns down to start == 0
+    attaches nothing and saves no compute — the /stats hit counter must not
+    claim otherwise (it now counts at attach, not match)."""
+    params, cfg, fam = tiny_opt
+    eng = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(16, 32), page_size=8,
+        prefill_chunk=16, prefix_cache=True))
+    rng = np.random.default_rng(5)
+    prompt = [int(t) for t in rng.integers(1, 100, size=20)]
+    eng.start_chunked_prefill(0, prompt)
+    while eng.prefill_chunk_step(0) is None:
+        pass
+    eng.release(0)
+    hits0 = eng.pool.prefix_hit_pages
+    # shares EXACTLY one page (8 tokens < chunk 16): start aligns to 0
+    p2 = prompt[:8] + [int(t) for t in rng.integers(1, 100, size=12)]
+    eng.start_chunked_prefill(1, p2)
+    assert eng._chunk_jobs[1][1] == 0
+    assert eng.pool.prefix_hit_pages == hits0
+
+
+def test_prefix_cache_under_preemption(tiny_opt):
+    """Prefix cache composes with recompute preemption (the PARITY.md claim,
+    now actually tested): a pool too small for both active requests forces a
+    preemption; the preempted request re-admits through the prefix-hit
+    suffix path (its own registered pages) and greedy streams still match
+    the cache-off run."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher as CB
+
+    params, cfg, fam = tiny_opt
+    shared = [5, 17, 99, 3, 42, 7, 11, 23]  # exactly 1 page
+    prompts = [shared + [19, 4], shared + [2, 6]]
+    kw = dict(n_slots=2, max_seq=48, prefill_buckets=(8, 16, 32), page_size=8,
+              n_pages=5)
+
+    def run(**extra):
+        eng = Engine(params, cfg, fam, EngineConfig(**kw, **extra))
+        reqs = [Request(request_id=i, prompt_ids=list(p), max_new_tokens=10)
+                for i, p in enumerate(prompts)]
+        b = CB(eng)
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b, eng
+
+    cold, _, _ = run()
+    warm, batcher, eng = run(prefix_cache=True)
+    assert warm == cold
+    assert batcher.stats.preemptions > 0
+    assert eng.pool.prefix_hit_pages > 0
+    assert eng.pool.free_pages == eng.pool.n_pages
+
+
 def test_chunked_job_starts_at_aligned_offset(tiny_opt):
     params, cfg, fam = tiny_opt
     eng = Engine(params, cfg, fam, EngineConfig(

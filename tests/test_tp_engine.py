@@ -296,6 +296,34 @@ def test_tpengine_batched_prefill_matches_single_device(packed_llama):
             assert a.output_ids == b.output_ids, (kw, a.request_id, a.output_ids, b.output_ids)
 
 
+def test_tpengine_prefix_cache_matches_single_device(packed_llama):
+    """Prefix caching under TP (the PARITY.md composition claim, now
+    actually tested): the third request admits after a retirement, hits the
+    registered prefix, and its suffix runs through TPEngine's chunk-paged
+    shard_map program — token streams match the single-device engine."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama
+    shared = [5, 17, 99, 3, 42, 7, 11, 23]  # exactly one full page
+    plist = [shared + [19, 4], shared + [19, 4], shared + [9]]
+    reqs = lambda: [Request(request_id=i, prompt_ids=list(p), max_new_tokens=5)
+                    for i, p in enumerate(plist)]
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8, 16),
+                        page_size=8, prefix_cache=True)
+
+    eng_ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg)
+    done_ref = ContinuousBatcher(eng_ref).run(reqs())
+    assert eng_ref.pool.prefix_hit_pages > 0
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    eng_tp = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    done_tp = ContinuousBatcher(eng_tp).run(reqs())
+    assert eng_tp.pool.prefix_hit_pages > 0
+    for a, b in zip(done_ref, done_tp):
+        assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
+
+
 def test_tpengine_int8_paged(packed_llama):
     """int8 paged pool under TP: scale planes shard P(None, tp, None);
     stream matches the single-device int8-paged engine."""
