@@ -119,6 +119,11 @@ def main():
                          "only same-process ratios are trustworthy): "
                          "strips,strips_int8,paged,paged_int8 "
                          "(--paged gives the page size, default 64)")
+    ap.add_argument("--budget", action="store_true",
+                    help="decompose one decode step into component programs "
+                         "(full step / packed matmuls only / attention+KV "
+                         "only / lm_head+sample / dispatch floor), all timed "
+                         "interleaved — the e2e step budget (VERDICT r2 #2)")
     args = ap.parse_args()
 
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
@@ -224,11 +229,6 @@ def main():
         ]
 
     caches = make_arm_caches(args.paged, args.kv_int8)
-    if args.scan_layers:
-        from pb_llm_tpu.models import stacking
-
-        params = stacking.stack_layers(params)
-        caches = stacking.stack_caches(caches)
 
     def decode_scan(params, caches, tokens0, lengths0, n_steps):
         """tokens0 [B] = plain decode; [B, t] = speculative verify window
@@ -245,6 +245,111 @@ def main():
             return (caches, tokens, lengths + t), ()
         (caches, tokens, lengths), _ = jax.lax.scan(body, (caches, tokens0, lengths0), None, length=n_steps)
         return jnp.sum(tokens), caches
+
+    if args.budget:
+        # ---- e2e decode step budget (VERDICT r2 item 2) -------------------
+        # Four programs timed interleaved with the slope method (slope
+        # cancels dispatch/fetch):
+        #   full   — the real decode step
+        #   mmonly — ONLY the 7 packed matmuls per layer, chained
+        #   nomm   — the step with every packed matmul replaced by one
+        #            broadcast multiply (attention + KV + norms + rope +
+        #            lm_head + scan overhead remain)
+        #   head   — embed + final norm + lm_head + argmax only
+        # Identity: full ≈ mmonly + (nomm − head) + head.
+        from pb_llm_tpu.models.linear import apply_linear, linear_shape
+        from pb_llm_tpu.models.llama import rms_norm
+
+        def skip_lf(name, lin, h):
+            if isinstance(lin, dict):
+                return apply_linear(lin, h)
+            oc = linear_shape(lin)[1]
+            # runtime-dependent broadcast so XLA cannot fold the layer away
+            return h[..., :1] * jnp.ones((oc,), h.dtype)
+
+        def full_scan(p, c, t, l, n):
+            return decode_scan(p, c, t, l, n)[0]
+
+        def nomm_scan(p, c, tokens, lengths, n):
+            def body(carry, _):
+                c, t, l = carry
+                logits, c = fam.forward(p, t[:, None], cfg, linear_fn=skip_lf,
+                                        kv_caches=c, pos=l)
+                return (c, jnp.argmax(logits[:, 0], -1).astype(jnp.int32), l + 1), ()
+            (c, t, l), _ = jax.lax.scan(body, (c, tokens, lengths), None, length=n)
+            return jnp.sum(t)
+
+        def mm_scan(p, x0, n):
+            def body(x, _):
+                h = x
+                for lp in p["layers"]:
+                    a = (apply_linear(lp["q_proj"], h) + apply_linear(lp["k_proj"], h)
+                         + apply_linear(lp["v_proj"], h))
+                    o = apply_linear(lp["o_proj"], a)
+                    g = apply_linear(lp["gate_proj"], h) + apply_linear(lp["up_proj"], h)
+                    d = apply_linear(lp["down_proj"], g)
+                    h = h + 1e-6 * (o + d)
+                return h, ()
+            x, _ = jax.lax.scan(body, x0, None, length=n)
+            return jnp.sum(x)
+
+        def head_scan(p, ids0, n):
+            def body(ids, _):
+                x = p["embed_tokens"][ids]
+                x = rms_norm(x, p["norm"], cfg.rms_norm_eps)
+                logits = apply_linear(p["lm_head"], x)
+                return jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None], ()
+            ids, _ = jax.lax.scan(body, ids0, None, length=n)
+            return jnp.sum(ids)
+
+        x0 = jnp.zeros((B, 1, cfg.hidden_size), jnp.float32)
+        ids0 = jnp.zeros((B, 1), jnp.int32)
+        tokens0 = jnp.zeros((B,), jnp.int32)
+        lengths0 = jnp.full((B,), S // 2, jnp.int32)
+        # caches/seeds ride as ARGUMENTS (closure capture would bake them
+        # into the executable as constants — gigabytes of lowering)
+        arms = {
+            "full": (lambda p, c, s, n: full_scan(p, c, tokens0 + s, lengths0, n),
+                     lambda: caches),
+            "mmonly": (lambda p, c, s, n: mm_scan(p, c + s, n), lambda: x0),
+            "nomm": (lambda p, c, s, n: nomm_scan(p, c, tokens0 + s, lengths0, n),
+                     lambda: caches),
+            "head": (lambda p, c, s, n: head_scan(p, c + s, n), lambda: ids0),
+        }
+        fns, raw = {}, {}
+        for name, (fn, carg) in arms.items():
+            for n in (4, 12):
+                f = jax.jit(lambda p, c, s, fn=fn, n=n: fn(p, c, s, n))
+                t0 = time.time()
+                float(f(params, carg(), 0))
+                log(f"compiled {name} n={n} in {time.time()-t0:.0f}s")
+                fns[(name, n)] = (f, carg)
+                raw[(name, n)] = []
+        for rep in range(5):
+            for name in arms:
+                for n in (4, 12):
+                    f, carg = fns[(name, n)]
+                    t0 = time.perf_counter()
+                    float(f(params, carg(), rep))
+                    raw[(name, n)].append(time.perf_counter() - t0)
+        out = {}
+        for name in arms:
+            step_ms = (min(raw[(name, 12)]) - min(raw[(name, 4)])) / 8 * 1e3
+            out[name] = round(step_ms, 3)
+            log(f"{name}: {step_ms:.3f} ms/step")
+        out["attn_kv_overhead"] = round(out["nomm"] - out["head"], 3)
+        out["unattributed"] = round(
+            out["full"] - out["mmonly"] - out["attn_kv_overhead"] - out["head"], 3)
+        out["tokens_per_s"] = round(B / (out["full"] / 1e3), 1)
+        print(json.dumps({"metric": f"decode step budget (B={B}, ctx={S}, {args.layers}L)",
+                          "ms": out}))
+        return
+
+    if args.scan_layers:
+        from pb_llm_tpu.models import stacking
+
+        params = stacking.stack_layers(params)
+        caches = stacking.stack_caches(caches)
 
     tokens0 = jnp.zeros((B,), jnp.int32)
     lengths0 = jnp.full((B,), S // 2, jnp.int32)

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="slice logits to the first N rows during task scoring "
                         "(reference evaluate.py:79 does this unconditionally; "
                         "no-op when vocab <= N); 0 disables")
+    p.add_argument("--num_fewshot", type=int, default=0,
+                   help="lm-eval v0.3 few-shot prompting (labeled examples "
+                        "joined into each query context; reference "
+                        "evaluate.py:94)")
     return p
 
 
@@ -118,7 +122,8 @@ def main(argv=None) -> int:
     tasks = [t for t in args.tasks.split(",") if t]
     if tasks:
         out = evaluate_model_tasks(params, cfg, fam, tokenizer, tasks, limit=args.limit,
-                                   vocab_limit=args.vocab_limit or None)
+                                   vocab_limit=args.vocab_limit or None,
+                                   num_fewshot=args.num_fewshot)
         for t, r in out["results"].items():
             print(f"{t}: acc {r['acc']:.4f} (n={r['n']})")
             log.log("task", task=t, **r)

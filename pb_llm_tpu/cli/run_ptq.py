@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_out", type=str, default=None, help="npz path for GPTQ masks (QAT handoff)")
     p.add_argument("--synthetic", action="store_true", help="offline: synthetic corpus + byte tokenizer + random-init model")
     p.add_argument("--metrics", type=str, default=None, help="JSONL metrics path")
+    p.add_argument("--stream", action="store_true",
+                   help=">RAM GPTQ-PB: stream the checkpoint one decoder layer "
+                        "at a time (model must be a local HF dir with sharded "
+                        "weights; requires --save_pbw; skips the in-process "
+                        "ppl eval — serve the artifact with `serve --pbw`)")
     return p
 
 
@@ -115,6 +120,41 @@ def main(argv=None) -> int:
         col_tile=args.col_tile,
     )
     log = MetricsLogger(args.metrics)
+    if args.stream:
+        if not args.save_pbw:
+            raise SystemExit("--stream requires --save_pbw")
+        if args.synthetic:
+            raise SystemExit("--stream reads a real checkpoint dir; drop --synthetic")
+        import transformers
+
+        from ..calib.pipeline import quantize_model_ptq_streamed
+        from ..models.hf_stream import StreamedLayerLoader
+        from ..models.registry import family_for
+
+        hf_cfg = transformers.AutoConfig.from_pretrained(args.model)
+        fam = family_for("opt" if hf_cfg.model_type == "opt" else "llama")
+        if fam.name == "opt":
+            from ..models.opt import OPTConfig
+            cfg = OPTConfig.from_hf(hf_cfg)
+        else:
+            from ..models.llama import LlamaConfig
+            cfg = LlamaConfig.from_hf(hf_cfg)
+        tokenizer = __import__("transformers").AutoTokenizer.from_pretrained(
+            args.model, use_fast=False)
+        calib, _ = get_loaders(job.dataset, tokenizer, nsamples=job.nsamples,
+                               seed=job.seed, seqlen=cfg.seqlen, flavor="ptq",
+                               model=job.model)
+        loader = StreamedLayerLoader(args.model, fam.name)
+        report = quantize_model_ptq_streamed(
+            loader, cfg, fam, calib, job.solver(), args.save_pbw, fmt=job.fmt,
+            log=lambda m: log.log("layer", msg=m), capture_batch=args.capture_batch)
+        log.log("quantized", seconds=report.seconds,
+                total_error=sum(report.errors.values()))
+        if job.mask_out:
+            save_masks(job.mask_out, report.masks, job.low_frac)
+        print(f"streamed PBW checkpoint saved to {args.save_pbw} "
+              f"(peak resident layers: {loader.max_live})")
+        return 0
     params, cfg, fam, tokenizer = load_model_and_tokenizer(args)
     source = synthetic_source() if args.synthetic else None
     seqlen = min(cfg.seqlen, 128) if args.synthetic else cfg.seqlen

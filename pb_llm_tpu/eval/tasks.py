@@ -157,9 +157,82 @@ class LoglikelihoodScorer:
         return out
 
 
-def evaluate_task(scorer: LoglikelihoodScorer, examples: Sequence[Example], limit: int = -1) -> Dict[str, float]:
+# ---------------------------------------------------------------------------
+# few-shot (lm-eval v0.3 `Task.fewshot_context` semantics)
+# ---------------------------------------------------------------------------
+
+
+def _example_text(ex: Example) -> str:
+    """doc_to_text of an example — the context shown before the answer (for
+    per-choice-context tasks, the GOLD option's context, like v0.3
+    winogrande's partial_context of the answer)."""
+    return ex.contexts[ex.gold] if ex.contexts is not None else ex.context
+
+
+def _example_target(ex: Example) -> str:
+    """doc_to_target — the gold continuation text."""
+    return ex.choices[ex.gold]
+
+
+def fewshot_prefix(shots: Sequence[Example], description: str = "") -> str:
+    """The labeled-examples block of lm-eval v0.3 `fewshot_context`
+    (`lm_eval/base.py`): optional description + "\\n\\n", then each shot as
+    doc_to_text + doc_to_target joined by "\\n\\n", then "\\n\\n" before the
+    query."""
+    desc = description + "\n\n" if description else ""
+    if not shots:
+        return desc
+    labeled = "\n\n".join(_example_text(s) + _example_target(s) for s in shots)
+    return desc + labeled + "\n\n"
+
+
+def apply_fewshot(
+    examples: Sequence[Example],
+    num_fewshot: int,
+    training: Optional[Sequence[Example]] = None,
+    seed: int = 42,
+    description: str = "",
+) -> List[Example]:
+    """Prefix every example's context(s) with ``num_fewshot`` labeled shots.
+
+    Sampling follows v0.3: one `random.Random(seed)` consumed sequentially
+    over the doc loop; with training docs, `rnd.sample(training, k)` per
+    query; without, `rnd.sample(eval_docs, k+1)` minus the query itself,
+    truncated to k (`lm_eval/base.py fewshot_examples`/`fewshot_context`).
+    """
+    if num_fewshot <= 0 and not description:
+        return list(examples)
+    import random
+
+    rnd = random.Random(seed)
+    out: List[Example] = []
+    pool = list(training) if training else None
+    for ex in examples:
+        if num_fewshot <= 0:
+            shots: List[Example] = []
+        elif pool is not None:
+            shots = rnd.sample(pool, min(num_fewshot, len(pool)))
+        else:
+            cand = rnd.sample(list(examples), min(num_fewshot + 1, len(examples)))
+            shots = [c for c in cand if c is not ex][:num_fewshot]
+        prefix = fewshot_prefix(shots, description)
+        if ex.contexts is not None:
+            out.append(dataclasses.replace(
+                ex, context=prefix + ex.context,
+                contexts=[prefix + c for c in ex.contexts]))
+        else:
+            out.append(dataclasses.replace(ex, context=prefix + ex.context))
+    return out
+
+
+def evaluate_task(scorer: LoglikelihoodScorer, examples: Sequence[Example], limit: int = -1,
+                  num_fewshot: int = 0, training: Optional[Sequence[Example]] = None,
+                  description: str = "") -> Dict[str, float]:
     if limit and limit > 0:
         examples = examples[:limit]
+    if num_fewshot > 0 or description:
+        examples = apply_fewshot(examples, num_fewshot, training=training,
+                                 description=description)
     # flatten every (context, continuation) across examples so same-bucket
     # requests share forwards (score_many)
     pairs, spans = [], []
@@ -280,6 +353,66 @@ TASK_FORMATTERS: Dict[str, Callable] = {
 LLMQAT_SUITE = ["boolq", "piqa", "hellaswag", "winogrande", "arc_easy", "arc_challenge", "openbookqa"]
 
 
+# ---------------------------------------------------------------------------
+# declarative task registry — new tasks without code (VERDICT r2 item 7).
+# The reference passes arbitrary task names through to lm-eval's registry
+# (`/root/reference/evaluate.py:165-172`); here a TaskSpec declares the
+# dataset + field mapping + templates and `register_task` makes the name
+# first-class (expand_tasks / load_task_examples / run_eval --tasks).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TaskSpec:
+    """Declarative multiple-choice task.
+
+    ``context`` is a str.format template over the doc's fields.  Choices come
+    either from ``choices`` (a list of templates, e.g. [" yes", " no"] or
+    [" {sol1}", " {sol2}"]) or from ``choices_field`` (a doc field holding a
+    list of strings, each prefixed with ``choice_prefix``).  ``gold_field``
+    may hold an int index, a digit string, or a letter (resolved through
+    ``gold_letters``)."""
+
+    dataset: str                        # HF datasets path (or any id for offline use)
+    subset: Optional[str] = None
+    split: str = "validation"
+    train_split: Optional[str] = None   # few-shot sampling pool
+    context: str = "{question}"
+    choices: Optional[List[str]] = None
+    choices_field: str = ""
+    choice_prefix: str = " "
+    gold_field: str = "label"
+    gold_letters: str = "ABCDE"
+    description: str = ""
+
+
+TASK_SPECS: Dict[str, TaskSpec] = {}
+
+
+def make_formatter(spec: TaskSpec) -> Callable[[dict], Example]:
+    def fmt(doc) -> Example:
+        ctx = spec.context.format(**doc)
+        if spec.choices is not None:
+            choices = [c.format(**doc) for c in spec.choices]
+        else:
+            raw = doc[spec.choices_field]
+            if isinstance(raw, dict):
+                raw = raw.get("text", raw)
+            choices = [spec.choice_prefix + str(c) for c in raw]
+        gold = doc[spec.gold_field]
+        if isinstance(gold, str):
+            gold = int(gold) if gold.strip().isdigit() else spec.gold_letters.index(gold.strip())
+        return Example(ctx, choices, int(gold))
+
+    return fmt
+
+
+def register_task(name: str, spec: TaskSpec) -> None:
+    """Make a declarative task name usable everywhere a built-in is."""
+    TASK_SPECS[name] = spec
+    TASK_FORMATTERS[name] = make_formatter(spec)
+
+
 def expand_tasks(tasks: Sequence[str]) -> List[str]:
     """Suite expansion exactly as `evaluate.py:160-163`."""
     out: List[str] = []
@@ -298,6 +431,10 @@ def load_task_examples(task: str, split: str = "validation") -> List[Example]:
     from datasets import load_dataset
 
     fmt = TASK_FORMATTERS[task]
+    if task in TASK_SPECS:
+        spec = TASK_SPECS[task]
+        ds = load_dataset(spec.dataset, spec.subset, split=split if split != "validation" else spec.split)
+        return [fmt(d) for d in ds]
     if task.startswith("hendrycksTest-"):
         ds = load_dataset("cais/mmlu", task[len("hendrycksTest-") :], split="test")
     elif task == "boolq":
@@ -323,17 +460,35 @@ def evaluate_model_tasks(
     limit: int = -1,
     examples_by_task: Optional[Dict[str, List[Example]]] = None,
     vocab_limit: Optional[int] = 50257,
+    num_fewshot: int = 0,
+    train_examples_by_task: Optional[Dict[str, List[Example]]] = None,
 ) -> Dict[str, Any]:
     """Mean-accuracy report like `evaluate.py:165-182`.
 
     ``vocab_limit`` defaults to 50257 — the reference slices EVERY model's
     logits to the first 50257 rows (`evaluate.py:79`, the OPT vocab hack; a
     no-op for vocabularies ≤ 50257 such as LLaMA's 32000). Pass None to
-    disable."""
+    disable.
+
+    ``num_fewshot``: lm-eval v0.3 few-shot prompting (the reference inherits
+    it via `evaluate.py:94,102`) — shots sampled from the task's train split
+    (declarative specs / ``train_examples_by_task``) or, failing that, from
+    the eval docs themselves minus the query (the v0.3 fallback)."""
     scorer = LoglikelihoodScorer(params, cfg, fam, tokenizer, vocab_limit=vocab_limit)
     results = {}
     for t in expand_tasks(tasks):
         examples = examples_by_task[t] if examples_by_task else load_task_examples(t)
-        results[t] = evaluate_task(scorer, examples, limit)
+        training = None
+        desc = ""
+        if train_examples_by_task and t in train_examples_by_task:
+            training = train_examples_by_task[t]
+        elif num_fewshot > 0 and not examples_by_task and t in TASK_SPECS \
+                and TASK_SPECS[t].train_split:
+            training = load_task_examples(t, split=TASK_SPECS[t].train_split)
+        if t in TASK_SPECS:
+            desc = TASK_SPECS[t].description
+        results[t] = evaluate_task(scorer, examples, limit,
+                                   num_fewshot=num_fewshot, training=training,
+                                   description=desc)
     accs = [r["acc"] for r in results.values()]
     return {"results": results, "mean_acc": float(np.mean(accs)) if accs else float("nan")}

@@ -35,50 +35,63 @@ def _ln(sd: Dict[str, Any], prefix: str, dtype) -> Dict[str, jnp.ndarray]:
     return {"w": jnp.asarray(_np(sd[prefix + ".weight"]), dtype), "b": jnp.asarray(_np(sd[prefix + ".bias"]), dtype)}
 
 
-def llama_from_state_dict(sd: Dict[str, Any], cfg: LlamaConfig, dtype=jnp.float32) -> Dict[str, Any]:
-    layers = []
-    for i in range(cfg.num_hidden_layers):
-        p = f"model.layers.{i}."
-        layers.append(
-            {
-                "input_layernorm": jnp.asarray(_np(sd[p + "input_layernorm.weight"]), dtype),
-                "post_attention_layernorm": jnp.asarray(_np(sd[p + "post_attention_layernorm.weight"]), dtype),
-            }
-        )
-        for n in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            layers[-1][n] = _lin(sd, p + "self_attn." + n, dtype)
-        for n in ("gate_proj", "up_proj", "down_proj"):
-            layers[-1][n] = _lin(sd, p + "mlp." + n, dtype)
+def llama_layer_from_sd(sd: Dict[str, Any], i: int, dtype=jnp.float32) -> Dict[str, Any]:
+    """One decoder layer's param dict from (a subset of) a state dict —
+    the streamed calibration path loads exactly this slice at a time."""
+    p = f"model.layers.{i}."
+    lp = {
+        "input_layernorm": jnp.asarray(_np(sd[p + "input_layernorm.weight"]), dtype),
+        "post_attention_layernorm": jnp.asarray(_np(sd[p + "post_attention_layernorm.weight"]), dtype),
+    }
+    for n in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        lp[n] = _lin(sd, p + "self_attn." + n, dtype)
+    for n in ("gate_proj", "up_proj", "down_proj"):
+        lp[n] = _lin(sd, p + "mlp." + n, dtype)
+    return lp
+
+
+def llama_nonlayer_from_sd(sd: Dict[str, Any], cfg: LlamaConfig, dtype=jnp.float32) -> Dict[str, Any]:
     return {
         "embed_tokens": jnp.asarray(_np(sd["model.embed_tokens.weight"]), dtype),
-        "layers": layers,
         "norm": jnp.asarray(_np(sd["model.norm.weight"]), dtype),
-        "lm_head": _lin(sd, "lm_head", dtype),
+        "lm_head": (_lin(sd, "lm_head", dtype) if "lm_head.weight" in sd
+                    else dense(jnp.asarray(_np(sd["model.embed_tokens.weight"]).T, dtype), None)),
     }
 
 
-def opt_from_state_dict(sd: Dict[str, Any], cfg: OPTConfig, dtype=jnp.float32) -> Dict[str, Any]:
+def llama_from_state_dict(sd: Dict[str, Any], cfg: LlamaConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    out = llama_nonlayer_from_sd(sd, cfg, dtype)
+    out["layers"] = [llama_layer_from_sd(sd, i, dtype) for i in range(cfg.num_hidden_layers)]
+    return out
+
+
+def opt_layer_from_sd(sd: Dict[str, Any], i: int, dtype=jnp.float32) -> Dict[str, Any]:
+    p = f"model.decoder.layers.{i}."
+    lp = {
+        "self_attn_layer_norm": _ln(sd, p + "self_attn_layer_norm", dtype),
+        "final_layer_norm": _ln(sd, p + "final_layer_norm", dtype),
+        "fc1": _lin(sd, p + "fc1", dtype),
+        "fc2": _lin(sd, p + "fc2", dtype),
+    }
+    for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        lp[n] = _lin(sd, p + "self_attn." + n, dtype)
+    return lp
+
+
+def opt_nonlayer_from_sd(sd: Dict[str, Any], cfg: OPTConfig, dtype=jnp.float32) -> Dict[str, Any]:
     dec = "model.decoder."
-    layers = []
-    for i in range(cfg.num_hidden_layers):
-        p = f"{dec}layers.{i}."
-        lp = {
-            "self_attn_layer_norm": _ln(sd, p + "self_attn_layer_norm", dtype),
-            "final_layer_norm": _ln(sd, p + "final_layer_norm", dtype),
-            "fc1": _lin(sd, p + "fc1", dtype),
-            "fc2": _lin(sd, p + "fc2", dtype),
-        }
-        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            lp[n] = _lin(sd, p + "self_attn." + n, dtype)
-        layers.append(lp)
-    params = {
+    return {
         "embed_tokens": jnp.asarray(_np(sd[dec + "embed_tokens.weight"]), dtype),
         "embed_positions": jnp.asarray(_np(sd[dec + "embed_positions.weight"]), dtype),
-        "layers": layers,
         "final_layer_norm": _ln(sd, dec + "final_layer_norm", dtype) if dec + "final_layer_norm.weight" in sd else None,
         "project_in": _lin(sd, dec + "project_in", dtype) if dec + "project_in.weight" in sd else None,
         "project_out": _lin(sd, dec + "project_out", dtype) if dec + "project_out.weight" in sd else None,
     }
+
+
+def opt_from_state_dict(sd: Dict[str, Any], cfg: OPTConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    params = opt_nonlayer_from_sd(sd, cfg, dtype)
+    params["layers"] = [opt_layer_from_sd(sd, i, dtype) for i in range(cfg.num_hidden_layers)]
     return params
 
 

@@ -89,6 +89,95 @@ def iter_hf_tensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
                 yield key, t.float().numpy()
 
 
+class StreamedLayerLoader:
+    """Layer-at-a-time checkpoint access for >RAM GPTQ calibration
+    (VERDICT r2 item 6).
+
+    Builds a key→shard map once (free for safetensors via the index /
+    header; torch bins fall back to O(shard) loads), then serves
+    ``layer_params(i)`` — exactly one decoder layer's tensors read from disk
+    and assembled into the family's layer pytree — and
+    ``non_layer_params()`` (embeddings/norms/head; small).  ``release(i)``
+    drops the layer; ``max_live`` records the peak number of concurrently
+    resident layers so callers can ASSERT peak host memory stayed O(layer).
+    """
+
+    def __init__(self, model_dir: str, family: str):
+        self.model_dir = model_dir
+        self.family = family
+        self.kind, self.files = _shard_files(model_dir)
+        self.key_file: Dict[str, str] = {}
+        if self.kind == "safetensors":
+            from safetensors import safe_open
+
+            for f in self.files:
+                with safe_open(f, framework="np") as sf:
+                    for k in sf.keys():
+                        self.key_file[k] = f
+        else:
+            import torch
+
+            for f in self.files:
+                for k in torch.load(f, map_location="cpu", weights_only=True).keys():
+                    self.key_file[k] = f
+        self._layer_re = _LAYER_RE[family]
+        self._live: set = set()
+        self.max_live = 0
+
+    def n_layers(self) -> int:
+        mx = -1
+        for k in self.key_file:
+            m = self._layer_re.match(k)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return mx + 1
+
+    def _read_keys(self, keys) -> Dict[str, np.ndarray]:
+        by_file: Dict[str, list] = {}
+        for k in keys:
+            by_file.setdefault(self.key_file[k], []).append(k)
+        out: Dict[str, np.ndarray] = {}
+        if self.kind == "safetensors":
+            from safetensors import safe_open
+
+            for f, ks in by_file.items():
+                with safe_open(f, framework="pt") as sf:
+                    for k in ks:
+                        out[k] = sf.get_tensor(k).float().numpy()
+        else:
+            import torch
+
+            for f, ks in by_file.items():
+                sd = torch.load(f, map_location="cpu", weights_only=True)
+                for k in ks:
+                    out[k] = sd[k].float().numpy()
+        return out
+
+    def non_layer_params(self, cfg, dtype=jnp.float32) -> Dict:
+        from . import hf_import
+
+        keys = [k for k in self.key_file if not self._layer_re.match(k)]
+        sd = self._read_keys(keys)
+        fn = (hf_import.llama_nonlayer_from_sd if self.family == "llama"
+              else hf_import.opt_nonlayer_from_sd)
+        return fn(sd, cfg, dtype)
+
+    def layer_params(self, i: int, dtype=jnp.float32) -> Dict:
+        from . import hf_import
+
+        prefix = (f"model.layers.{i}." if self.family == "llama"
+                  else f"model.decoder.layers.{i}.")
+        sd = self._read_keys([k for k in self.key_file if k.startswith(prefix)])
+        self._live.add(i)
+        self.max_live = max(self.max_live, len(self._live))
+        fn = (hf_import.llama_layer_from_sd if self.family == "llama"
+              else hf_import.opt_layer_from_sd)
+        return fn(sd, i, dtype)
+
+    def release(self, i: int) -> None:
+        self._live.discard(i)
+
+
 def rtn_pack_fn(method: str = "xnor", low_frac: float = 0.9, high_bit: int = 8,
                 fmt: str = "packed_v2", groupsize: int = -1,
                 pack_block: Optional[int] = None, ic_shards: int = 1) -> Callable:

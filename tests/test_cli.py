@@ -140,6 +140,36 @@ def test_serve_from_pbw_checkpoint(tmp_path, capsys):
     assert "tokens/s=" in capsys.readouterr().out
 
 
+def test_parity_sweep_synthetic_dry_run(tmp_path, capsys):
+    """`scripts/parity_sweep.py --synthetic` (VERDICT r2 item 4): the
+    one-command real-data parity sweep must dry-run offline, assert the
+    pinned protocol goldens, and write its results section into a
+    BASELINE.md between the sweep markers."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_sweep",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "parity_sweep.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    md = tmp_path / "BASELINE.md"
+    rc = mod.main(["--synthetic", "--out", str(tmp_path / "out"),
+                   "--baseline_md", str(md),
+                   "--skip-qat", "--skip-llama", "--skip-opt13b"])
+    assert rc == 0
+    text = md.read_text()
+    assert mod.BEGIN in text and mod.END in text
+    assert "goldens=hold" in text
+    # re-run replaces (not duplicates) the marker section
+    rc = mod.main(["--synthetic", "--out", str(tmp_path / "out2"),
+                   "--baseline_md", str(md),
+                   "--skip-qat", "--skip-llama", "--skip-opt13b"])
+    assert rc == 0
+    assert md.read_text().count(mod.BEGIN) == 1
+    capsys.readouterr()
+
+
 def test_run_ptq_synthetic_golden_ppl(capsys):
     """Pinned end-to-end perplexities for the full synthetic protocol
     (loaders -> tokenizer -> GPTQ-PB -> packed_v2 -> windowed eval).

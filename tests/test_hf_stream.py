@@ -67,6 +67,65 @@ def test_streamed_artifact_serves(tmp_path):
     assert logits.shape == (1, 4, 96) and bool(jnp.isfinite(logits).all())
 
 
+def test_streamed_gptq_matches_resident(tmp_path):
+    """VERDICT r2 item 6: GPTQ-PB with the checkpoint streamed one layer at a
+    time (multi-shard safetensors) must produce bit-identical masks and
+    packed planes to the whole-model-resident pipeline, while never holding
+    more than ONE decoder layer's weights (peak host memory O(layer))."""
+    import copy
+
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq, quantize_model_ptq_streamed
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models.hf_stream import StreamedLayerLoader
+
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(
+        vocab_size=96, hidden_size=32, ffn_dim=64, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, dropout=0.0,
+    )
+    torch.manual_seed(1)
+    model = OPTForCausalLM(hf_cfg).eval().float()
+    d = str(tmp_path / "hf_sharded")
+    model.save_pretrained(d, max_shard_size="50KB")  # force multi-shard layout
+    import os
+
+    assert os.path.exists(os.path.join(d, "model.safetensors.index.json"))
+
+    params, cfg, _ = hf_import.from_torch_model(model)
+    fam = family_for("opt")
+    calib = np.random.default_rng(0).integers(0, 96, size=(4, 16))
+    scfg = SolverConfig(low_frac=0.5, salient_metric="hessian", blocksize=16,
+                        mask_structure="column", col_tile=0)
+
+    p_res, rep_res = quantize_model_ptq(copy.deepcopy(params), cfg, fam, calib,
+                                        scfg, fmt="packed_v2", log=None)
+
+    loader = StreamedLayerLoader(d, "opt")
+    assert loader.n_layers() == 3
+    out = str(tmp_path / "pbw_gptq")
+    rep_st = quantize_model_ptq_streamed(loader, cfg, fam, calib, scfg, out,
+                                         fmt="packed_v2", log=None)
+    assert loader.max_live == 1  # never more than one layer resident
+
+    assert set(rep_res.masks) == set(rep_st.masks)
+    for k in rep_res.masks:
+        np.testing.assert_array_equal(rep_res.masks[k], rep_st.masks[k])
+    for k in rep_res.errors:
+        np.testing.assert_allclose(rep_res.errors[k], rep_st.errors[k], rtol=1e-5)
+
+    layers, meta = load_pbw(out)
+    assert meta["gptq"] is True
+    for i, lp in enumerate(p_res["layers"]):
+        for n in fam.linear_names:
+            got, want = layers[f"layer_{i}/{n}"], lp[n]
+            np.testing.assert_array_equal(np.asarray(got.sign_packed),
+                                          np.asarray(want.sign_packed))
+            np.testing.assert_array_equal(np.asarray(got.side_val),
+                                          np.asarray(want.side_val))
+
+
 def test_iter_hf_tensors_lists_everything(tmp_path):
     model, d = _tiny_opt_dir(tmp_path)
     keys = {k for k, _ in iter_hf_tensors(d)}

@@ -173,3 +173,92 @@ def test_vocab_limit_slices_logits():
     ll_cut, _ = s_cut.score("!#%", "+-")
     # log-softmax over fewer rows strictly raises each kept row's probability
     assert ll_cut > ll_full
+
+
+# ---------------------------------------------------------------------------
+# few-shot (v0.3 fewshot_context) + declarative task registry
+# ---------------------------------------------------------------------------
+
+
+def test_fewshot_prefix_golden():
+    shots = [T.Example("Q: 1+1\nA:", [" 2", " 3"], 0),
+             T.Example("Q: 2+2\nA:", [" 4", " 5"], 0)]
+    got = T.fewshot_prefix(shots)
+    # v0.3: doc_to_text + doc_to_target joined by \n\n, trailing \n\n
+    assert got == "Q: 1+1\nA: 2\n\nQ: 2+2\nA: 4\n\n"
+    assert T.fewshot_prefix([], description="Answer the question.") == \
+        "Answer the question.\n\n"
+    assert T.fewshot_prefix(shots, description="D") == \
+        "D\n\nQ: 1+1\nA: 2\n\nQ: 2+2\nA: 4\n\n"
+
+
+def test_fewshot_uses_gold_target_and_contexts():
+    # winogrande-style shot: gold context + shared target render the shot;
+    # winogrande-style QUERY gets the prefix on every per-option context
+    shot = T.Example("ctxA", [" tail", " tail"], 1, contexts=["ctxA", "ctxB"])
+    assert T.fewshot_prefix([shot]) == "ctxB tail\n\n"
+    query = T.Example("qA", [" t", " t"], 0, contexts=["qA", "qB"])
+    out = T.apply_fewshot([query], 1, training=[shot])
+    assert out[0].contexts == ["ctxB tail\n\nqA", "ctxB tail\n\nqB"]
+
+
+def test_fewshot_sampling_deterministic_and_excludes_self():
+    exs = [T.Example(f"q{i}", [" a", " b"], 0) for i in range(6)]
+    one = T.apply_fewshot(exs, 2)
+    two = T.apply_fewshot(exs, 2)
+    assert [e.context for e in one] == [e.context for e in two]  # seeded
+    for src, out in zip(exs, one):
+        assert out.context.endswith(src.context)
+        # no-training fallback samples k+1 and drops the query itself
+        assert f"{src.context} a\n\n" not in out.context
+        assert out.context.count("\n\n") == 2  # exactly 2 shots prefixed
+
+
+def test_declarative_task_registers_and_scores():
+    """A new task added via TaskSpec ONLY (no formatter code): registered
+    name flows through expand_tasks/TASK_FORMATTERS and scores end-to-end."""
+    import jax
+
+    from pb_llm_tpu.models import opt as jopt
+    from pb_llm_tpu.models.registry import family_for
+
+    spec = T.TaskSpec(
+        dataset="local/colors", split="test",
+        context="Question: {question}\nAnswer:",
+        choices_field="options", gold_field="answer",
+    )
+    T.register_task("colors_qa", spec)
+    try:
+        assert "colors_qa" in T.TASK_FORMATTERS
+        assert T.expand_tasks(["colors_qa"]) == ["colors_qa"]
+        docs = [
+            {"question": "sky color?", "options": ["blue", "red"], "answer": 0},
+            {"question": "grass color?", "options": ["red", "green"], "answer": "1"},
+            {"question": "letter?", "options": ["x", "y"], "answer": "B"},
+        ]
+        fmt = T.TASK_FORMATTERS["colors_qa"]
+        exs = [fmt(d) for d in docs]
+        assert exs[0].context == "Question: sky color?\nAnswer:"
+        assert exs[0].choices == [" blue", " red"]
+        assert [e.gold for e in exs] == [0, 1, 1]
+
+        cfg = jopt.OPTConfig(vocab_size=300, hidden_size=32, ffn_dim=64,
+                             num_hidden_layers=1, num_attention_heads=4,
+                             max_position_embeddings=128)
+        params = jopt.init_params(cfg, jax.random.PRNGKey(0))
+        fam = family_for("facebook/opt-125m")
+
+        class ByteTok:
+            eos_token_id = 1
+
+            def encode(self, s, add_special_tokens=True):
+                return [min(ord(c), 255) for c in s]
+
+        out = T.evaluate_model_tasks(
+            params, cfg, fam, ByteTok(), ["colors_qa"],
+            examples_by_task={"colors_qa": exs}, num_fewshot=1)
+        assert out["results"]["colors_qa"]["n"] == 3
+        assert 0.0 <= out["results"]["colors_qa"]["acc"] <= 1.0
+    finally:
+        T.TASK_SPECS.pop("colors_qa", None)
+        T.TASK_FORMATTERS.pop("colors_qa", None)
