@@ -24,9 +24,13 @@ _PREFILL_BF16 = os.environ.get("PB_TPU_PREFILL_BF16", "0") == "1"
 #   extract: "pallas" (dequant kernel) | "xla" (broadcast shift/AND)
 _PREFILL_GATHER = os.environ.get("PB_TPU_PREFILL_GATHER", "take")
 _PREFILL_EXTRACT = os.environ.get("PB_TPU_PREFILL_EXTRACT", "pallas")
-# v2 decode dot path: "auto" → paired bf16 planes on real TPU (engine-grade;
-# only x rounds to bf16), exact f32 under interpret/CPU so parity tests stay
-# bit-tight.  Force with "f32" | "bf16" | "pair".
+# v2 decode dot path: "f32" | "bf16" | "pair" ("auto" == f32 for now).
+# MEASURED (scripts/bench_v2_decode_arms.py, v5e, interleaved arms at
+# 4096x11008 m=8): f32 25.6 µs, bf16 33.0, pair 37.9 — the kernel is
+# VPU-extraction/DMA-bound, not MXU-bound, so bf16 dots only add convert
+# passes and the pair path's per-pair u32→u16 sublane bitcast costs more
+# than the halved shift/ANDs save (u16 lane shifts don't legalize in
+# Mosaic).  The arms stay selectable for future chips.
 _DECODE_DOT = os.environ.get("PB_TPU_DECODE_DOT", "auto")
 
 
@@ -56,7 +60,7 @@ def pb_matmul(x: jnp.ndarray, p) -> jnp.ndarray:
     if v2:
         dd = _DECODE_DOT
         if dd == "auto":
-            dd = "pair" if mode == "pallas" else "f32"
+            dd = "f32"  # measured fastest on v5e (see module comment)
         v2_kw["decode_dot"] = dd
     if mode == "pallas":
         fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas

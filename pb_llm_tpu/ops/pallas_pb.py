@@ -580,6 +580,119 @@ def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dt
     return y
 
 
+def _planar_v2_dma_kernel(x_ref, xg_ref, coef_ref, s_hbm, v_hbm, o_ref,
+                          s_buf, v_buf, sems, *, ic: int, oc: int,
+                          pack_block: int, side_bits: int, shards: int):
+    """Planar v2 decode with MANUAL double-buffered DMA: the sign planes stay
+    in HBM and stream per pack block into a 2-slot VMEM scratch while the
+    previous block's 32 bit-plane dots run — with grid=1 (the whole-oc tile
+    that measured fastest) Mosaic otherwise serializes the full operand DMA
+    before any compute, leaving the ~12.5 µs stream (llama-7b MLP shape)
+    un-overlapped under the ~23 µs VPU extraction.  The sidecar DMA is
+    kicked off first and awaited only before the salient dot."""
+    blocks = packing.block_sizes(ic, pack_block)
+    gs = [r // WORD_BITS for r in blocks]
+    w_offs = [0]
+    r_offs = [0]
+    for r, g in zip(blocks, gs):
+        w_offs.append(w_offs[-1] + g)
+        r_offs.append(r_offs[-1] + r)
+
+    def s_copy(slot, bi):
+        g = gs[bi]
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(w_offs[bi], g)],
+            s_buf.at[slot, pl.ds(0, g)],
+            sems.at[slot],
+        )
+
+    def v_copy():
+        return pltpu.make_async_copy(v_hbm, v_buf, sems.at[2])
+
+    v_copy().start()
+    s_copy(0, 0).start()
+
+    xb = x_ref[:]
+    mrows = xb.shape[0]
+    acc_b = jnp.zeros((mrows, oc), jnp.float32)
+    for bi, rows in enumerate(blocks):
+        g = gs[bi]
+        slot = bi % 2
+        if bi + 1 < len(blocks):
+            s_copy((bi + 1) % 2, bi + 1).start()
+        s_copy(slot, bi).wait()
+        ws = s_buf[slot, 0:g, :]
+        r_off = r_offs[bi]
+        for b in range(WORD_BITS):
+            xs = xb[:, r_off + b * g : r_off + (b + 1) * g]
+            acc_b += jnp.dot(xs, _bit_plane_two(ws, b),
+                             preferred_element_type=jnp.float32)
+
+    v_copy().wait()
+    acc_v, rowsum_g = _v2_salient_terms(
+        xg_ref, v_buf, mrows, oc, oc, side_bits, shards, jnp.float32)
+
+    rowsum = jnp.sum(xb, axis=1, keepdims=True)
+    alpha = coef_ref[0:1, :]
+    beta = coef_ref[1:2, :]
+    gamma = coef_ref[2:3, :]
+    hs = coef_ref[3:4, :]
+    bias = coef_ref[4:5, :]
+    o_ref[:] = rowsum * beta + acc_b * alpha + acc_v * hs + rowsum_g * gamma + bias
+
+
+def _planar_v2_dma_call(x, p: PackedLinearV2, interpret: bool):
+    """Whole-oc planar v2 call with manual HBM→VMEM streaming (see kernel).
+    Requires the global-selection layout (n_row_groups == 1)."""
+    m, ic = x.shape
+    oc = p.oc_local
+    m_pad = _round_up(max(m, 8), 8)
+    xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
+    xg = jnp.transpose(gather_x_v2(xp, p), (2, 0, 1))  # [1, m_pad, k_pad]
+
+    scale = p.low_scale[0].astype(jnp.float32)
+    mean = p.low_mean[0].astype(jnp.float32)
+    alpha = scale
+    beta = mean - scale
+    gamma = -p.high_scale * p.high_zero - beta
+    bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
+    coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)
+
+    pack_block = p.pack_block_local
+    g_max = max(r // WORD_BITS for r in packing.block_sizes(ic, pack_block))
+    kernel = functools.partial(
+        _planar_v2_dma_kernel, ic=ic, oc=oc, pack_block=pack_block,
+        side_bits=p.side_bits, shards=p.shards_local,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xg
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # coef
+            pl.BlockSpec(memory_space=pltpu.ANY),    # sign planes (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # sidecar codes (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, g_max, oc), jnp.uint32),
+            pltpu.VMEM(p.side_val.shape, jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * m_pad * ic * oc,
+            bytes_accessed=ic * oc // 8 + p.k_pad * oc + m_pad * (ic + oc) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, xg, coef, p.sign_packed, p.side_val)
+    return out[:m]
+
+
 # decode path stays planar below this m; prefill dequantizes + XLA-dots
 _V2_PREFILL_M = 256
 
@@ -627,11 +740,13 @@ def pb_matmul_pallas_v2(
 ) -> jnp.ndarray:
     """y = x @ dequant_v2(p) (+ bias); x [m, ic] → y [m, oc] float32.
 
-    ``decode_dot`` picks the small-m (decode) kernel's dot precision:
+    ``decode_dot`` picks the small-m (decode) kernel's dot path:
       * ``"f32"``  — exact f32 bit-plane dots (parity default);
-      * ``"bf16"`` — same kernel, operands cast to bf16 (3 VPU ops/bit);
+      * ``"dma"``  — f32 dots with MANUAL double-buffered HBM streaming of
+        the planes (exact; global-selection layouts, m ≤ 256);
+      * ``"bf16"`` — operands cast to bf16 (3 VPU ops/bit);
       * ``"pair"`` — paired bf16 planes via one shift+AND per bit PAIR
-        (1 VPU op/bit, k-doubled bf16 dots — the fast serving path).
+        (k-doubled bf16 dots).
     bf16/pair round only x (planes/codes are bf16-exact); engine-grade."""
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
@@ -641,6 +756,8 @@ def pb_matmul_pallas_v2(
         dot_dtype = jnp.bfloat16 if prefill_bf16 else jnp.float32
         return _v2_prefill_call(x, p, oc_tile, interpret, dot_dtype,
                                 gather=prefill_gather, extract=prefill_extract)
+    if decode_dot == "dma" and p.n_row_groups == 1 and m <= 256:
+        return _planar_v2_dma_call(x, p, interpret)
     if oc_tile is None:
         oc_tile = _decode_oc_tile_v2(p, m)
     if decode_dot == "pair":

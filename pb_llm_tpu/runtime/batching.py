@@ -33,9 +33,10 @@ class Request:
     max_new_tokens: int = 64
     eos_token_id: Optional[int] = None
     # per-request sampling override (None -> the engine's SamplingParams).
-    # Greedy requests batch with sampled ones in one decode program; the
-    # scheduler skips speculative ticks while any ACTIVE request samples
-    # stochastically (spec verify is greedy-exact only).
+    # Greedy requests batch with sampled ones in one decode program, and
+    # speculative ticks keep running: stochastic requests verify drafts by
+    # rejection sampling (distribution-equal to plain sampling) while greedy
+    # rows in the same window stay exact-greedy (engine.spec_decode_step).
     sampling: Optional[object] = None
     # extra stop tokens (beyond eos_token_id): the request retires when any
     # of them is emitted (the stop token IS included in the output, like eos)
@@ -295,7 +296,7 @@ class ContinuousBatcher:
                     "admitted even with an idle engine — page pool smaller "
                     "than its footprint")
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
-        if (gamma and self.slot_to_request and self.engine.greedy_ok()):
+        if gamma and self.slot_to_request:
             if self.draft_source is not None:
                 drafts = self.draft_source.propose(self, gamma)
             else:

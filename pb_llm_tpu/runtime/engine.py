@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..models.registry import Family
 from . import kv_cache as kvmod
-from .sampler import SamplingParams, sample, sample_vec
+from .sampler import SamplingParams, sample, sample_vec, spec_verify_sample
 
 
 def _chosen_logprob(logits: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
@@ -163,6 +163,7 @@ class Engine:
         self._decode_vec_jit = None
         self._forced_jit = None
         self._spec_jit = None
+        self._spec_sample_jit = None
         self._prefill_logits: Dict[int, Any] = {}
         self._chunk_jobs: Dict[int, list] = {}  # slot -> [prompt_ids, offset]
         # per-step logprobs of the tokens just emitted (every decode program
@@ -729,38 +730,60 @@ class Engine:
 
         return jax.jit(step)
 
+    def _make_spec_sampled(self, gamma: int):
+        """Stochastic verify program: like `_make_spec` but the acceptance /
+        correction logic is rejection sampling (`sampler.spec_verify_sample`)
+        under the per-slot sampling vectors — spec ticks keep running while
+        requests sample, with outputs distribution-equal to plain sampling."""
+        fam, cfg = self.fam, self.cfg
+
+        def step(params, caches, inputs, lengths, key, temp, tk, tp_, drafts):
+            logits, caches = fam.forward(
+                params, inputs, cfg, kv_caches=caches, pos=lengths
+            )
+            acc, corr, lp_d, lp_c = spec_verify_sample(
+                logits, drafts, key, temp, tk, tp_)
+            return caches, acc, corr, lp_d, lp_c
+
+        return jax.jit(step)
+
+    def _spec_reserve_pages(self, gamma: int) -> None:
+        if self.pool is None:
+            return
+        # the verify writes γ+1 rows per active slot up front
+        need = sum(
+            max(0, self.pool.pages_needed(int(self.lengths[i]) + gamma + 1)
+                - len(self.pool.owned[i]))
+            for i in range(self.ecfg.n_slots) if self.active[i]
+        )
+        if need > self.pool.free_pages:
+            raise PoolExhausted(
+                f"speculative verify needs {need} new pages, pool has "
+                f"{self.pool.free_pages} free — preempt a request")
+        for i in range(self.ecfg.n_slots):
+            if self.active[i]:
+                self._ensure_pages(i, int(self.lengths[i]) + gamma + 1)
+
     def spec_decode_step(self, drafts: np.ndarray) -> Dict[int, List[int]]:
-        """Greedy speculative decode over the slot pool.
+        """Speculative decode over the slot pool.
 
         drafts [n_slots, γ] int32 (any values — wrong drafts cost only the
         wasted verify FLOPs, never correctness).  Returns {slot: tokens}
         where tokens = the accepted draft prefix + one correction token —
-        between 1 and γ+1 tokens per active slot, and the concatenated
-        stream is EXACTLY what plain greedy decode would emit."""
+        between 1 and γ+1 tokens per active slot.  All-greedy pools run the
+        token-match verify (stream EXACTLY equal to plain greedy decode);
+        pools with stochastic requests run rejection-sampling verify
+        (stream distribution-equal to plain sampling; greedy rows inside it
+        still emit exact greedy tokens)."""
         if not self.greedy_ok():
-            raise ValueError("speculative decoding is greedy-exact only; "
-                             "temperature>0 (engine-wide or per-slot) must "
-                             "use decode_step")
+            return self._spec_decode_step_sampled(drafts)
         if not self.active.any():
             return {}
         gamma = drafts.shape[1]
         if self._spec_jit is None or getattr(self, "_spec_gamma", None) != gamma:
             self._spec_jit = self._make_spec(gamma)
             self._spec_gamma = gamma
-        if self.pool is not None:
-            # the verify writes γ+1 rows per active slot up front
-            need = sum(
-                max(0, self.pool.pages_needed(int(self.lengths[i]) + gamma + 1)
-                    - len(self.pool.owned[i]))
-                for i in range(self.ecfg.n_slots) if self.active[i]
-            )
-            if need > self.pool.free_pages:
-                raise PoolExhausted(
-                    f"speculative verify needs {need} new pages, pool has "
-                    f"{self.pool.free_pages} free — preempt a request")
-            for i in range(self.ecfg.n_slots):
-                if self.active[i]:
-                    self._ensure_pages(i, int(self.lengths[i]) + gamma + 1)
+        self._spec_reserve_pages(gamma)
         inputs = np.concatenate([self.last_token[:, None], drafts.astype(np.int32)], axis=1)
         self.caches, preds, lps = self._spec_jit(
             self.params, self.caches, jnp.asarray(inputs), jnp.asarray(self.lengths))
@@ -780,6 +803,38 @@ class Engine:
             # accepted drafts equal preds, so lps[i, j] IS the emitted
             # token's logprob at position j
             self.token_logprobs[i] = [float(lps[i, j]) for j in range(len(toks))]
+        return out
+
+    def _spec_decode_step_sampled(self, drafts: np.ndarray) -> Dict[int, List[int]]:
+        if not self.active.any():
+            return {}
+        gamma = drafts.shape[1]
+        if (self._spec_sample_jit is None
+                or getattr(self, "_spec_sample_gamma", None) != gamma):
+            self._spec_sample_jit = self._make_spec_sampled(gamma)
+            self._spec_sample_gamma = gamma
+        self._spec_reserve_pages(gamma)
+        inputs = np.concatenate([self.last_token[:, None], drafts.astype(np.int32)], axis=1)
+        self._key, sub = jax.random.split(self._key)
+        temp, tk, tp_ = self._sampling_vectors()
+        self.caches, acc, corr, lp_d, lp_c = self._spec_sample_jit(
+            self.params, self.caches, jnp.asarray(inputs), jnp.asarray(self.lengths),
+            sub, temp, tk, tp_, jnp.asarray(drafts.astype(np.int32)))
+        acc, corr = np.asarray(acc), np.asarray(corr)
+        lp_d, lp_c = np.asarray(lp_d), np.asarray(lp_c)
+        out: Dict[int, List[int]] = {}
+        for i in range(self.ecfg.n_slots):
+            if not self.active[i]:
+                continue
+            k = 0
+            while k < gamma and bool(acc[i, k]):
+                k += 1
+            toks = [int(t) for t in drafts[i, :k]] + [int(corr[i, k])]
+            self.lengths[i] += len(toks)
+            self.last_token[i] = toks[-1]
+            out[i] = toks
+            self.token_logprobs[i] = (
+                [float(lp_d[i, j]) for j in range(k)] + [float(lp_c[i, k])])
         return out
 
     def decode_step(self) -> Dict[int, int]:

@@ -305,12 +305,14 @@ class MultiHostBatcher:
                     f"request {stuck - 1} cannot be admitted even with an "
                     "idle engine — page pool smaller than its bucket")
         gamma = getattr(self.engine.ecfg, "spec_gamma", 0)
-        if (gamma and self.slot_to_request and self.engine.greedy_ok()):
+        if gamma and self.slot_to_request:
             # drafts are a pure function of request histories, which are
             # identical on every host (prompt from the broadcast record,
             # outputs from identical decode streams) — no extra broadcast,
             # whether they come from prompt-lookup or a replicated draft
-            # model (each host rolls its own identical draft engine)
+            # model (each host rolls its own identical draft engine).
+            # Stochastic requests verify by rejection sampling with the
+            # shared key/sampling vectors, so ranks stay byte-identical.
             from .batching import ContinuousBatcher
 
             if self.draft_source is not None:

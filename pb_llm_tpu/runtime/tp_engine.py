@@ -230,6 +230,33 @@ def make_tp_spec(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Call
     return jax.jit(fn)
 
 
+def make_tp_spec_logits(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Callable:
+    """TP verify forward returning the FULL gathered logits [B, t, V] — the
+    rejection-sampling verify (`sampler.spec_verify_sample`) rides them
+    outside shard_map, like the per-request decode sampler."""
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, fam, tp)
+    pspecs = param_specs(params_tree, fam.name, mesh)
+    cache_specs = _cache_specs_like(caches_tree)
+
+    def local_step(params, caches, inputs, lengths):
+        logits, caches = fam.forward(
+            params, inputs, lcfg,
+            linear_fn=_tp_linear_fn, kv_caches=caches, pos=lengths,
+        )
+        if logits.shape[-1] != cfg.vocab_size:
+            logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
+        return caches, logits
+
+    return shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, cache_specs, P(), P()),
+        out_specs=(cache_specs, P()),
+        check_vma=False,
+    )
+
+
 def make_tp_prefill_chunk(cfg, fam: Family, mesh: Mesh, params_tree, chunk: int, caches_tree, paged: bool) -> Callable:
     """Jitted TP chunked-prefill step (see `Engine.prefill_chunk_step`).
 
@@ -454,6 +481,23 @@ class TPEngine:
         base._make_decode_vec = make_decode_vec
         base._make_spec = lambda gamma: make_tp_spec(
             cfg, fam, mesh, params_sh, caches_tree=base.caches)
+
+        def make_spec_sampled(gamma):
+            from .sampler import spec_verify_sample
+
+            step = make_tp_spec_logits(cfg, fam, mesh, params_sh,
+                                       caches_tree=base.caches)
+
+            @jax.jit
+            def run(params, caches, inputs, lengths, key, temp, tk, tp_, drafts):
+                caches, logits = step(params, caches, inputs, lengths)
+                acc, corr, lp_d, lp_c = spec_verify_sample(
+                    logits, drafts, key, temp, tk, tp_)
+                return caches, acc, corr, lp_d, lp_c
+
+            return run
+
+        base._make_spec_sampled = make_spec_sampled
         base._make_prefill_chunk = lambda chunk: make_tp_prefill_chunk(
             cfg, fam, mesh, params_sh, chunk, caches_tree=base.caches, paged=False)
         base._make_prefill_chunk_paged = lambda chunk: make_tp_prefill_chunk(

@@ -139,9 +139,11 @@ def test_per_request_greedy_override_on_stochastic_engine(tiny_opt):
     assert out[0] == plain[0]
 
 
-def test_spec_skipped_while_any_slot_samples(tiny_opt):
-    """spec_gamma>0 + a stochastic request: the scheduler must fall back to
-    plain decode (no spec ticks), and greedy streams stay exact."""
+def test_spec_continues_while_any_slot_samples(tiny_opt):
+    """spec_gamma>0 + a stochastic request: spec ticks KEEP RUNNING
+    (rejection-sampling verify, VERDICT r2 item 8) — the greedy request's
+    stream stays exactly the plain-greedy stream (greedy rows in the
+    sampled verify accept on token-match and correct with argmax)."""
     params, cfg, fam = tiny_opt
     p0 = [7, 8, 9, 7, 8, 9, 7, 8]
     plain, _ = _run(params, cfg, fam,
@@ -152,14 +154,9 @@ def test_spec_skipped_while_any_slot_samples(tiny_opt):
                 sampling=SamplingParams(temperature=0.9)),
     ]
     out, stats = _run(params, cfg, fam, reqs, spec_gamma=3)
-    assert stats.spec_drafted == 0
+    assert stats.spec_drafted > 0
     assert out[0] == plain[0]
-
-    # ... and once the stochastic request is gone, spec ticks resume:
-    # release clears the override (greedy_ok flips back)
-    reqs2 = [Request(request_id=0, prompt_ids=p0, max_new_tokens=10)]
-    out2, stats2 = _run(params, cfg, fam, reqs2, spec_gamma=3)
-    assert stats2.spec_drafted > 0 and out2[0] == plain[0]
+    assert len(out[1]) == 10
 
 
 def test_tp_engine_per_request_sampling(tiny_opt):

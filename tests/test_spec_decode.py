@@ -123,7 +123,9 @@ def test_batcher_spec_matches_plain(tiny_opt):
     assert stats.spec_accepted > 0, (stats.spec_drafted, stats.spec_accepted)
 
 
-def test_spec_rejects_bad_config(tiny_opt):
+def test_spec_sampled_runs_with_temperature(tiny_opt):
+    """temperature > 0 no longer raises: the verify switches to rejection
+    sampling (VERDICT r2 item 8) and still emits 1..γ+1 tokens per step."""
     params, cfg, fam = tiny_opt
     from pb_llm_tpu.runtime.sampler import SamplingParams
 
@@ -131,8 +133,76 @@ def test_spec_rejects_bad_config(tiny_opt):
         n_slots=1, max_seq=64, prefill_buckets=(8,), spec_gamma=2),
         SamplingParams(temperature=0.7))
     eng.prefill(0, [5, 17, 99])
-    with pytest.raises(ValueError):
-        eng.spec_decode_step(np.zeros((1, 2), np.int32))
+    for _ in range(4):
+        out = eng.spec_decode_step(np.zeros((1, 2), np.int32))
+        assert 1 <= len(out[0]) <= 3
+        assert len(eng.token_logprobs[0]) == len(out[0])
+
+
+def test_spec_verify_sample_distribution_equality():
+    """The rejection-sampling verify's FIRST emitted token must be
+    distribution-equal to plain sampling from the (temperature/top-k)
+    filtered target — checked empirically over 20k keys against the
+    analytic filtered softmax, for an arbitrary (wrong-ish) draft."""
+    import jax
+    import jax.numpy as jnp
+
+    from pb_llm_tpu.runtime.sampler import filter_logits_vec, spec_verify_sample
+
+    V, t = 16, 3
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((1, t, V)).astype(np.float32) * 2.0)
+    drafts = jnp.asarray(np.asarray([[3, 7]], np.int32))
+    for tk_val in (0, 4):
+        temp = jnp.asarray([0.8], jnp.float32)
+        tk = jnp.asarray([tk_val], jnp.int32)
+        tp = jnp.asarray([1.0], jnp.float32)
+
+        @jax.jit
+        def one(key):
+            acc, corr, _, _ = spec_verify_sample(logits, drafts, key, temp, tk, tp)
+            return jnp.where(acc[0, 0], drafts[0, 0], corr[0, 0])
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 20000)
+        emitted = np.asarray(jax.vmap(one)(keys))
+        x = filter_logits_vec(np.asarray(logits)[0, :1, :].astype(np.float32),
+                              temp, tk, tp)
+        p = np.asarray(jax.nn.softmax(jnp.asarray(x), axis=-1))[0]
+        freq = np.bincount(emitted, minlength=V) / len(emitted)
+        assert np.abs(freq - p).max() < 0.02, (tk_val, freq, p)
+        # and outside-support tokens never appear
+        assert freq[p == 0.0].sum() == 0.0
+
+
+def test_spec_sampled_topk1_matches_plain_and_accepts(tiny_opt):
+    """top_k=1 sampling is deterministic (argmax), so the rejection-sampling
+    spec stream must EXACTLY equal plain decode with the same params — and
+    with a self-draft source every draft is accepted, so spec ticks keep
+    their speed win at temperature > 0 (spec_accepted > 0)."""
+    params, cfg, fam = tiny_opt
+    from pb_llm_tpu.runtime.sampler import SamplingParams
+
+    sp = SamplingParams(temperature=0.7, top_k=1)
+    mk_reqs = lambda: [
+        Request(request_id=0, prompt_ids=[5, 17, 99, 3], max_new_tokens=10,
+                sampling=sp),
+        Request(request_id=1, prompt_ids=[42, 7, 11], max_new_tokens=8),
+    ]
+
+    def run(gamma, draft=False):
+        eng = Engine(params, cfg, fam, EngineConfig(
+            n_slots=2, max_seq=64, prefill_buckets=(8,), spec_gamma=gamma))
+        b = ContinuousBatcher(
+            eng, draft_source=_draft_source(params, cfg, fam) if draft else None)
+        reqs = mk_reqs()
+        b.run(reqs)
+        return [r.output_ids for r in reqs], b.stats
+
+    plain, _ = run(0)
+    spec, stats = run(3, draft=True)
+    assert spec == plain
+    assert stats.spec_drafted > 0
+    assert stats.spec_accepted == stats.spec_drafted  # self-draft + top_k=1
 
 
 def test_spec_tp_matches_single_device(tiny_opt):
