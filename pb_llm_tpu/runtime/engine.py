@@ -50,8 +50,9 @@ class EngineConfig:
     # switches the strip pool to a global page pool; n_pages 0 sizes it to
     # full strip capacity (set lower to oversubscribe slots under length
     # variance — ContinuousBatcher admission-controls via can_admit).
-    # Requires scan_layers=False and every prefill bucket divisible by
-    # page_size.  GQA is native (grouped heads in-kernel; pages store
+    # Composes with scan_layers (the stacked cache carries [L]-axis pages
+    # and table).  Every prefill bucket must divide by page_size.
+    # GQA is native (grouped heads in-kernel; pages store
     # kv_heads only).  cache_dtype=int8 quantizes the pages (absmax per
     # (token, head), f32 scale planes, in-kernel dequant) — 4x pages per
     # HBM byte vs f32.
@@ -90,6 +91,25 @@ class EngineConfig:
     prefill_chunk: int = 0
 
 
+def _cache_with_extras(caches, **extras):
+    """Inject per-program cache extras (``slot_pages`` / ``chunk_table``)
+    into the paged cache: per layer dict for the unrolled list, broadcast
+    over the leading [L] axis for scan-stacked caches (the scan body slices
+    the same extra back out for every layer)."""
+    if isinstance(caches, dict):  # stacked (scan_layers)
+        L = caches["k_pages"].shape[0]
+        return dict(caches, **{k: jnp.broadcast_to(v, (L,) + v.shape)
+                               for k, v in extras.items()})
+    return [dict(c, **extras) for c in caches]
+
+
+def _cache_strip_extras(caches):
+    drop = ("slot_pages", "chunk_table")
+    if isinstance(caches, dict):
+        return {k: v for k, v in caches.items() if k not in drop}
+    return [{k: v for k, v in c.items() if k not in drop} for c in caches]
+
+
 class PoolExhausted(RuntimeError):
     """Decode needs more pages than the paged pool has free.  Raised BEFORE
     any slot grows (the step is not taken), so the scheduler can preempt a
@@ -109,8 +129,6 @@ class Engine:
         n_layers, kv_heads, head_dim = kvmod.cache_spec_for(cfg, fam.name)
         self.pool = None
         if ecfg.prefill_chunk:
-            if ecfg.scan_layers:
-                raise ValueError("chunked prefill and scan_layers are mutually exclusive (for now)")
             if ecfg.page_size and ecfg.prefill_chunk % ecfg.page_size:
                 raise ValueError(
                     f"prefill_chunk {ecfg.prefill_chunk} must be a multiple of "
@@ -131,8 +149,6 @@ class Engine:
         if ecfg.page_size:
             from . import paged_kv
 
-            if ecfg.scan_layers:
-                raise ValueError("paged KV and scan_layers are mutually exclusive (for now)")
             for b in ecfg.prefill_buckets:
                 if b % ecfg.page_size:
                     raise ValueError(f"prefill bucket {b} not divisible by page_size {ecfg.page_size}")
@@ -229,9 +245,15 @@ class Engine:
         return jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp)
 
     def _refresh_table(self) -> None:
-        """Push the host page table into every layer's cache dict."""
+        """Push the host page table into every layer's cache dict (or the
+        scan-stacked cache's [L]-broadcast table leaf)."""
         table = self.pool.table_device()
-        self.caches = [dict(c, table=table) for c in self.caches]
+        if isinstance(self.caches, dict):  # scan_layers: stacked [L, ...]
+            L = self.caches["table"].shape[0]
+            self.caches = dict(
+                self.caches, table=jnp.broadcast_to(table, (L,) + table.shape))
+        else:
+            self.caches = [dict(c, table=table) for c in self.caches]
 
     def _ensure_pages(self, slot: int, length: int) -> None:
         before = list(self.pool.owned[slot])
@@ -278,10 +300,9 @@ class Engine:
 
         def prefill(params, caches, ids_padded, slot_pages, true_len):
             # full pool rides along; the slot's page list directs the writes
-            pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+            pcaches = _cache_with_extras(caches, slot_pages=slot_pages)
             logits, new = fam.forward(params, ids_padded[None, :], cfg, kv_caches=pcaches, pos=0)
-            new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
-            return new, logits[0, true_len - 1]
+            return _cache_strip_extras(new), logits[0, true_len - 1]
 
         return jax.jit(prefill)
 
@@ -316,9 +337,9 @@ class Engine:
 
         def prefill(params, caches, ids_padded, slot_pages, true_lens):
             # slot_pages [K, maxp]: cache_update scans the batch into pages
-            pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+            pcaches = _cache_with_extras(caches, slot_pages=slot_pages)
             logits, new = fam.forward(params, ids_padded, cfg, kv_caches=pcaches, pos=0)
-            new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
+            new = _cache_strip_extras(new)
             next_logits = jnp.take_along_axis(
                 logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
             return new, next_logits
@@ -421,16 +442,25 @@ class Engine:
         fam, cfg = self.fam, self.cfg
 
         def prefill(params, caches, ids_chunk, slot, offset, n_valid):
-            slot_caches = [
-                {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
-                for c in caches
-            ]
-            logits, new = fam.forward(params, ids_chunk[None, :], cfg,
-                                      kv_caches=slot_caches, pos=offset)
-            caches = [
-                {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
-                for c, nc in zip(caches, new)
-            ]
+            if isinstance(caches, dict):  # stacked [L, slots, ...] (scan_layers)
+                slot_caches = jax.tree_util.tree_map(
+                    lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, 1), caches)
+                logits, new = fam.forward(params, ids_chunk[None, :], cfg,
+                                          kv_caches=slot_caches, pos=offset)
+                caches = jax.tree_util.tree_map(
+                    lambda c, nc: jax.lax.dynamic_update_slice_in_dim(c, nc, slot, 1),
+                    caches, new)
+            else:
+                slot_caches = [
+                    {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
+                    for c in caches
+                ]
+                logits, new = fam.forward(params, ids_chunk[None, :], cfg,
+                                          kv_caches=slot_caches, pos=offset)
+                caches = [
+                    {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
+                    for c, nc in zip(caches, new)
+                ]
             return caches, logits[0, n_valid - 1]
 
         return jax.jit(prefill)
@@ -442,14 +472,11 @@ class Engine:
         fam, cfg = self.fam, self.cfg
 
         def prefill(params, caches, ids_chunk, chunk_pages, table_row, offset, n_valid):
-            pcaches = [dict(c, slot_pages=chunk_pages, chunk_table=table_row)
-                       for c in caches]
+            pcaches = _cache_with_extras(
+                caches, slot_pages=chunk_pages, chunk_table=table_row)
             logits, new = fam.forward(params, ids_chunk[None, :], cfg,
                                       kv_caches=pcaches, pos=offset)
-            new = [{k: v for k, v in c.items()
-                    if k not in ("slot_pages", "chunk_table")}
-                   for c in new]
-            return new, logits[0, n_valid - 1]
+            return _cache_strip_extras(new), logits[0, n_valid - 1]
 
         return jax.jit(prefill)
 
