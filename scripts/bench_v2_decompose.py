@@ -215,7 +215,10 @@ def _variant_call(x, planes, k_pad, pack_block, variant):
     gamma = -s5 * s6 - beta
     coef = jnp.stack([alpha, beta, gamma, s5, jnp.zeros((oc,), jnp.float32)], axis=0)
 
-    if variant == "int8":
+    if variant.startswith("int8"):
+        _, _, ot = variant.partition("@")  # int8@2752 → oc tiles of 2752
+        oc_tile = int(ot) if ot else oc
+        n_tiles = oc // oc_tile
         m_pad8 = 32  # int8 min sublane tile
         xpf = jnp.zeros((m_pad8, ic), jnp.float32).at[:m].set(x)
         sx = jnp.max(jnp.abs(xpf)) / 127.0
@@ -234,20 +237,20 @@ def _variant_call(x, planes, k_pad, pack_block, variant):
         coef8 = jnp.stack([alpha, beta, gamma, s5,
                            jnp.full((oc,), 1.0, jnp.float32) * sx], axis=0)
         out = pl.pallas_call(
-            functools.partial(_int8_kernel, ic=ic, oc=oc, pack_block=pack_block),
+            functools.partial(_int8_kernel, ic=ic, oc=oc_tile, pack_block=pack_block),
             out_shape=jax.ShapeDtypeStruct((m_pad8, oc), jnp.float32),
-            grid=(1,),
+            grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((m_pad8, ic), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((m_pad8, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, m_pad8, k_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((ic // 32, oc), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((k_pad, oc), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((5, oc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_pad, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((5, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((m_pad8, oc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((m_pad8, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=("parallel",),
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             cost_estimate=pl.CostEstimate(
@@ -350,6 +353,78 @@ def mk_dense():
     return mk, (W,)
 
 
+def mk_variant_flat(variant, pack_block):
+    """Like mk_variant but each of the K weights is a SEPARATE traced array
+    (the scan body unrolls over all K) — how the serving engine actually
+    invokes the kernel.  The stacked harness's in-scan dynamic slice forces
+    XLA to MATERIALIZE ~10 MB of pallas operands per matmul (a pallas call
+    cannot fuse a slice into its operand read the way a dense dot can),
+    which is the ~40 µs plateau every kernel variant hits."""
+    planes = []
+    k_pad = None
+    for s in range(K):
+        p, k_pad = make_planes(s, pack_block)
+        planes.append(p)
+    flat = tuple(jnp.asarray(a) for p in planes for a in p)
+
+    def mk(L):
+        @jax.jit
+        def loop(x, *flat):
+            def body(c, _):
+                for kk in range(K):
+                    pk = flat[kk * 7 : (kk + 1) * 7]
+                    if variant.startswith("ship"):
+                        from pb_llm_tpu.core import pbw
+                        p = pbw.PackedLinearV2(
+                            sign_packed=pk[0], side_val=pk[1], side_idx=pk[2],
+                            low_scale=pk[3], low_mean=pk[4], high_scale=pk[5],
+                            high_zero=pk[6], bias=None, ic=IC, oc=OC,
+                            col_tile=OC, pack_block=pack_block,
+                            k_pad_shard=k_pad)
+                        _, _, ot = variant.partition("@")
+                        y = pallas_pb.pb_matmul_pallas_v2(
+                            c, p, oc_tile=int(ot) if ot else None)
+                    else:
+                        y = _variant_call(c, pk, k_pad, pack_block, variant)
+                    c = c + y[:, :IC] * 1e-8
+                return c, ()
+            c, _ = jax.lax.scan(body, x, None, length=L // K)
+            return jnp.sum(c)
+        return loop
+
+    return (mk, flat), k_pad
+
+
+def _fold_oc(y):
+    """[m, OC] → [m, IC] consuming EVERY output column: a bare y[:, :IC]
+    lets XLA dead-code the matmul down to W[:, :IC] when W is a static
+    array (measured: "dense" 42.6 µs = 2.1 TB/s, impossible)."""
+    m = y.shape[0]
+    y1 = y[:, :IC] + y[:, IC : 2 * IC]
+    rest = y[:, 2 * IC :]
+    y2 = jnp.zeros((m, IC), y.dtype).at[:, : rest.shape[1]].set(rest)
+    return y1 + y2
+
+
+def mk_dense_flat():
+    Ws = tuple(jnp.asarray(np.random.default_rng(1 + i).standard_normal((IC, OC)), jnp.bfloat16)
+               for i in range(K))
+
+    def mk(L):
+        @jax.jit
+        def loop(x, *Ws):
+            def body(c, _):
+                for W in Ws:
+                    y = (c.astype(jnp.bfloat16) @ W).astype(jnp.float32)
+                    c = c + _fold_oc(y) * 1e-8
+                return c, ()
+            c, _ = jax.lax.scan(body, x, None, length=L // K)
+            return jnp.sum(c)
+        return loop
+
+    return mk, Ws
+
+
 def interleaved(arms, reps=6):
     xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32))
           for i in range(reps + 2)]
@@ -390,6 +465,14 @@ def main():
             bench_arms = importlib.import_module("bench_v2_decode_arms")
             mk, stk, k_pad = bench_arms.mk_packed("f32")
             arms[tag] = (mk, stk)
+            continue
+        if tag == "dense_flat":
+            arms[tag] = mk_dense_flat()
+            continue
+        if tag.endswith("_flat"):  # e.g. ship_flat, int8_flat, full_flat
+            variant = tag[:-5]
+            arms[tag], k_pad = mk_variant_flat(
+                variant, packing.default_pack_block(IC))
             continue
         if tag.startswith("pb"):
             variant, pack_block = "full", int(tag[2:])

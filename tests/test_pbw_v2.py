@@ -407,6 +407,56 @@ def test_v2_decode_dot_paths_match_reference():
                 assert np.abs(got - ref).max() / scale < 2e-2, (oc, ic, ct, hb, dd)
 
 
+def test_v2_decode_dot_int8_close():
+    """decode_dot="int8" (byte-lane extraction, per-row absmax x): relative
+    error is bounded by x's int8 rounding — same engine-grade bar as the
+    bf16/pair arms.  Global-selection layouts only (col_tile=0)."""
+    for (oc, ic, hb) in [(256, 128, 8), (128, 416, 4), (256, 2048, 8)]:
+        w_q, _, p, _, b = _make_v2(oc=oc, ic=ic, col_tile=0, bias=True,
+                                   high_bits=hb, low_frac=0.9)
+        x = jnp.asarray(np.random.default_rng(13).standard_normal((4, ic)).astype(np.float32))
+        with jax.default_matmul_precision("float32"):
+            ref = np.asarray(pbw.matmul_reference_v2(x, p))
+            got = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+                x, p, interpret=True, oc_tile=128, decode_dot="int8"))
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 2e-2, (oc, ic, hb)
+
+
+def test_v2_decode_dot_int8_exact_at_unit_scale():
+    """When every row of x is integer-valued with absmax exactly 127
+    (sx = 1), the int8 quantization is lossless and the int8 kernel matches
+    the exact f32 kernel bit-for-bit: integer dots < 2^24 are exact in both
+    f32 and int32 accumulation, and both paths then apply the same f32
+    coefficient math."""
+    oc, ic = 256, 256
+    w_q, _, p, _, b = _make_v2(oc=oc, ic=ic, col_tile=0, bias=True, low_frac=0.9)
+    r = np.random.default_rng(14)
+    x = r.integers(-127, 128, size=(4, ic)).astype(np.float32)
+    x[:, 0] = 127.0  # pin each row's absmax to 127 → sx == 1.0
+    x = jnp.asarray(x)
+    with jax.default_matmul_precision("float32"):
+        f32 = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+            x, p, interpret=True, oc_tile=128, decode_dot="f32"))
+        i8 = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+            x, p, interpret=True, oc_tile=128, decode_dot="int8"))
+    np.testing.assert_allclose(i8, f32, rtol=1e-6, atol=1e-5)
+
+
+def test_byte_permute_is_permutation():
+    """byte_permute_x is a pure column permutation whose order matches the
+    int8 byte-plane rows: new col b·4g + 4i + j == old col (8j + b)·g + i."""
+    ic, pack_block = 256, 64
+    x = jnp.asarray(np.arange(2 * ic, dtype=np.float32).reshape(2, ic))
+    xp = np.asarray(pallas_pb.byte_permute_x(x, ic, pack_block))
+    assert sorted(xp[0].tolist()) == sorted(np.asarray(x)[0].tolist())
+    g = pack_block // 32
+    for b_ in (0, 3, 7):
+        for i in range(g):
+            for j in range(4):
+                assert xp[0, b_ * 4 * g + 4 * i + j] == (8 * j + b_) * g + i
+
+
 def test_v2_decode_dot_pair_ic_shards():
     """Pair path with the row-parallel TP sidecar layout (ic_shards > 1)."""
     w_q, _, p, _ = _make_v2_sharded(oc=256, ic=256, ic_shards=4, col_tile=0)
