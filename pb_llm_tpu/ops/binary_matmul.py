@@ -40,6 +40,14 @@ def set_backend(mode: str) -> None:
     _MODE = mode
 
 
+def set_decode_dot(mode: str) -> None:
+    """Override the v2 decode dot path (tests / benches; serving reads the
+    PB_TPU_DECODE_DOT env at import)."""
+    global _DECODE_DOT
+    assert mode in ("auto", "f32", "int8", "dma", "bf16", "pair")
+    _DECODE_DOT = mode
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu",)

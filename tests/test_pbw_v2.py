@@ -644,3 +644,43 @@ def test_v2_4bit_serialization_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(lp.side_val), np.asarray(p.side_val))
     np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(lp)),
                                np.asarray(pbw.dequantize_v2(p)), rtol=0, atol=0)
+
+
+def test_engine_decode_dot_int8_quality_bound():
+    """Engine-level quality of decode_dot="int8" (per-row absmax x): the
+    teacher-forced decode NLL through the pallas-interpret engine moves
+    < 2% relative vs the exact f32 arm — same bar as the int8 KV cache."""
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.ops import binary_matmul
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    cfg = jllama.LlamaConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                             num_hidden_layers=2, num_attention_heads=8,
+                             num_key_value_heads=8, max_position_embeddings=64)
+    fam = family_for("huggyllama/llama-7b")
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    calib = np.random.default_rng(0).integers(0, 128, size=(2, 16))
+    scfg = SolverConfig(low_frac=0.9, blocksize=32, mask_structure="column",
+                        col_tile=0)  # global columns: the int8 path's layout
+    packed, _ = quantize_model_ptq(params, cfg, fam, calib, scfg,
+                                   fmt="packed_v2", log=None, pack_block=32)
+
+    prompt = [5, 17, 42, 3]
+    forced = [7, 21, 9, 33, 2]
+    nll = {}
+    binary_matmul.set_backend("pallas_interpret")
+    try:
+        for dd in ("f32", "int8"):
+            binary_matmul.set_decode_dot(dd)
+            eng = Engine(packed, cfg, fam,
+                         EngineConfig(n_slots=1, max_seq=32, prefill_buckets=(8,)))
+            eng.prefill(0, prompt)
+            nll[dd] = eng.forced_decode_nll(0, forced)
+    finally:
+        binary_matmul.set_backend("auto")
+        binary_matmul.set_decode_dot("auto")
+    assert np.isfinite(nll["int8"]) and nll["int8"] > 0
+    assert abs(nll["int8"] - nll["f32"]) / nll["f32"] < 0.02, nll
