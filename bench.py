@@ -140,23 +140,46 @@ def interleaved_slopes(arms, reps=6):
     return out
 
 
+def _fold_oc(y):
+    """[m, OC] → [m, IC] consuming EVERY output column: a bare y[:, :IC]
+    epilogue lets XLA dead-code a static-weight dense matmul down to
+    W[:, :IC] (measured: an impossible 2.1 TB/s)."""
+    m = y.shape[0]
+    y1 = y[:, :IC] + y[:, IC : 2 * IC]
+    rest = y[:, 2 * IC :]
+    y2 = jnp.zeros((m, IC), y.dtype).at[:, : rest.shape[1]].set(rest)
+    return y1 + y2
+
+
+# Both arms carry the K distinct weights as SEPARATE traced arrays with the
+# scan body unrolled over them — how the (unrolled) serving engine invokes
+# the kernel.  Slicing a stacked [K, ...] tensor in-scan forces XLA to
+# MATERIALIZE the pallas operands (~10 MB HBM copy per matmul; a pallas
+# call cannot fuse a dynamic slice into its operand read the way a dense
+# dot can), which understated every kernel variant by ~1.5x in rounds 1-2
+# (scripts/bench_v2_decompose.py).
+
+
 def bench_dense():
-    W = jnp.asarray(np.random.default_rng(1).standard_normal((K, IC, OC)), jnp.bfloat16)
+    Ws = tuple(jnp.asarray(np.random.default_rng(1 + i).standard_normal((IC, OC)), jnp.bfloat16)
+               for i in range(K))
 
     def mk(L):
         @jax.jit
-        def loop(x, W):
-            def body(c, k):
-                y = (c.astype(jnp.bfloat16) @ W[k]).astype(jnp.float32)
-                return c + y[:, :IC] * 1e-8, ()
-            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+        def loop(x, *Ws):
+            def body(c, _):
+                for W in Ws:
+                    y = (c.astype(jnp.bfloat16) @ W).astype(jnp.float32)
+                    c = c + _fold_oc(y) * 1e-8
+                return c, ()
+            c, _ = jax.lax.scan(body, x, None, length=L // K)
             return jnp.sum(c)
         return loop
 
-    return mk, (W,)
+    return mk, Ws
 
 
-def bench_packed():
+def bench_packed(decode_dot="auto"):
     from pb_llm_tpu.core import pbw
     from pb_llm_tpu.ops import pallas_pb
 
@@ -164,25 +187,29 @@ def bench_packed():
     for s in range(K):
         p, pack_block, k_pad = make_planes(s)
         planes.append(p)
-    stk = tuple(jnp.asarray(np.stack([p[i] for p in planes])) for i in range(7))
+    flat = tuple(jnp.asarray(a) for p in planes for a in p)
+    dd = "int8" if decode_dot == "auto" else decode_dot  # serving default
 
     def mk(L):
         @jax.jit
-        def loop(x, s0, s1, s2, s3, s4, s5, s6):
-            def body(c, k):
-                p = pbw.PackedLinearV2(
-                    sign_packed=s0[k], side_val=s1[k], side_idx=s2[k],
-                    low_scale=s3[k], low_mean=s4[k], high_scale=s5[k], high_zero=s6[k],
-                    bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
-                    k_pad_shard=k_pad, side_bits=4 if HIGH_BIT <= 4 else 8,
-                )
-                y = pallas_pb.pb_matmul_pallas_v2(c, p)  # default: whole-oc tile
-                return c + y[:, :IC] * 1e-8, ()
-            c, _ = jax.lax.scan(body, x, jnp.tile(jnp.arange(K), L // K))
+        def loop(x, *flat):
+            def body(c, _):
+                for kk in range(K):
+                    s0, s1, s2, s3, s4, s5, s6 = flat[kk * 7 : (kk + 1) * 7]
+                    p = pbw.PackedLinearV2(
+                        sign_packed=s0, side_val=s1, side_idx=s2,
+                        low_scale=s3, low_mean=s4, high_scale=s5, high_zero=s6,
+                        bias=None, ic=IC, oc=OC, col_tile=OC, pack_block=pack_block,
+                        k_pad_shard=k_pad, side_bits=4 if HIGH_BIT <= 4 else 8,
+                    )
+                    y = pallas_pb.pb_matmul_pallas_v2(c, p, decode_dot=dd)
+                    c = c + _fold_oc(y) * 1e-8
+                return c, ()
+            c, _ = jax.lax.scan(body, x, None, length=L // K)
             return jnp.sum(c)
         return loop
 
-    return mk, stk, k_pad
+    return mk, flat, k_pad
 
 
 def _retry(fn, tag):
@@ -241,6 +268,7 @@ def main():
                 "roofline_frac": round(roof, 3),
                 "roofline_frac_vs_dense_rate": round(roof_rel, 3),
                 "dense_stream_gbps": round(dense_gbps, 1),
+                "decode_dot": "int8",
             }
         )
     )

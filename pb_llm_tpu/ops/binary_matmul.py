@@ -19,18 +19,23 @@ from . import pallas_pb
 _MODE = os.environ.get("PB_TPU_PACKED_BACKEND", "auto")
 # engine-grade bf16 dots on the large-m (prefill) path
 _PREFILL_BF16 = os.environ.get("PB_TPU_PREFILL_BF16", "0") == "1"
+# fused int8 byte-lane kernel on the large-m path (x → per-row absmax int8;
+# no w_bin round-trip) — opt-in, overrides the hybrid when set
+_PREFILL_INT8 = os.environ.get("PB_TPU_PREFILL_INT8", "0") == "1"
 # v2 prefill variants (scripts/bench_v2_prefill.py ARMS=variants):
 #   gather: "take" (XLA column gather) | "dot" (one-hot MXU dot)
 #   extract: "pallas" (dequant kernel) | "xla" (broadcast shift/AND)
 _PREFILL_GATHER = os.environ.get("PB_TPU_PREFILL_GATHER", "take")
 _PREFILL_EXTRACT = os.environ.get("PB_TPU_PREFILL_EXTRACT", "pallas")
-# v2 decode dot path: "f32" | "bf16" | "pair" ("auto" == f32 for now).
-# MEASURED (scripts/bench_v2_decode_arms.py, v5e, interleaved arms at
-# 4096x11008 m=8): f32 25.6 µs, bf16 33.0, pair 37.9 — the kernel is
-# VPU-extraction/DMA-bound, not MXU-bound, so bf16 dots only add convert
-# passes and the pair path's per-pair u32→u16 sublane bitcast costs more
-# than the halved shift/ANDs save (u16 lane shifts don't legalize in
-# Mosaic).  The arms stay selectable for future chips.
+# v2 decode dot path: "f32" | "int8" | "bf16" | "pair" | "dma".
+# "auto" == int8: MEASURED (scripts/bench_v2_decompose.py, v5e, interleaved
+# flat-harness arms at 4096x11008 m=8): int8 17.0-18.9 µs vs f32 17.4-27.0
+# vs bf16 33.0 vs pair 37.9 — int8 byte-lane extraction won or tied every
+# same-run comparison, at 66-74% of the packed-stream HBM roofline.  Its
+# only approximation is x's per-row absmax int8 rounding (engine-grade,
+# like the bf16 arm; teacher-forced decode NLL moves <2%,
+# tests/test_pbw_v2.py::test_engine_decode_dot_int8_quality_bound).
+# Set PB_TPU_DECODE_DOT=f32 for the exact arm.
 _DECODE_DOT = os.environ.get("PB_TPU_DECODE_DOT", "auto")
 
 
@@ -64,11 +69,13 @@ def pb_matmul(x: jnp.ndarray, p) -> jnp.ndarray:
         mode = "pallas" if (_on_tpu() and supported) else "xla"
     if mode == "pallas" and not supported:
         mode = "xla"
-    v2_kw = dict(prefill_gather=_PREFILL_GATHER, prefill_extract=_PREFILL_EXTRACT) if v2 else {}
+    v2_kw = dict(prefill_gather=_PREFILL_GATHER, prefill_extract=_PREFILL_EXTRACT,
+                 prefill_int8=_PREFILL_INT8) if v2 else {}
     if v2:
         dd = _DECODE_DOT
         if dd == "auto":
-            dd = "f32"  # measured fastest on v5e (see module comment)
+            dd = "int8"  # measured fastest on v5e (see module comment);
+            # falls back to f32 in-kernel for row-grouped layouts / m > 256
         v2_kw["decode_dot"] = dd
     if mode == "pallas":
         fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas

@@ -404,12 +404,17 @@ def _planar_v2_int8_kernel(x8_ref, sx_ref, rs_ref, xg_ref, s_ref, v_ref,
 
 
 def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
-    """decode_dot="int8" entry: quantize x per row (absmax int8), byte-
-    permute, and run the int8 byte-lane kernel.  Global-selection layouts
-    (n_row_groups == 1), decode m ≤ 256."""
+    """decode_dot="int8" / prefill_int8 entry: quantize x per row (absmax
+    int8), byte-permute, and run the int8 byte-lane kernel.  Global-
+    selection layouts (n_row_groups == 1); large m tiles over a 2-D grid
+    (the SAME fused kernel serves decode and the opt-in int8 prefill — no
+    90 MB w_bin round-trip like the hybrid path)."""
     m, ic = x.shape
     oc = p.oc_local
     m_pad = _round_up(max(m, 32), 32)  # int8 min sublane tile
+    m_tile = 512 if m_pad > 512 else m_pad
+    m_pad = _round_up(m_pad, m_tile)
+    n_m_tiles = m_pad // m_tile
     xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
 
     absmax = jnp.max(jnp.abs(xp), axis=1, keepdims=True)
@@ -437,19 +442,19 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
-        grid=(oc // oc_tile,),
+        grid=(oc // oc_tile, n_m_tiles),
         in_specs=[
-            pl.BlockSpec((m_pad, ic), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, p.k_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p.side_val.shape[0], oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, ic), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_tile, p.k_pad), lambda i, mi: (0, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.side_val.shape[0], oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_pad, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, mi: (mi, i), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -860,7 +865,7 @@ def pallas_supported_v2(p: PackedLinearV2) -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "interpret", "oc_tile", "prefill_bf16", "prefill_gather", "prefill_extract",
-    "decode_dot"))
+    "decode_dot", "prefill_int8"))
 def pb_matmul_pallas_v2(
     x: jnp.ndarray,
     p: PackedLinearV2,
@@ -870,6 +875,7 @@ def pb_matmul_pallas_v2(
     prefill_gather: str = "take",
     prefill_extract: str = "pallas",
     decode_dot: str = "f32",
+    prefill_int8: bool = False,
 ) -> jnp.ndarray:
     """y = x @ dequant_v2(p) (+ bias); x [m, ic] → y [m, oc] float32.
 
@@ -887,6 +893,13 @@ def pb_matmul_pallas_v2(
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if m >= _V2_PREFILL_M:
+        if prefill_int8 and p.n_row_groups == 1:
+            # fused int8 byte-lane kernel at large m: int8 MXU dots (~2x
+            # bf16 FLOPs) and NO 90 MB w_bin round-trip; opt-in like
+            # prefill_bf16 (x rounds to per-row absmax int8)
+            return _planar_v2_int8_call(
+                x, p, oc_tile if oc_tile is not None else _default_oc_tile(p.oc_local),
+                interpret)
         if oc_tile is None:
             oc_tile = _default_oc_tile(p.oc_local)  # scratch [ic, oc_tile] caps the tile
         dot_dtype = jnp.bfloat16 if prefill_bf16 else jnp.float32

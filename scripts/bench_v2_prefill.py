@@ -327,6 +327,110 @@ def bench_decomp():
     arm("dequant+scatter+dot", dequant_dot)
 
 
+def main_flat():
+    """Flat-harness arms at m=2048 (ARMS=flat): dense / hybrid-bf16 /
+    fused-int8, interleaved in one process.  The stacked harness's in-scan
+    weight slices materialize pallas operands (scripts/bench_v2_decompose.py
+    — ~1.5x understatement at decode; smaller at prefill but still unfair),
+    and a bare y[:, :IC] epilogue lets XLA DCE a static-weight dense matmul
+    to its first IC columns, so dense folds every output column."""
+    log(f"backend: {jax.default_backend()}, M={M} [flat arms]")
+    from pb_llm_tpu.core import pbw
+    from pb_llm_tpu.ops import pallas_pb
+
+    def fold(y):
+        y1 = y[:, :IC] + y[:, IC : 2 * IC]
+        rest = y[:, 2 * IC :]
+        y2 = jnp.zeros((y.shape[0], IC), y.dtype).at[:, : rest.shape[1]].set(rest)
+        return y1 + y2
+
+    planes = []
+    k_pad = None
+    for s in range(K):
+        p, pack_block, k_pad = make_v2_planes(s)
+        planes.append(p)
+    flat = tuple(jnp.asarray(a) for p in planes for a in p)
+    Ws = tuple(jnp.asarray(np.random.default_rng(1 + i).standard_normal((IC, OC)), jnp.bfloat16)
+               for i in range(K))
+
+    def mk_packed(call_kw, oc_tile=None):
+        def mk(L):
+            @jax.jit
+            def loop(x, *flat):
+                def body(c, _):
+                    for kk in range(K):
+                        s0, s1, s2, s3, s4, s5, s6 = flat[kk * 7 : (kk + 1) * 7]
+                        p = pbw.PackedLinearV2(
+                            sign_packed=s0, side_val=s1, side_idx=s2,
+                            low_scale=s3, low_mean=s4, high_scale=s5,
+                            high_zero=s6, bias=None, ic=IC, oc=OC,
+                            col_tile=OC, pack_block=pack_block,
+                            k_pad_shard=k_pad)
+                        y = pallas_pb.pb_matmul_pallas_v2(c, p, oc_tile=oc_tile, **call_kw)
+                        c = c + fold(y) * 1e-8
+                    return c, ()
+                c, _ = jax.lax.scan(body, x, None, length=L // K)
+                return jnp.sum(c)
+            return loop
+        return mk, flat
+
+    def mk_dense():
+        def mk(L):
+            @jax.jit
+            def loop(x, *Ws):
+                def body(c, _):
+                    for W in Ws:
+                        y = (c.astype(jnp.bfloat16) @ W).astype(jnp.float32)
+                        c = c + fold(y) * 1e-8
+                    return c, ()
+                c, _ = jax.lax.scan(body, x, None, length=L // K)
+                return jnp.sum(c)
+            return loop
+        return mk, Ws
+
+    arms = {
+        "dense": mk_dense(),
+        "hybrid_bf16": mk_packed(dict(prefill_bf16=True)),
+        "int8": mk_packed(dict(prefill_int8=True)),
+        "int8_wholeoc": mk_packed(dict(prefill_int8=True), oc_tile=OC),
+    }
+    want = sys.argv[1:]
+    if want:
+        arms = {k: v for k, v in arms.items() if k in want}
+
+    xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32))
+          for i in range(7)]
+    fns = {}
+    for tag, (mk, args) in arms.items():
+        fns[tag] = {}
+        for L in (L_SHORT, L_LONG):
+            f = mk(L)
+            t0 = time.perf_counter()
+            float(f(xs[0], *args))
+            log(f"  [{tag}] L={L} compile+first: {time.perf_counter()-t0:.1f}s")
+            fns[tag][L] = f
+    times = {tag: {L: [] for L in (L_SHORT, L_LONG)} for tag in arms}
+    for i in range(1, 6):
+        for tag in arms:
+            for L in (L_SHORT, L_LONG):
+                t0 = time.perf_counter()
+                float(fns[tag][L](xs[i], *arms[tag][1]))
+                times[tag][L].append(time.perf_counter() - t0)
+    flops = 2 * M * IC * OC
+    slopes = {}
+    for tag in arms:
+        med = {L: float(np.median(times[tag][L])) for L in (L_SHORT, L_LONG)}
+        slopes[tag] = (med[L_LONG] - med[L_SHORT]) / (L_LONG - L_SHORT)
+    t_dense = slopes.get("dense")
+    for tag, t in slopes.items():
+        msg = f"{tag}: {t*1e6:.1f} us | {flops/t/1e12:.1f} TFLOP/s"
+        if t_dense and tag != "dense":
+            msg += f" | vs dense {t_dense/t:.3f}x"
+        log(msg)
+    import json
+    print(json.dumps({t: round(s * 1e6, 1) for t, s in slopes.items()}))
+
+
 if __name__ == "__main__":
     if os.environ.get("ARMS") == "diag":
         diag()
@@ -334,5 +438,7 @@ if __name__ == "__main__":
         bench_decomp()
     elif os.environ.get("ARMS") == "variants":
         main_variants()
+    elif os.environ.get("ARMS") == "flat":
+        main_flat()
     else:
         main()

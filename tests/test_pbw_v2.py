@@ -684,3 +684,18 @@ def test_engine_decode_dot_int8_quality_bound():
         binary_matmul.set_decode_dot("auto")
     assert np.isfinite(nll["int8"]) and nll["int8"] > 0
     assert abs(nll["int8"] - nll["f32"]) / nll["f32"] < 0.02, nll
+
+
+def test_v2_prefill_int8_close():
+    """Opt-in int8 prefill (fused byte-lane kernel at large m, 2-D grid with
+    m-tiling): int8-rounding-bounded error vs the exact reference, across an
+    m that spans multiple 512-row m tiles."""
+    oc, ic = 256, 256
+    w_q, _, p, _, b = _make_v2(oc=oc, ic=ic, col_tile=0, bias=True, low_frac=0.9)
+    x = jnp.asarray(np.random.default_rng(15).standard_normal((600, ic)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, p))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+            x, p, interpret=True, oc_tile=128, prefill_int8=True))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 2e-2
