@@ -23,11 +23,17 @@ from ..core.pbw import PackedLinear, PackedLinearV2
 
 # set by ops.binary_matmul at import time to avoid a circular import
 _packed_matmul: Optional[Callable] = None
+_stacked_packed_matmul: Optional[Callable] = None
 
 
 def register_packed_matmul(fn: Callable) -> None:
     global _packed_matmul
     _packed_matmul = fn
+
+
+def register_stacked_packed_matmul(fn: Callable) -> None:
+    global _stacked_packed_matmul
+    _stacked_packed_matmul = fn
 
 
 def dense(w, b=None):
@@ -40,6 +46,15 @@ def apply_linear(lin, x: jnp.ndarray) -> jnp.ndarray:
         from ..quant.qat import apply_qat_linear
 
         return apply_qat_linear(lin, x)
+    if type(lin).__name__ == "StackedPackedLinearV2":  # scan_layers marker
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if _stacked_packed_matmul is not None:
+            y = _stacked_packed_matmul(x2, lin)
+        else:
+            from ..core.pbw import matmul_reference_v2
+            y = matmul_reference_v2(x2, lin.layer())
+        return y.reshape(*lead, -1).astype(x.dtype)
     if isinstance(lin, (PackedLinear, PackedLinearV2)):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
@@ -61,6 +76,9 @@ def named_linear_fn(lin, x, name=None):  # pragma: no cover - convenience alias
 
 def linear_shape(lin) -> tuple[int, int]:
     """(ic, oc) of either representation."""
+    if type(lin).__name__ == "StackedPackedLinearV2":
+        _, wpp, oc = lin.stacked.sign_packed.shape
+        return wpp * 32, oc
     if isinstance(lin, (PackedLinear, PackedLinearV2)):
         return lin.ic_local, lin.oc_local
     return lin["w"].shape

@@ -185,16 +185,32 @@ def forward(
     x = embed(params, input_ids, cfg, pos)
     if "layers_stacked" in params:
         assert linear_fn is None, "linear_fn capture requires unrolled layers"
+        from ..core.pbw import PackedLinearV2
+        from . import stacking as _stacking
+
+        stacked = params["layers_stacked"]
+        # keep PackedLinearV2 leaves out of the scan xs (see models.llama:
+        # sliced pallas operands materialize); markers carry stacked planes
+        packed_names = [k for k, v in stacked.items()
+                        if isinstance(v, PackedLinearV2)]
+        rest = {k: v for k, v in stacked.items() if k not in packed_names}
+        n_layers = jax.tree_util.tree_leaves(rest)[0].shape[0] if rest else \
+            stacked[packed_names[0]].sign_packed.shape[0]
+        idxs = jnp.arange(n_layers, dtype=jnp.int32)
 
         def body(h, xs):
-            lp, cache = xs
+            idx, lp_rest, cache = xs
+            lp = dict(lp_rest)
+            for k in packed_names:
+                lp[k] = _stacking.StackedPackedLinearV2(stacked[k], idx)
             h, cache = decoder_layer(lp, h, cfg, None, cache, pos)
             return h, cache
 
         if kv_caches is not None:
-            x, new_caches = jax.lax.scan(body, x, (params["layers_stacked"], kv_caches))
+            x, new_caches = jax.lax.scan(body, x, (idxs, rest, kv_caches))
         else:
-            x, _ = jax.lax.scan(lambda h, lp: body(h, (lp, None)), x, params["layers_stacked"])
+            x, _ = jax.lax.scan(lambda h, xs: body(h, (xs[0], xs[1], None)),
+                                x, (idxs, rest))
             new_caches = None
         return head(params, x, cfg), new_caches
     new_caches = [] if kv_caches is not None else None

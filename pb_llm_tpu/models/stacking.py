@@ -16,10 +16,34 @@ needs Python-level layer identity) and QAT (per-layer `jax.checkpoint`).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
+
+from ..core.pbw import PackedLinear, PackedLinearV2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StackedPackedLinearV2:
+    """A PackedLinearV2 whose array fields carry a leading [L] layer axis,
+    plus the traced layer index of a `lax.scan` step.  `apply_linear`
+    dispatches it to the scalar-prefetch stacked kernel
+    (`ops.pallas_pb.pb_matmul_pallas_v2_stacked`) so the scan body streams
+    each layer's planes straight from the stacked HBM arrays — slicing them
+    in XLA before a pallas call would MATERIALIZE ~10 MB per matmul (the
+    round-2 "scan_layers decodes 2.1x slower" penalty).  Off the pallas
+    path the fallback materializes the layer slice and runs the ordinary
+    packed matmul (numerics identical)."""
+
+    stacked: PackedLinearV2  # [L]-leading array fields
+    idx: jnp.ndarray         # scalar int32 layer index
+
+    def layer(self) -> PackedLinearV2:
+        """Materialized per-layer view (the non-pallas fallback)."""
+        return jax.tree_util.tree_map(lambda a: a[self.idx], self.stacked)
 
 
 def stack_layers(params: Dict[str, Any]) -> Dict[str, Any]:

@@ -86,4 +86,28 @@ def pb_matmul(x: jnp.ndarray, p) -> jnp.ndarray:
     return (matmul_reference_v2 if v2 else matmul_reference)(x, p)
 
 
+def pb_matmul_stacked(x: jnp.ndarray, marker) -> jnp.ndarray:
+    """y = x @ dequant_v2(layer marker.idx of marker.stacked): the
+    scan_layers path.  Pallas runs the scalar-prefetch stacked kernel (no
+    per-layer operand materialization); other modes materialize the layer
+    slice and take the ordinary dispatch."""
+    sp, idx = marker.stacked, marker.idx
+    supported = pallas_pb.stacked_supported_v2(sp) and x.shape[0] <= 256
+    mode = _MODE
+    if mode == "auto":
+        mode = "pallas" if (_on_tpu() and supported) else "xla"
+    if mode in ("pallas", "pallas_interpret") and not supported:
+        mode = "xla"
+    if mode in ("pallas", "pallas_interpret"):
+        dd = _DECODE_DOT
+        if dd in ("auto",):
+            dd = "int8"
+        if dd not in ("int8", "f32"):
+            dd = "f32"  # dma/bf16/pair arms have no stacked variant
+        return pallas_pb.pb_matmul_pallas_v2_stacked(
+            x, sp, idx, interpret=(mode == "pallas_interpret"), decode_dot=dd)
+    return pb_matmul(x, jax.tree_util.tree_map(lambda a: a[idx], sp))
+
+
 _linear.register_packed_matmul(pb_matmul)
+_linear.register_stacked_packed_matmul(pb_matmul_stacked)

@@ -831,6 +831,213 @@ def _planar_v2_dma_call(x, p: PackedLinearV2, interpret: bool):
     return out[:m]
 
 
+# ---------------------------------------------------------------------------
+# stacked-layer decode kernels (scan_layers serving path)
+# ---------------------------------------------------------------------------
+#
+# Under `lax.scan` over stacked layers, slicing a layer's planes out of the
+# [L, ...] arrays before a pallas call makes XLA MATERIALIZE the ~10 MB
+# slice in HBM every matmul (a pallas operand read cannot fuse a dynamic
+# slice the way a dense dot can) — the round-2 "scan_layers is 2.1x slower"
+# decode penalty.  These kernels instead take the FULL stacked arrays plus
+# the layer index as a scalar-prefetch argument: the BlockSpec index_map
+# picks layer li's block straight out of HBM, so Mosaic pipelines exactly
+# the per-layer bytes and nothing is materialized.
+
+
+def _stacked_int8_kernel(li_ref, x8_ref, sx_ref, rs_ref, xg_ref, s_ref, v_ref,
+                         coef_ref, o_ref, *, ic: int, oc_tile: int,
+                         pack_block: int, side_bits: int):
+    del li_ref  # consumed by the index maps
+    x8 = x8_ref[:]
+    mrows = x8.shape[0]
+    ws_all = s_ref[0]
+    acc_b = jnp.zeros((mrows, oc_tile), jnp.int32)
+    w_off = r_off = 0
+    for rows in packing.block_sizes(ic, pack_block):
+        g = rows // WORD_BITS
+        ws = ws_all[w_off : w_off + g, :]
+        for b in range(8):
+            xs = x8[:, r_off + b * 4 * g : r_off + (b + 1) * 4 * g]
+            acc_b += jnp.dot(xs, _bit_plane_bytes_int8(ws, b),
+                             preferred_element_type=jnp.int32)
+        w_off += g
+        r_off += rows
+
+    raw = v_ref[0].astype(jnp.int32)
+    if side_bits == 4:
+        raw = jnp.concatenate([raw & 0xF, raw >> 4], axis=0)
+    xg = xg_ref[:]
+    acc_v = jnp.dot(xg, raw.astype(jnp.float32), preferred_element_type=jnp.float32)
+    rowsum_g = jnp.broadcast_to(jnp.sum(xg, axis=1, keepdims=True), (mrows, oc_tile))
+
+    alpha2 = coef_ref[0:1, :]
+    beta = coef_ref[1:2, :]
+    gamma = coef_ref[2:3, :]
+    hs = coef_ref[3:4, :]
+    bias = coef_ref[4:5, :]
+    y_bin = (acc_b.astype(jnp.float32) * sx_ref[:]) * alpha2
+    o_ref[:] = rs_ref[:] * beta + y_bin + acc_v * hs + rowsum_g * gamma + bias
+
+
+def _stacked_f32_kernel(li_ref, x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref,
+                        *, ic: int, oc_tile: int, pack_block: int,
+                        side_bits: int):
+    del li_ref
+    xb = x_ref[:]
+    mrows = xb.shape[0]
+    ws_all = s_ref[0]
+    acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
+    w_off = r_off = 0
+    for rows in packing.block_sizes(ic, pack_block):
+        g = rows // WORD_BITS
+        ws = ws_all[w_off : w_off + g, :]
+        for b in range(WORD_BITS):
+            xs = xb[:, r_off + b * g : r_off + (b + 1) * g]
+            acc_b += jnp.dot(xs, _bit_plane_two(ws, b),
+                             preferred_element_type=jnp.float32)
+        w_off += g
+        r_off += rows
+
+    raw = v_ref[0].astype(jnp.int32)
+    if side_bits == 4:
+        raw = jnp.concatenate([raw & 0xF, raw >> 4], axis=0)
+    xg = xg_ref[:]
+    acc_v = jnp.dot(xg, raw.astype(jnp.float32), preferred_element_type=jnp.float32)
+    rowsum_g = jnp.broadcast_to(jnp.sum(xg, axis=1, keepdims=True), (mrows, oc_tile))
+
+    rowsum = jnp.sum(xb, axis=1, keepdims=True)
+    alpha = coef_ref[0:1, :]
+    beta = coef_ref[1:2, :]
+    gamma = coef_ref[2:3, :]
+    hs = coef_ref[3:4, :]
+    bias = coef_ref[4:5, :]
+    o_ref[:] = (rowsum * beta + acc_b * alpha + acc_v * hs
+                + rowsum_g * gamma + bias)
+
+
+def stacked_supported_v2(sp: PackedLinearV2) -> bool:
+    """Stacked (scan_layers) kernel support: global column selection,
+    un-sharded sidecar, lane/sublane-aligned dims."""
+    L, wpp, oc = sp.sign_packed.shape
+    ic = wpp * WORD_BITS
+    if sp.side_idx.shape[2] != 1:  # n_row_groups
+        return False
+    if sp.k_pad_shard and sp.k_pad_shard != sp.side_val.shape[1] * (8 // sp.side_bits):
+        return False  # sharded sidecar layouts take the fallback
+    if oc % 128 or ic % 32:
+        return False
+    pb = min(sp.pack_block, ic)
+    if ic > pb and ic % pb:
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "oc_tile", "decode_dot"))
+def pb_matmul_pallas_v2_stacked(
+    x: jnp.ndarray,
+    sp: PackedLinearV2,
+    li: jnp.ndarray,
+    interpret: bool = False,
+    oc_tile: int | None = None,
+    decode_dot: str = "f32",
+) -> jnp.ndarray:
+    """y = x @ dequant_v2(layer li of sp) — sp's array fields carry a
+    leading [L] layer axis (`models.stacking.stack_layers`), li is a traced
+    scalar.  The big planes (sign bits, sidecar codes) ride scalar-prefetch
+    BlockSpecs indexed by li; only the tiny per-layer scales/indices are
+    sliced in XLA."""
+    m, ic = x.shape
+    L, wpp, oc = sp.sign_packed.shape
+    assert ic == wpp * WORD_BITS, f"x ic {ic} != stacked packed ic {wpp * 32}"
+    kp_rows = sp.side_val.shape[1]
+    k_pad = kp_rows * (8 // sp.side_bits)
+    pack_block = min(sp.pack_block, ic)
+    if oc_tile is None:
+        oc_tile = oc  # whole-oc measured fastest at decode m
+
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    side_idx_l = sp.side_idx[li, :, 0]          # [k_pad]
+    scale = sp.low_scale[li, 0].astype(jnp.float32)
+    mean = sp.low_mean[li, 0].astype(jnp.float32)
+    hs_l = sp.high_scale[li]
+    hz_l = sp.high_zero[li]
+    bias_l = sp.bias[li] if sp.bias is not None else jnp.zeros((oc,), jnp.float32)
+    beta = mean - scale
+    gamma = -hs_l * hz_l - beta
+
+    m_pad = _round_up(max(m, 32), 32)
+    xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
+    x_aug = jnp.concatenate([xp, jnp.zeros((m_pad, 1), jnp.float32)], axis=1)
+    idx_g = jnp.where(side_idx_l == ic, jnp.int32(ic), side_idx_l)
+    xg = jnp.take(x_aug, idx_g, axis=1)          # [m_pad, k_pad]
+
+    common_params = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * ic * oc,
+            bytes_accessed=ic * oc // 8 + k_pad * oc + m_pad * (ic + oc) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    if decode_dot == "int8":
+        absmax = jnp.max(jnp.abs(xp), axis=1, keepdims=True)
+        sx = jnp.maximum(absmax, jnp.float32(1e-30)) / 127.0
+        xq = jnp.clip(jnp.round(xp / sx), -127, 127).astype(jnp.int8)
+        x8 = byte_permute_x(xq, ic, pack_block)
+        rs = jnp.sum(xp, axis=1, keepdims=True)
+        coef = jnp.stack([2.0 * scale, beta, gamma, hs_l, bias_l], axis=0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(oc // oc_tile,),
+            in_specs=[
+                pl.BlockSpec((m_pad, ic), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_pad, 1), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_pad, 1), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_pad, k_pad), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wpp, oc_tile), lambda i, li: (li[0], 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kp_rows, oc_tile), lambda i, li: (li[0], 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((5, oc_tile), lambda i, li: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m_pad, oc_tile), lambda i, li: (0, i), memory_space=pltpu.VMEM),
+        )
+        kernel = functools.partial(
+            _stacked_int8_kernel, ic=ic, oc_tile=oc_tile,
+            pack_block=pack_block, side_bits=sp.side_bits)
+        out = pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
+            grid_spec=grid_spec, **common_params,
+        )(li_arr, x8, sx, rs, xg, sp.sign_packed, sp.side_val, coef)
+        return out[:m]
+
+    coef = jnp.stack([scale, beta, gamma, hs_l, bias_l], axis=0)
+    m_pad_f = _round_up(max(m, 8), 8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(oc // oc_tile,),
+        in_specs=[
+            pl.BlockSpec((m_pad_f, ic), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad_f, k_pad), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wpp, oc_tile), lambda i, li: (li[0], 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp_rows, oc_tile), lambda i, li: (li[0], 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, oc_tile), lambda i, li: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad_f, oc_tile), lambda i, li: (0, i), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _stacked_f32_kernel, ic=ic, oc_tile=oc_tile,
+        pack_block=pack_block, side_bits=sp.side_bits)
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((m_pad_f, oc), jnp.float32),
+        grid_spec=grid_spec, **common_params,
+    )(li_arr, xp[:m_pad_f], xg[:m_pad_f], sp.sign_packed, sp.side_val, coef)
+    return out[:m]
+
+
 # decode path stays planar below this m; prefill dequantizes + XLA-dots
 _V2_PREFILL_M = 256
 

@@ -18,6 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 M = int(os.environ.get("M", "2048"))
 IC, OC = 4096, 11008
 K = 8

@@ -699,3 +699,61 @@ def test_v2_prefill_int8_close():
             x, p, interpret=True, oc_tile=128, prefill_int8=True))
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 2e-2
+
+
+def test_v2_stacked_kernel_matches_per_layer():
+    """Scalar-prefetch stacked kernel (`pb_matmul_pallas_v2_stacked`): for
+    every layer index, output matches the per-layer reference — f32 arm
+    exactly, int8 arm within its x-rounding bound."""
+    oc, ic = 256, 256
+    layers = [_make_v2(oc=oc, ic=ic, col_tile=0, bias=True, low_frac=0.9, seed=s)[2]
+              for s in (0, 1, 2)]
+    sp = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *layers)
+    x = jnp.asarray(np.random.default_rng(21).standard_normal((4, ic)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        for li, p in enumerate(layers):
+            ref = np.asarray(pbw.matmul_reference_v2(x, p))
+            f32 = np.asarray(pallas_pb.pb_matmul_pallas_v2_stacked(
+                x, sp, jnp.int32(li), interpret=True, oc_tile=128, decode_dot="f32"))
+            np.testing.assert_allclose(f32, ref, rtol=1e-4, atol=1e-4)
+            i8 = np.asarray(pallas_pb.pb_matmul_pallas_v2_stacked(
+                x, sp, jnp.int32(li), interpret=True, oc_tile=128, decode_dot="int8"))
+            scale = np.abs(ref).max() + 1e-9
+            assert np.abs(i8 - ref).max() / scale < 2e-2, li
+
+
+def test_engine_scan_layers_pallas_stacked_parity():
+    """scan_layers engine under pallas_interpret drives the marker →
+    stacked-kernel path end-to-end: greedy tokens match the unrolled
+    pallas_interpret engine (both f32, exact)."""
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.ops import binary_matmul
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    cfg = jllama.LlamaConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                             num_hidden_layers=2, num_attention_heads=8,
+                             num_key_value_heads=8, max_position_embeddings=64)
+    fam = family_for("huggyllama/llama-7b")
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    calib = np.random.default_rng(0).integers(0, 128, size=(2, 16))
+    scfg = SolverConfig(low_frac=0.9, blocksize=32, mask_structure="column", col_tile=0)
+    packed, _ = quantize_model_ptq(params, cfg, fam, calib, scfg,
+                                   fmt="packed_v2", log=None, pack_block=32)
+
+    def run(scan):
+        eng = Engine(packed, cfg, fam, EngineConfig(
+            n_slots=1, max_seq=32, prefill_buckets=(8,), scan_layers=scan))
+        toks = [eng.prefill(0, [5, 17, 42, 3])]
+        toks += [eng.decode_step()[0] for _ in range(4)]
+        return toks
+
+    binary_matmul.set_backend("pallas_interpret")
+    binary_matmul.set_decode_dot("f32")
+    try:
+        assert run(True) == run(False)
+    finally:
+        binary_matmul.set_backend("auto")
+        binary_matmul.set_decode_dot("auto")
