@@ -455,7 +455,9 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
         out_specs=pl.BlockSpec((m_tile, oc_tile), lambda i, mi: (mi, i), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # prefill m-tiles at whole-oc measured 65.4 MB scoped (512x11008
+            # f32 out double-buffered + operands) — v5e has 128 MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * ic * oc,
