@@ -198,11 +198,17 @@ def main():
 
     def make_arm_caches(paged: int, int8: bool):
         if paged:
-            # pre-allocated pages for the whole run (ctx/2 start + decode steps)
+            # pages for the run's actual lengths (ctx/2 start + 12 decode
+            # steps); entries past the owned pages point at the TRASH page
+            # like the real engine's tables — consecutive same-index blocks
+            # are DMA-elided by Mosaic, so paged attention reads bytes
+            # proportional to length, not max_seq (its design promise)
             ps = paged
             maxp = S // ps
             n_pages = B * maxp
-            table = np.arange(n_pages, dtype=np.int32).reshape(B, maxp)
+            used = min(maxp, -(-(S // 2 + 12) // ps))
+            table = np.full((B, maxp), n_pages, dtype=np.int32)  # trash
+            table[:, :used] = np.arange(B * used, dtype=np.int32).reshape(B, used)
             page_dtype = jnp.int8 if int8 else jnp.bfloat16
             caches = []
             for _ in range(cfg.num_hidden_layers):
