@@ -254,13 +254,16 @@ def main():
 
     if args.budget:
         # ---- e2e decode step budget (VERDICT r2 item 2) -------------------
-        # Four programs timed interleaved with the slope method (slope
+        # Five programs timed interleaved with the slope method (slope
         # cancels dispatch/fetch):
         #   full   — the real decode step
         #   mmonly — ONLY the 7 packed matmuls per layer, chained
         #   nomm   — the step with every packed matmul replaced by one
         #            broadcast multiply (attention + KV + norms + rope +
         #            lm_head + scan overhead remain)
+        #   noattn — the full step with cached_attention replaced by a
+        #            passthrough (q): matmuls + cache WRITES + norms + rope
+        #            remain; full − noattn isolates the attention READ
         #   head   — embed + final norm + lm_head + argmax only
         # Identity: full ≈ mmonly + (nomm − head) + head.
         from pb_llm_tpu.models.linear import apply_linear, linear_shape
@@ -320,17 +323,30 @@ def main():
             "mmonly": (lambda p, c, s, n: mm_scan(p, c + s, n), lambda: x0),
             "nomm": (lambda p, c, s, n: nomm_scan(p, c, tokens0 + s, lengths0, n),
                      lambda: caches),
+            "noattn": (lambda p, c, s, n: full_scan(p, c, tokens0 + s, lengths0, n),
+                       lambda: caches),
             "head": (lambda p, c, s, n: head_scan(p, c + s, n), lambda: ids0),
         }
+        from pb_llm_tpu.models import llama as _llama
+
         fns, raw = {}, {}
         for name, (fn, carg) in arms.items():
-            for n in (4, 12):
-                f = jax.jit(lambda p, c, s, fn=fn, n=n: fn(p, c, s, n))
-                t0 = time.time()
-                float(f(params, carg(), 0))
-                log(f"compiled {name} n={n} in {time.time()-t0:.0f}s")
-                fns[(name, n)] = (f, carg)
-                raw[(name, n)] = []
+            if name == "noattn":
+                # tracing-time patch: attention output := q (shape-compatible
+                # [B, t, Hq, d]); cache writes/norms/rope/matmuls all remain
+                real_attn = _llama.cached_attention
+                _llama.cached_attention = lambda kv, q, k, v, pos, scale: q
+            try:
+                for n in (4, 12):
+                    f = jax.jit(lambda p, c, s, fn=fn, n=n: fn(p, c, s, n))
+                    t0 = time.time()
+                    float(f(params, carg(), 0))
+                    log(f"compiled {name} n={n} in {time.time()-t0:.0f}s")
+                    fns[(name, n)] = (f, carg)
+                    raw[(name, n)] = []
+            finally:
+                if name == "noattn":
+                    _llama.cached_attention = real_attn
         for rep in range(5):
             for name in arms:
                 for n in (4, 12):
@@ -344,6 +360,9 @@ def main():
             out[name] = round(step_ms, 3)
             log(f"{name}: {step_ms:.3f} ms/step")
         out["attn_kv_overhead"] = round(out["nomm"] - out["head"], 3)
+        out["attn_read"] = round(out["full"] - out["noattn"], 3)
+        out["write_norm_rope"] = round(
+            out["noattn"] - out["mmonly"] - out["head"], 3)
         out["unattributed"] = round(
             out["full"] - out["mmonly"] - out["attn_kv_overhead"] - out["head"], 3)
         out["tokens_per_s"] = round(B / (out["full"] / 1e3), 1)
