@@ -144,9 +144,11 @@ def main():
     B, S = args.slots, args.ctx
 
     if args.prefill:
-        # set PB_TPU_PREFILL_BF16=1 in the environment BEFORE launching (the
-        # dispatch reads it at import); we only report what's active
-        from pb_llm_tpu.ops.binary_matmul import _PREFILL_BF16 as bf16
+        # arm selection: typed KernelConfig (env vars remain call-time
+        # overrides — PB_TPU_PREFILL_INT8/_BF16); we only report what's active
+        from pb_llm_tpu.ops import kernel_config as _kc
+
+        bf16 = _kc.current().prefill
 
         def prefill_scan(params, ids0, n_calls):
             def body(carry, _):
@@ -262,8 +264,12 @@ def main():
         #            broadcast multiply (attention + KV + norms + rope +
         #            lm_head + scan overhead remain)
         #   noattn — the full step with cached_attention replaced by a
-        #            passthrough (q): matmuls + cache WRITES + norms + rope
-        #            remain; full − noattn isolates the attention READ
+        #            passthrough (q + a one-element cache read, so the cache
+        #            writes and the k/v projections feeding them stay LIVE —
+        #            a bare q passthrough lets XLA DCE the scatter and two of
+        #            the seven matmuls): matmuls + cache writes + norms +
+        #            rope remain; full − noattn = the attention read plus
+        #            the score/softmax compute it feeds
         #   head   — embed + final norm + lm_head + argmax only
         # Identity: full ≈ mmonly + (nomm − head) + head.
         from pb_llm_tpu.models.linear import apply_linear, linear_shape
@@ -332,10 +338,20 @@ def main():
         fns, raw = {}, {}
         for name, (fn, carg) in arms.items():
             if name == "noattn":
-                # tracing-time patch: attention output := q (shape-compatible
-                # [B, t, Hq, d]); cache writes/norms/rope/matmuls all remain
+                # tracing-time patch: attention output := q plus a one-element
+                # read of the just-updated cache (shape-compatible [B, t, Hq,
+                # d]).  The read keeps the cache scatter — and transitively
+                # the k/v projections and rope-on-k — in the measured program;
+                # the dynamic write position stops XLA from eliding the
+                # scatter down to the single element read.
                 real_attn = _llama.cached_attention
-                _llama.cached_attention = lambda kv, q, k, v, pos, scale: q
+
+                def _noattn(kv, q, k, v, pos, scale):
+                    buf = kv["k_pages"] if "k_pages" in kv else kv["k"]
+                    live = jnp.sum(buf[:1, :1].astype(jnp.float32))
+                    return q + (1e-6 * live).astype(q.dtype)
+
+                _llama.cached_attention = _noattn
             try:
                 for n in (4, 12):
                     f = jax.jit(lambda p, c, s, fn=fn, n=n: fn(p, c, s, n))

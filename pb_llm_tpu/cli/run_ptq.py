@@ -101,6 +101,14 @@ def main(argv=None) -> int:
     from ..utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     args = build_parser().parse_args(argv)
+    import dataclasses as _dc
+
+    from ..ops import kernel_config as _kc
+
+    # parity: calibration capture + post-PTQ eval run the EXACT hybrid
+    # prefill (serving's fused-int8 default rounds x per row; see run_eval)
+    if _kc.from_env().prefill == "auto":
+        _kc.set_default(_dc.replace(_kc.from_env(), prefill="hybrid"))
     from ..calib.pipeline import quantize_model_ptq, save_masks
     from ..core.config import PTQJobConfig
     from ..data.loaders import get_loaders

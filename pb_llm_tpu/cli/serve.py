@@ -65,6 +65,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over stacked decoder layers: one compiled "
                         "decode body instead of num_layers unrolled copies")
+    p.add_argument("--decode_dot", type=str, default=None,
+                   choices=["auto", "f32", "int8", "dma", "bf16", "pair"],
+                   help="PBW-v2 decode dot arm (default: env PB_TPU_DECODE_DOT "
+                        "or auto=int8 — fastest measured, <2%% NLL shift; f32 "
+                        "is exact)")
+    p.add_argument("--prefill_kernel", type=str, default=None,
+                   choices=["auto", "int8", "hybrid", "hybrid_bf16"],
+                   help="PBW-v2 prefill arm (default: env or auto = fused "
+                        "int8 on TPU, >=1.0x dense bf16; hybrid = exact)")
+    p.add_argument("--attention_impl", type=str, default=None,
+                   choices=["auto", "flash", "flash_interpret", "xla"],
+                   help="full-sequence attention impl (default: env or auto)")
     p.add_argument("--prompts", type=str, default=None, help="file with one prompt per line")
     p.add_argument("--n_requests", type=int, default=16)
     p.add_argument("--synthetic", action="store_true")
@@ -136,6 +148,16 @@ def main(argv=None) -> int:
     if args.page_size:
         buckets = tuple(sorted({min(-(-b // args.page_size) * args.page_size, max_seq)
                                 for b in buckets}))
+    kernels = None
+    if args.decode_dot or args.prefill_kernel or args.attention_impl:
+        import dataclasses as _dc
+
+        from ..ops import kernel_config as _kc
+
+        over = {k: v for k, v in (("decode_dot", args.decode_dot),
+                                  ("prefill", args.prefill_kernel),
+                                  ("attention", args.attention_impl)) if v}
+        kernels = _dc.replace(_kc.from_env(), **over)
     ecfg = EngineConfig(
         n_slots=args.slots, max_seq=max_seq, prefill_buckets=buckets,
         cache_dtype=jnp.int8 if args.kv_int8 else jnp.float32,
@@ -145,6 +167,7 @@ def main(argv=None) -> int:
         max_prefill_batch=args.prefill_batch,
         spec_gamma=args.spec_gamma,
         prefill_chunk=args.prefill_chunk,
+        kernels=kernels,
     )
     if args.tp > 1:
         from ..parallel.mesh import make_mesh

@@ -9,7 +9,6 @@ engine the TPU build adds.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional, Tuple, Union
 
 import jax
@@ -18,15 +17,18 @@ import jax.numpy as jnp
 
 Pos = Union[int, jnp.ndarray]
 
-# full-sequence (no-cache) attention implementation: "auto" uses the Pallas
-# flash kernel on TPU for long windows, XLA masked softmax otherwise
-_ATTN_IMPL = os.environ.get("PB_TPU_ATTENTION", "auto")
-
 
 def set_attention_impl(impl: str) -> None:
-    global _ATTN_IMPL
+    """Process-default full-sequence attention impl ("auto" = Pallas flash
+    on TPU for long windows, XLA masked softmax otherwise).  Thin wrapper
+    over the typed `ops.kernel_config` (read at call time; per-engine via
+    EngineConfig.kernels / `use_kernels`)."""
+    import dataclasses
+
+    from ..ops import kernel_config as _kc
+
     assert impl in ("auto", "flash", "flash_interpret", "xla")
-    _ATTN_IMPL = impl
+    _kc.set_default(dataclasses.replace(_kc.current(), attention=impl))
 
 
 # sequence-parallel context: while set, the no-cache full-sequence attention
@@ -80,7 +82,9 @@ def full_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale)
         # the ring body's static args stay static
         q = q * jnp.asarray(scale, q.dtype)
         return ring_attention(q, k, v, 1.0, _SP_MESH).astype(q.dtype)
-    impl = _ATTN_IMPL
+    from ..ops import kernel_config as _kc
+
+    impl = _kc.current().attention
     if impl == "auto":
         impl = "flash" if _flash_eligible(t, d) else "xla"
     if impl in ("flash", "flash_interpret"):

@@ -2,55 +2,39 @@
 
 Importing this module registers the dispatcher with `models.linear`, so any
 model whose linears are `PackedLinear` leaves runs packed automatically.
+
+Arm selection is a typed `ops.kernel_config.KernelConfig` resolved at CALL
+(trace) time — innermost `use_kernels` context > `set_default` > env-var
+overrides (PB_TPU_PACKED_BACKEND / _DECODE_DOT / _PREFILL_INT8 /
+_PREFILL_BF16 / _PREFILL_GATHER / _PREFILL_EXTRACT) > defaults.  Engines
+pin their own config via `EngineConfig.kernels`; two engines with different
+arms coexist in one process (VERDICT r3 #5).
 """
 
 from __future__ import annotations
 
-import os
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 
 from ..core.pbw import PackedLinear, PackedLinearV2, matmul_reference, matmul_reference_v2
 from ..models import linear as _linear
+from . import kernel_config as _kc
 from . import pallas_pb
-
-# "auto" (pallas on TPU), "pallas", "pallas_interpret", "xla"
-_MODE = os.environ.get("PB_TPU_PACKED_BACKEND", "auto")
-# engine-grade bf16 dots on the large-m (prefill) path
-_PREFILL_BF16 = os.environ.get("PB_TPU_PREFILL_BF16", "0") == "1"
-# fused int8 byte-lane kernel on the large-m path (x → per-row absmax int8;
-# no w_bin round-trip) — opt-in, overrides the hybrid when set
-_PREFILL_INT8 = os.environ.get("PB_TPU_PREFILL_INT8", "0") == "1"
-# v2 prefill variants (scripts/bench_v2_prefill.py ARMS=variants):
-#   gather: "take" (XLA column gather) | "dot" (one-hot MXU dot)
-#   extract: "pallas" (dequant kernel) | "xla" (broadcast shift/AND)
-_PREFILL_GATHER = os.environ.get("PB_TPU_PREFILL_GATHER", "take")
-_PREFILL_EXTRACT = os.environ.get("PB_TPU_PREFILL_EXTRACT", "pallas")
-# v2 decode dot path: "f32" | "int8" | "bf16" | "pair" | "dma".
-# "auto" == int8: MEASURED (scripts/bench_v2_decompose.py, v5e, interleaved
-# flat-harness arms at 4096x11008 m=8): int8 17.0-18.9 µs vs f32 17.4-27.0
-# vs bf16 33.0 vs pair 37.9 — int8 byte-lane extraction won or tied every
-# same-run comparison, at 66-74% of the packed-stream HBM roofline.  Its
-# only approximation is x's per-row absmax int8 rounding (engine-grade,
-# like the bf16 arm; teacher-forced decode NLL moves <2%,
-# tests/test_pbw_v2.py::test_engine_decode_dot_int8_quality_bound).
-# Set PB_TPU_DECODE_DOT=f32 for the exact arm.
-_DECODE_DOT = os.environ.get("PB_TPU_DECODE_DOT", "auto")
 
 
 def set_backend(mode: str) -> None:
-    global _MODE
+    """Process-default packed backend (tests/benches; thin wrapper over
+    `kernel_config.set_default`)."""
     assert mode in ("auto", "pallas", "pallas_interpret", "xla")
-    _MODE = mode
+    _kc.set_default(dataclasses.replace(_kc.current(), backend=mode))
 
 
 def set_decode_dot(mode: str) -> None:
-    """Override the v2 decode dot path (tests / benches; serving reads the
-    PB_TPU_DECODE_DOT env at import)."""
-    global _DECODE_DOT
+    """Process-default v2 decode dot path (tests / benches)."""
     assert mode in ("auto", "f32", "int8", "dma", "bf16", "pair")
-    _DECODE_DOT = mode
+    _kc.set_default(dataclasses.replace(_kc.current(), decode_dot=mode))
 
 
 def _on_tpu() -> bool:
@@ -60,29 +44,51 @@ def _on_tpu() -> bool:
         return False
 
 
+def _resolve_decode_dot(kcfg: _kc.KernelConfig) -> str:
+    dd = kcfg.decode_dot
+    if dd == "auto":
+        # MEASURED (scripts/bench_v2_decompose.py + bench_v2_sidecar.py, v5e,
+        # interleaved flat-harness arms at 4096x11008 m=8): the int8
+        # byte-lane kernel (m_pad=16, int8 sidecar dot) runs at ~81% of the
+        # same-run dense stream rate vs f32's ~55% — it won or tied every
+        # same-run comparison.  Its only approximation is x's per-row absmax
+        # int8 rounding (engine-grade; teacher-forced decode NLL moves <2%,
+        # tests/test_pbw_v2.py::test_engine_decode_dot_int8_quality_bound).
+        # Set decode_dot="f32" (or PB_TPU_DECODE_DOT=f32) for the exact arm.
+        dd = "int8"
+    return dd
+
+
 def pb_matmul(x: jnp.ndarray, p) -> jnp.ndarray:
-    """y = x @ dequant(p) (+ bias) with the best available backend."""
+    """y = x @ dequant(p) (+ bias) with the configured backend/arms."""
+    kcfg = _kc.current()
     v2 = isinstance(p, PackedLinearV2)
     supported = pallas_pb.pallas_supported_v2(p) if v2 else pallas_pb.pallas_supported(p)
-    mode = _MODE
+    mode = kcfg.backend
     if mode == "auto":
         mode = "pallas" if (_on_tpu() and supported) else "xla"
     if mode == "pallas" and not supported:
         mode = "xla"
-    v2_kw = dict(prefill_gather=_PREFILL_GATHER, prefill_extract=_PREFILL_EXTRACT,
-                 prefill_int8=_PREFILL_INT8) if v2 else {}
+    prefill = kcfg.prefill
+    if prefill == "auto":
+        # fused int8 prefill measured ≥1.0x dense bf16 at m=2048 (the exact
+        # hybrid is 0.6x); same engine-grade int8-x approximation as the
+        # decode default, engine-level prefill NLL bound pinned in
+        # tests/test_pbw_v2.py.  Parity CLIs (run_ptq/run_eval) pin
+        # prefill="hybrid" for exact eval numbers.
+        prefill = "int8" if _on_tpu() else "hybrid"
+    v2_kw = dict(prefill_gather=kcfg.prefill_gather,
+                 prefill_extract=kcfg.prefill_extract,
+                 prefill_int8=prefill == "int8") if v2 else {}
     if v2:
-        dd = _DECODE_DOT
-        if dd == "auto":
-            dd = "int8"  # measured fastest on v5e (see module comment);
-            # falls back to f32 in-kernel for row-grouped layouts / m > 256
-        v2_kw["decode_dot"] = dd
+        v2_kw["decode_dot"] = _resolve_decode_dot(kcfg)
+    prefill_bf16 = prefill == "hybrid_bf16"
     if mode == "pallas":
         fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas
-        return fn(x, p, prefill_bf16=_PREFILL_BF16, **v2_kw)
+        return fn(x, p, prefill_bf16=prefill_bf16, **v2_kw)
     if mode == "pallas_interpret":
         fn = pallas_pb.pb_matmul_pallas_v2 if v2 else pallas_pb.pb_matmul_pallas
-        return fn(x, p, interpret=True, prefill_bf16=_PREFILL_BF16, **v2_kw)
+        return fn(x, p, interpret=True, prefill_bf16=prefill_bf16, **v2_kw)
     return (matmul_reference_v2 if v2 else matmul_reference)(x, p)
 
 
@@ -91,17 +97,16 @@ def pb_matmul_stacked(x: jnp.ndarray, marker) -> jnp.ndarray:
     scan_layers path.  Pallas runs the scalar-prefetch stacked kernel (no
     per-layer operand materialization); other modes materialize the layer
     slice and take the ordinary dispatch."""
+    kcfg = _kc.current()
     sp, idx = marker.stacked, marker.idx
     supported = pallas_pb.stacked_supported_v2(sp) and x.shape[0] <= 256
-    mode = _MODE
+    mode = kcfg.backend
     if mode == "auto":
         mode = "pallas" if (_on_tpu() and supported) else "xla"
     if mode in ("pallas", "pallas_interpret") and not supported:
         mode = "xla"
     if mode in ("pallas", "pallas_interpret"):
-        dd = _DECODE_DOT
-        if dd in ("auto",):
-            dd = "int8"
+        dd = _resolve_decode_dot(kcfg)
         if dd not in ("int8", "f32"):
             dd = "f32"  # dma/bf16/pair arms have no stacked variant
         return pallas_pb.pb_matmul_pallas_v2_stacked(

@@ -362,10 +362,31 @@ def _planar_v2_pair_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *,
     o_ref[:] = rowsum * beta + acc_b * alpha + acc_v * hs + rowsum_g * gamma + bias
 
 
-def _planar_v2_int8_kernel(x8_ref, sx_ref, rs_ref, xg_ref, s_ref, v_ref,
-                           coef_ref, o_ref, *, ic: int, oc_tile: int,
-                           pack_block: int, chunk: int, side_bits: int,
-                           shards: int):
+def _v2_salient_dot_int8(xg8, v_ref, side_bits: int, shards: int) -> jnp.ndarray:
+    """int32 sidecar dot on the int8 MXU: xg8 [m, k_pad] int8 x codes.
+
+    8-bit codes don't fit int8, but codes − 128 do: XOR 0x80 + bitcast is
+    offset-binary → int8; the kernel adds the missing 128·Σ_j xg_j back as
+    128·rsg INSIDE the hs product (integer-exact at unit scale — folding it
+    into γ instead costs one extra f32 rounding and breaks the pinned
+    bit-for-bit test).  4-bit codes (0..15) fit int8 directly; shard
+    segments concat like the f32 path."""
+    if side_bits == 4:
+        raw = v_ref[:]
+        kps_packed = raw.shape[0] // shards
+        segs = []
+        for s_ in range(shards):
+            seg = raw[s_ * kps_packed : (s_ + 1) * kps_packed].astype(jnp.int32)
+            segs += [(seg & 0xF).astype(jnp.int8), (seg >> 4).astype(jnp.int8)]
+        v_i8 = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+    else:
+        v_i8 = pltpu.bitcast(v_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+    return jnp.dot(xg8, v_i8, preferred_element_type=jnp.int32)
+
+
+def _planar_v2_int8_kernel(x8_ref, sx_ref, rs_ref, xg8_ref, rsg_ref, s_ref,
+                           v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int,
+                           pack_block: int, side_bits: int, shards: int):
     """Int8 byte-lane decode kernel: 8 int8 dots of [m, 4g]x[4g, oc] per
     pack block (one shift+AND per FOUR bit-planes, `_bit_plane_bytes_int8`)
     instead of 32 f32 dots of [m, g]x[g, oc].  x arrives int8-quantized
@@ -373,10 +394,18 @@ def _planar_v2_int8_kernel(x8_ref, sx_ref, rs_ref, xg_ref, s_ref, v_ref,
     is exact (|Σ x_i8·bit| ≤ ic·127 ≪ 2³¹), so the ONLY approximation is
     x's int8 rounding — when every row of x is integer-valued with absmax
     exactly 127 (sx = 1) the result matches the f32 path to the last bit
-    (pinned by tests/test_pbw_v2.py).  The sidecar dot and the β·rowsum / γ
-    stay f32-exact (rowsum precomputed from the original x outside).
-    Measured v5e (llama-7b MLP shape, m=8, flat harness): 18.9 µs = 541
-    GB/s packed stream = 66%% of the 12.5 µs HBM floor, vs 27.0 µs f32."""
+    (pinned by tests/test_pbw_v2.py).  The SIDECAR dot rides the int8 MXU
+    too (`_v2_salient_dot_int8`: offset-binary codes; the +128 correction is
+    pre-folded into coef row 2 as γ' = γ + 128·hs against the EXACT f32
+    rowsum rsg) — the f32 sidecar dot it replaces was the second-largest
+    cost at decode m and ~30%% of fused-int8 prefill.  β·rowsum stays
+    f32-exact (rs precomputed from the original x outside).
+    Measured v5e (llama-7b MLP shape, m=8 → m_pad=16, flat harness,
+    scripts/bench_v2_sidecar.py): 17.3-19.9 µs = 81%% of the same-run dense
+    stream rate, vs 22.5-22.7 µs for the round-3 f32-sidecar/m_pad=32
+    version; the operand-set DMA floor probe (`dmaonly` arm) sits at
+    16.5 µs, so the kernel runs within ~1 µs of what HBM delivers for
+    these operands."""
     x8 = x8_ref[:]
     mrows = x8.shape[0]
     acc_b = jnp.zeros((mrows, oc_tile), jnp.int32)
@@ -391,27 +420,38 @@ def _planar_v2_int8_kernel(x8_ref, sx_ref, rs_ref, xg_ref, s_ref, v_ref,
         w_off += g
         r_off += rows
 
-    acc_v, rowsum_g = _v2_salient_terms(
-        xg_ref, v_ref, mrows, oc_tile, chunk, side_bits, shards, jnp.float32)
+    acc_v = _v2_salient_dot_int8(xg8_ref[:], v_ref, side_bits, shards)
 
+    sx = sx_ref[:]
+    rsg = rsg_ref[:]
     alpha2 = coef_ref[0:1, :]  # 2·scale: planes here carry {0,1}, not {0,2}
     beta = coef_ref[1:2, :]
     gamma = coef_ref[2:3, :]
     hs = coef_ref[3:4, :]
     bias = coef_ref[4:5, :]
-    y_bin = (acc_b.astype(jnp.float32) * sx_ref[:]) * alpha2
-    o_ref[:] = rs_ref[:] * beta + y_bin + acc_v * hs + rowsum_g * gamma + bias
+    y_bin = (acc_b.astype(jnp.float32) * sx) * alpha2
+    side_f = acc_v.astype(jnp.float32) * sx
+    if side_bits == 8:
+        side_f = side_f + 128.0 * rsg  # offset-binary correction, pre-hs
+    o_ref[:] = rs_ref[:] * beta + y_bin + side_f * hs + rsg * gamma + bias
 
 
 def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
     """decode_dot="int8" / prefill_int8 entry: quantize x per row (absmax
     int8), byte-permute, and run the int8 byte-lane kernel.  Global-
     selection layouts (n_row_groups == 1); large m tiles over a 2-D grid
-    (the SAME fused kernel serves decode and the opt-in int8 prefill — no
-    90 MB w_bin round-trip like the hybrid path)."""
+    (the SAME fused kernel serves decode and the fused int8 prefill — no
+    90 MB w_bin round-trip like the hybrid path).
+
+    Decode m_pad is 16, not 32: Mosaic accepts 16-sublane int8 operand
+    blocks and the bit-plane MXU passes scale with the declared m —
+    measured 2.6 µs faster at llama-7b MLP decode shape (m_pad=8 is SLOWER,
+    23.9 vs 19.9 µs: sub-16 int8 tiles pessimize).  The gathered sidecar x
+    rides int8 too (xg8, same per-row scale), with the exact f32 rowsum rsg
+    carrying both the γ term and the offset-binary +128 correction."""
     m, ic = x.shape
     oc = p.oc_local
-    m_pad = _round_up(max(m, 32), 32)  # int8 min sublane tile
+    m_pad = _round_up(max(m, 16), 16)  # 16-sublane int8 blocks lower fine
     m_tile = 512 if m_pad > 512 else m_pad
     m_pad = _round_up(m_pad, m_tile)
     n_m_tiles = m_pad // m_tile
@@ -423,7 +463,9 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
     x8 = byte_permute_x(xq, ic, p.pack_block_local)
     rs = jnp.sum(xp, axis=1, keepdims=True)
 
-    xg = jnp.transpose(gather_x_v2(xp, p), (2, 0, 1))  # [1, m_pad, k_pad]
+    xg = gather_x_v2(xp, p)[:, :, 0]               # [m_pad, k_pad] f32
+    rsg = jnp.sum(xg, axis=1, keepdims=True)       # exact f32 Σ_salient x
+    xg8 = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
 
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
@@ -433,10 +475,9 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha2, beta, gamma, p.high_scale, bias], axis=0)
 
-    chunk = min(oc_tile, p.col_tile)
     kernel = functools.partial(
         _planar_v2_int8_kernel, ic=ic, oc_tile=oc_tile,
-        pack_block=p.pack_block_local, chunk=chunk,
+        pack_block=p.pack_block_local,
         side_bits=p.side_bits, shards=p.shards_local,
     )
     out = pl.pallas_call(
@@ -447,7 +488,8 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
             pl.BlockSpec((m_tile, ic), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_tile, p.k_pad), lambda i, mi: (0, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, p.k_pad), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p.side_val.shape[0], oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
@@ -465,7 +507,7 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x8, sx, rs, xg, p.sign_packed, p.side_val, coef)
+    )(x8, sx, rs, xg8, rsg, p.sign_packed, p.side_val, coef)
     return out[:m]
 
 
@@ -847,9 +889,9 @@ def _planar_v2_dma_call(x, p: PackedLinearV2, interpret: bool):
 # the per-layer bytes and nothing is materialized.
 
 
-def _stacked_int8_kernel(li_ref, x8_ref, sx_ref, rs_ref, xg_ref, s_ref, v_ref,
-                         coef_ref, o_ref, *, ic: int, oc_tile: int,
-                         pack_block: int, side_bits: int):
+def _stacked_int8_kernel(li_ref, x8_ref, sx_ref, rs_ref, xg8_ref, rsg_ref,
+                         s_ref, v_ref, coef_ref, o_ref, *, ic: int,
+                         oc_tile: int, pack_block: int, side_bits: int):
     del li_ref  # consumed by the index maps
     x8 = x8_ref[:]
     mrows = x8.shape[0]
@@ -866,20 +908,29 @@ def _stacked_int8_kernel(li_ref, x8_ref, sx_ref, rs_ref, xg_ref, s_ref, v_ref,
         w_off += g
         r_off += rows
 
-    raw = v_ref[0].astype(jnp.int32)
+    # sidecar on the int8 MXU: offset-binary codes with the +128 correction
+    # added pre-hs against the exact f32 rowsum (same trick as the flat
+    # kernel, `_v2_salient_dot_int8`) — stacked layouts are un-sharded
     if side_bits == 4:
-        raw = jnp.concatenate([raw & 0xF, raw >> 4], axis=0)
-    xg = xg_ref[:]
-    acc_v = jnp.dot(xg, raw.astype(jnp.float32), preferred_element_type=jnp.float32)
-    rowsum_g = jnp.broadcast_to(jnp.sum(xg, axis=1, keepdims=True), (mrows, oc_tile))
+        raw = v_ref[0].astype(jnp.int32)
+        v_i8 = jnp.concatenate(
+            [(raw & 0xF).astype(jnp.int8), (raw >> 4).astype(jnp.int8)], axis=0)
+    else:
+        v_i8 = pltpu.bitcast(v_ref[0] ^ jnp.uint8(0x80), jnp.int8)
+    acc_v = jnp.dot(xg8_ref[:], v_i8, preferred_element_type=jnp.int32)
 
+    sx = sx_ref[:]
+    rsg = rsg_ref[:]
     alpha2 = coef_ref[0:1, :]
     beta = coef_ref[1:2, :]
     gamma = coef_ref[2:3, :]
     hs = coef_ref[3:4, :]
     bias = coef_ref[4:5, :]
-    y_bin = (acc_b.astype(jnp.float32) * sx_ref[:]) * alpha2
-    o_ref[:] = rs_ref[:] * beta + y_bin + acc_v * hs + rowsum_g * gamma + bias
+    y_bin = (acc_b.astype(jnp.float32) * sx) * alpha2
+    side_f = acc_v.astype(jnp.float32) * sx
+    if side_bits == 8:
+        side_f = side_f + 128.0 * rsg
+    o_ref[:] = rs_ref[:] * beta + y_bin + side_f * hs + rsg * gamma + bias
 
 
 def _stacked_f32_kernel(li_ref, x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref,
@@ -968,7 +1019,7 @@ def pb_matmul_pallas_v2_stacked(
     beta = mean - scale
     gamma = -hs_l * hz_l - beta
 
-    m_pad = _round_up(max(m, 32), 32)
+    m_pad = _round_up(max(m, 16), 16)  # 16-sublane int8 blocks (see flat call)
     xp = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x.astype(jnp.float32))
     x_aug = jnp.concatenate([xp, jnp.zeros((m_pad, 1), jnp.float32)], axis=1)
     idx_g = jnp.where(side_idx_l == ic, jnp.int32(ic), side_idx_l)
@@ -992,6 +1043,8 @@ def pb_matmul_pallas_v2_stacked(
         xq = jnp.clip(jnp.round(xp / sx), -127, 127).astype(jnp.int8)
         x8 = byte_permute_x(xq, ic, pack_block)
         rs = jnp.sum(xp, axis=1, keepdims=True)
+        rsg = jnp.sum(xg, axis=1, keepdims=True)  # exact f32 Σ_salient x
+        xg8 = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
         coef = jnp.stack([2.0 * scale, beta, gamma, hs_l, bias_l], axis=0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1001,6 +1054,7 @@ def pb_matmul_pallas_v2_stacked(
                 pl.BlockSpec((m_pad, 1), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((m_pad, 1), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((m_pad, k_pad), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_pad, 1), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, wpp, oc_tile), lambda i, li: (li[0], 0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, kp_rows, oc_tile), lambda i, li: (li[0], 0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((5, oc_tile), lambda i, li: (0, i), memory_space=pltpu.VMEM),
@@ -1013,7 +1067,7 @@ def pb_matmul_pallas_v2_stacked(
         out = pl.pallas_call(
             kernel, out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
             grid_spec=grid_spec, **common_params,
-        )(li_arr, x8, sx, rs, xg, sp.sign_packed, sp.side_val, coef)
+        )(li_arr, x8, sx, rs, xg8, rsg, sp.sign_packed, sp.side_val, coef)
         return out[:m]
 
     coef = jnp.stack([scale, beta, gamma, hs_l, bias_l], axis=0)
@@ -1055,6 +1109,17 @@ def _decode_oc_tile_v2(p: PackedLinearV2, m: int) -> int:
     if vmem < _PLANAR_VMEM_CAP and p.col_tile >= oc:
         return oc
     return _default_oc_tile(oc)
+
+
+def _decode_oc_tile_v2_int8(p: PackedLinearV2, m: int) -> int:
+    """int8 decode tile: HALF-oc when it stays lane-aligned — the 2-step
+    grid overlaps tile 1's DMA with tile 0's dots (measured 17.3 vs 17.8 µs
+    whole-oc at llama-7b MLP shape, same-run arms; >2 tiles lose to per-tile
+    overhead: 43 tiles measured 36.4 µs)."""
+    oc = p.oc_local
+    if p.col_tile >= oc and oc % 256 == 0:
+        return oc // 2
+    return _decode_oc_tile_v2(p, m)
 
 
 def pallas_supported_v2(p: PackedLinearV2) -> bool:
@@ -1116,7 +1181,8 @@ def pb_matmul_pallas_v2(
                                 gather=prefill_gather, extract=prefill_extract)
     if decode_dot == "int8" and p.n_row_groups == 1 and m <= 256:
         return _planar_v2_int8_call(
-            x, p, oc_tile if oc_tile is not None else _decode_oc_tile_v2(p, m),
+            x, p,
+            oc_tile if oc_tile is not None else _decode_oc_tile_v2_int8(p, m),
             interpret)
     if decode_dot == "dma" and p.n_row_groups == 1 and m <= 256:
         return _planar_v2_dma_call(x, p, interpret)

@@ -89,6 +89,12 @@ class EngineConfig:
     # are written via its table slice; continuation attention runs the
     # multi-query paged kernel with base = chunk offset).  0 disables.
     prefill_chunk: int = 0
+    # kernel-arm selection for THIS engine's programs (ops.kernel_config.
+    # KernelConfig): decode dot path, prefill path, attention impl, backend.
+    # None = the process default (env-var overrides included), resolved at
+    # trace time.  Two engines with different arms coexist in one process —
+    # each jitted program traces under its own config.
+    kernels: Optional[Any] = None
 
 
 def _cache_with_extras(caches, **extras):
@@ -187,6 +193,12 @@ class Engine:
         # forward): {slot: [lp per emitted token]}.  Schedulers copy them
         # into requests that asked for logprobs.
         self.token_logprobs: Dict[int, List[float]] = {}
+
+    def _jit(self, fn):
+        """jit ``fn`` with traces scoped to this engine's KernelConfig."""
+        from ..ops.kernel_config import wrap_jit
+
+        return wrap_jit(fn, self.ecfg.kernels)
 
     # ---------------- slot management ----------------
 
@@ -293,7 +305,7 @@ class Engine:
             next_logits = logits[0, true_len - 1]
             return caches, next_logits
 
-        return jax.jit(prefill)
+        return self._jit(prefill)
 
     def _make_prefill_paged(self, bucket: int):
         fam, cfg = self.fam, self.cfg
@@ -304,7 +316,7 @@ class Engine:
             logits, new = fam.forward(params, ids_padded[None, :], cfg, kv_caches=pcaches, pos=0)
             return _cache_strip_extras(new), logits[0, true_len - 1]
 
-        return jax.jit(prefill)
+        return self._jit(prefill)
 
     def _make_prefill_batch(self, bucket: int):
         """K same-bucket prompts in one program (ids [K, bucket], slots [K],
@@ -330,7 +342,7 @@ class Engine:
                 logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
             return caches, next_logits
 
-        return jax.jit(prefill)
+        return self._jit(prefill)
 
     def _make_prefill_paged_batch(self, bucket: int):
         fam, cfg = self.fam, self.cfg
@@ -344,7 +356,7 @@ class Engine:
                 logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
             return new, next_logits
 
-        return jax.jit(prefill)
+        return self._jit(prefill)
 
     def prefill_batch(self, pairs: Sequence) -> Dict[int, int]:
         """Prefill several slots in ONE jitted program: ``pairs`` is
@@ -463,7 +475,7 @@ class Engine:
                 ]
             return caches, logits[0, n_valid - 1]
 
-        return jax.jit(prefill)
+        return self._jit(prefill)
 
     def _make_prefill_chunk_paged(self, chunk: int):
         """Paged chunk: writes ride the chunk's table SLICE (slot_pages);
@@ -478,7 +490,7 @@ class Engine:
                                       kv_caches=pcaches, pos=offset)
             return _cache_strip_extras(new), logits[0, n_valid - 1]
 
-        return jax.jit(prefill)
+        return self._jit(prefill)
 
     def start_chunked_prefill(self, slot: int, prompt_ids: Sequence[int]) -> None:
         """Begin a chunked prefill job on ``slot``; drive it with
@@ -670,7 +682,7 @@ class Engine:
             lengths = jnp.where(active, lengths + 1, lengths)
             return caches, toks, lengths, lps
 
-        return jax.jit(decode)
+        return self._jit(decode)
 
     def _make_decode_vec(self):
         """Decode with PER-SLOT sampling params as traced vectors (the
@@ -687,7 +699,7 @@ class Engine:
             lengths = jnp.where(active, lengths + 1, lengths)
             return caches, toks, lengths, lps
 
-        return jax.jit(decode)
+        return self._jit(decode)
 
     def _make_forced(self):
         fam, cfg = self.fam, self.cfg
@@ -701,7 +713,7 @@ class Engine:
             lengths = jnp.where(active, lengths + 1, lengths)
             return caches, tok_lp, lengths
 
-        return jax.jit(step)
+        return self._jit(step)
 
     def forced_decode_nll(self, slot: int, tokens: Sequence[int]) -> float:
         """Teacher-forced decode: step the slot through ``tokens`` and return
@@ -755,7 +767,7 @@ class Engine:
             lps = _chosen_logprob(logits, preds)                   # [B, γ+1]
             return caches, preds, lps
 
-        return jax.jit(step)
+        return self._jit(step)
 
     def _make_spec_sampled(self, gamma: int):
         """Stochastic verify program: like `_make_spec` but the acceptance /
@@ -772,7 +784,7 @@ class Engine:
                 logits, drafts, key, temp, tk, tp_)
             return caches, acc, corr, lp_d, lp_c
 
-        return jax.jit(step)
+        return self._jit(step)
 
     def _spec_reserve_pages(self, gamma: int) -> None:
         if self.pool is None:

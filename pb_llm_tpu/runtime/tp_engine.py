@@ -473,14 +473,34 @@ class TPEngine:
 
             return decode
 
-        base._make_prefill = make_prefill
-        base._make_prefill_paged = make_prefill_paged
-        base._make_prefill_batch = make_prefill_batch
-        base._make_prefill_paged_batch = make_prefill_paged_batch
-        base._make_decode = make_decode
-        base._make_decode_vec = make_decode_vec
-        base._make_spec = lambda gamma: make_tp_spec(
-            cfg, fam, mesh, params_sh, caches_tree=base.caches)
+        def _wrap(factory):
+            """Scope every TP program's traces to this engine's KernelConfig
+            (EngineConfig.kernels), like Engine._jit does single-device."""
+            kc = ecfg.kernels
+            if kc is None:
+                return factory
+
+            from ..ops.kernel_config import use_kernels
+
+            def make(*a, **k):
+                prog = factory(*a, **k)
+
+                def call(*args, **kwargs):
+                    with use_kernels(kc):
+                        return prog(*args, **kwargs)
+
+                return call
+
+            return make
+
+        base._make_prefill = _wrap(make_prefill)
+        base._make_prefill_paged = _wrap(make_prefill_paged)
+        base._make_prefill_batch = _wrap(make_prefill_batch)
+        base._make_prefill_paged_batch = _wrap(make_prefill_paged_batch)
+        base._make_decode = _wrap(make_decode)
+        base._make_decode_vec = _wrap(make_decode_vec)
+        base._make_spec = _wrap(lambda gamma: make_tp_spec(
+            cfg, fam, mesh, params_sh, caches_tree=base.caches))
 
         def make_spec_sampled(gamma):
             from .sampler import spec_verify_sample
@@ -497,11 +517,11 @@ class TPEngine:
 
             return run
 
-        base._make_spec_sampled = make_spec_sampled
-        base._make_prefill_chunk = lambda chunk: make_tp_prefill_chunk(
-            cfg, fam, mesh, params_sh, chunk, caches_tree=base.caches, paged=False)
-        base._make_prefill_chunk_paged = lambda chunk: make_tp_prefill_chunk(
-            cfg, fam, mesh, params_sh, chunk, caches_tree=base.caches, paged=True)
+        base._make_spec_sampled = _wrap(make_spec_sampled)
+        base._make_prefill_chunk = _wrap(lambda chunk: make_tp_prefill_chunk(
+            cfg, fam, mesh, params_sh, chunk, caches_tree=base.caches, paged=False))
+        base._make_prefill_chunk_paged = _wrap(lambda chunk: make_tp_prefill_chunk(
+            cfg, fam, mesh, params_sh, chunk, caches_tree=base.caches, paged=True))
 
     def __getattr__(self, name):
         return getattr(self._base, name)

@@ -686,6 +686,53 @@ def test_engine_decode_dot_int8_quality_bound():
     assert abs(nll["int8"] - nll["f32"]) / nll["f32"] < 0.02, nll
 
 
+def test_engine_prefill_int8_quality_bound_and_per_engine_kernels():
+    """Engine-level quality gate for the fused int8 prefill (the TPU serving
+    DEFAULT since round 4): teacher-forced NLL with prefill="int8" moves
+    < 2% relative vs the exact hybrid — same bar as the int8 decode dot
+    (VERDICT r3 #4).  Also pins the per-engine KernelConfig plumbing
+    (VERDICT r3 #5): the two engines carry DIFFERENT prefill arms in ONE
+    process via EngineConfig.kernels, no env vars or module globals."""
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.models import llama as jllama
+    from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.ops import binary_matmul  # noqa: F401  (registers dispatch)
+    from pb_llm_tpu.ops.kernel_config import KernelConfig
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    cfg = jllama.LlamaConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                             num_hidden_layers=2, num_attention_heads=8,
+                             num_key_value_heads=8, max_position_embeddings=512)
+    fam = family_for("huggyllama/llama-7b")
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    calib = np.random.default_rng(0).integers(0, 128, size=(2, 16))
+    scfg = SolverConfig(low_frac=0.9, blocksize=32, mask_structure="column",
+                        col_tile=0)  # global columns: the int8 path's layout
+    packed, _ = quantize_model_ptq(params, cfg, fam, calib, scfg,
+                                   fmt="packed_v2", log=None, pack_block=32)
+
+    r = np.random.default_rng(3)
+    prompt = r.integers(0, 128, size=260).tolist()  # bucket 512 ≥ _V2_PREFILL_M
+    forced = r.integers(0, 128, size=4).tolist()
+    engines = {}
+    for arm in ("hybrid", "int8"):
+        kc = KernelConfig(backend="pallas_interpret", decode_dot="f32",
+                          prefill=arm, attention="xla")
+        engines[arm] = Engine(packed, cfg, fam,
+                              EngineConfig(n_slots=1, max_seq=512,
+                                           prefill_buckets=(512,), kernels=kc))
+    # interleave the two engines' programs: per-engine arms must not leak
+    for arm, eng in engines.items():
+        eng.prefill(0, prompt)
+    nll = {arm: eng.forced_decode_nll(0, forced) for arm, eng in engines.items()}
+    assert np.isfinite(nll["int8"]) and nll["int8"] > 0
+    assert abs(nll["int8"] - nll["hybrid"]) / nll["hybrid"] < 0.02, nll
+    # the arms actually differ (int8 rounds x): identical NLLs would mean
+    # the per-engine config silently fell through to one shared arm
+    assert nll["int8"] != nll["hybrid"]
+
+
 def test_v2_prefill_int8_close():
     """Opt-in int8 prefill (fused byte-lane kernel at large m, 2-D grid with
     m-tiling): int8-rounding-bounded error vs the exact reference, across an
