@@ -119,6 +119,12 @@ def main():
                          "only same-process ratios are trustworthy): "
                          "strips,strips_int8,paged,paged_int8 "
                          "(--paged gives the page size, default 64)")
+    ap.add_argument("--spec_budget", action="store_true",
+                    help="draft-model speculative decoding e2e economics "
+                         "(VERDICT r3 #7): time the target plain step, the "
+                         "gamma=3 verify step and a 160m-shape DRAFT decode "
+                         "step interleaved, then report delivered tok/s vs "
+                         "acceptance rate and the break-even acceptance")
     ap.add_argument("--budget", action="store_true",
                     help="decompose one decode step into component programs "
                          "(full step / packed matmuls only / attention+KV "
@@ -253,6 +259,104 @@ def main():
             return (caches, tokens, lengths + t), ()
         (caches, tokens, lengths), _ = jax.lax.scan(body, (caches, tokens0, lengths0), None, length=n_steps)
         return jnp.sum(tokens), caches
+
+    if args.spec_budget:
+        # ---- draft-model speculative decoding economics (VERDICT r3 #7) --
+        # Three programs timed interleaved (slope method):
+        #   plain  — the target's t=1 decode step
+        #   verify — the target's t=gamma+1 verify step (gamma=3)
+        #   draft  — ONE decode step of a 160m-shape dense bf16 draft
+        #            (llama-160m dims: 12L, h=768, ffn=2048, 12 heads)
+        # Delivered tok/s at acceptance a (per-token draft acceptance,
+        # standard spec-decoding model): E[tokens/round] = (1-a^(g+1))/(1-a),
+        # round cost = g*t_draft + t_verify.  Break-even vs plain solves
+        # E[tokens]/round_cost = 1/t_plain.
+        from pb_llm_tpu.models.llama import init_params as llama_init
+
+        gamma = 3
+        lengths0 = jnp.full((B,), S // 2, jnp.int32)
+        if args.hidden:  # tiny CPU smoke: shrink the draft too
+            dcfg = LlamaConfig(num_hidden_layers=1, hidden_size=args.hidden,
+                               intermediate_size=args.ffn or 2 * args.hidden,
+                               num_attention_heads=args.heads or 4,
+                               num_key_value_heads=args.heads or 4,
+                               vocab_size=cfg.vocab_size)
+        else:
+            dcfg = LlamaConfig(num_hidden_layers=12, hidden_size=768,
+                               intermediate_size=2048, num_attention_heads=12,
+                               num_key_value_heads=12, vocab_size=cfg.vocab_size)
+        dparams = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            llama_init(dcfg, jax.random.PRNGKey(1)))
+        dcaches = [
+            {"k": jnp.zeros((B, S, dcfg.kv_heads, dcfg.head_dim), jnp.bfloat16),
+             "v": jnp.zeros((B, S, dcfg.kv_heads, dcfg.head_dim), jnp.bfloat16)}
+            for _ in range(dcfg.num_hidden_layers)
+        ]
+
+        def draft_scan(p, c, tokens, lengths, n):
+            def body(carry, _):
+                c, t, l = carry
+                logits, c = fam.forward(p, t[:, None], dcfg, kv_caches=c, pos=l)
+                return (c, jnp.argmax(logits[:, 0], -1).astype(jnp.int32), l + 1), ()
+            (c, t, l), _ = jax.lax.scan(body, (c, tokens, lengths), None, length=n)
+            return jnp.sum(t)
+
+        tok1 = jnp.zeros((B,), jnp.int32)
+        tokg = jnp.zeros((B, gamma + 1), jnp.int32)
+        arms = {
+            "plain": (lambda p, c, t, l, n: decode_scan(p, c, t, l, n)[0],
+                      caches, tok1),
+            "verify": (lambda p, c, t, l, n: decode_scan(p, c, t, l, n)[0],
+                       make_arm_caches(0, False), tokg),
+            "draft": (draft_scan, dcaches, tok1),
+        }
+        fns, raw = {}, {}
+        for name, (fn, c0, t0_) in arms.items():
+            p_ = dparams if name == "draft" else params
+            for n in (4, 12):
+                f = jax.jit(lambda p, c, t, l, fn=fn, n=n: fn(p, c, t, l, n))
+                t0 = time.time()
+                float(f(p_, c0, t0_, lengths0))
+                log(f"compiled {name} n={n} in {time.time()-t0:.0f}s")
+                fns[(name, n)] = (f, p_, c0, t0_)
+                raw[(name, n)] = []
+        for rep in range(5):
+            for name in arms:
+                for n in (4, 12):
+                    f, p_, c0, t0_ = fns[(name, n)]
+                    t0 = time.perf_counter()
+                    float(f(p_, c0, t0_ + rep, lengths0))
+                    raw[(name, n)].append(time.perf_counter() - t0)
+        ms = {}
+        for name in arms:
+            ms[name] = (min(raw[(name, 12)]) - min(raw[(name, 4)])) / 8 * 1e3
+            log(f"{name}: {ms[name]:.3f} ms/step")
+        round_ms = gamma * ms["draft"] + ms["verify"]
+        plain_tps = B / ms["plain"] * 1e3
+        curve = {}
+        for a in (0.0, 0.3, 0.5, 0.7, 0.8, 0.9, 1.0):
+            e_tok = gamma + 1 if a >= 1.0 else (1 - a ** (gamma + 1)) / (1 - a)
+            curve[f"{a:.1f}"] = round(B * e_tok / round_ms * 1e3, 1)
+        # break-even: smallest a with delivered >= plain
+        be = None
+        for a in [i / 100 for i in range(0, 101)]:
+            e_tok = gamma + 1 if a >= 1.0 else (1 - a ** (gamma + 1)) / (1 - a)
+            if B * e_tok / round_ms * 1e3 >= plain_tps:
+                be = a
+                break
+        log(f"plain {plain_tps:.0f} tok/s; spec round {round_ms:.2f} ms; "
+            f"break-even acceptance {be}")
+        print(json.dumps({
+            "metric": f"draft-model speculative decoding economics "
+                      f"(B={B}, ctx={S}, {args.layers}L target, "
+                      f"{dcfg.num_hidden_layers}L/{dcfg.hidden_size}h draft, gamma={gamma})",
+            "ms": {k: round(v, 3) for k, v in ms.items()},
+            "plain_tokens_per_s": round(plain_tps, 1),
+            "delivered_tokens_per_s_vs_acceptance": curve,
+            "break_even_acceptance": be,
+        }))
+        return
 
     if args.budget:
         # ---- e2e decode step budget (VERDICT r2 item 2) -------------------

@@ -88,12 +88,12 @@ def load_model_and_tokenizer(args):
                               num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256)
         params = init_params(cfg, jax.random.PRNGKey(0))
         return params, cfg, fam, ByteTokenizer()
-    from transformers import AutoTokenizer
+    from ..utils.tokenizer import get_tokenizer
 
     from ..models import hf_import
 
     params, cfg, _ = hf_import.from_pretrained(args.model)
-    tokenizer = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+    tokenizer = get_tokenizer(args.model)
     return params, cfg, fam, tokenizer
 
 
@@ -147,8 +147,8 @@ def main(argv=None) -> int:
         else:
             from ..models.llama import LlamaConfig
             cfg = LlamaConfig.from_hf(hf_cfg)
-        tokenizer = __import__("transformers").AutoTokenizer.from_pretrained(
-            args.model, use_fast=False)
+        from ..utils.tokenizer import get_tokenizer as _gt
+        tokenizer = _gt(args.model)
         calib, _ = get_loaders(job.dataset, tokenizer, nsamples=job.nsamples,
                                seed=job.seed, seqlen=cfg.seqlen, flavor="ptq",
                                model=job.model)

@@ -78,12 +78,12 @@ def main(argv=None) -> int:
         source = synthetic_source()
         seqlen = min(args.seqlen, 128)
     else:
-        from transformers import AutoTokenizer
+        from ..utils.tokenizer import get_tokenizer
 
         from ..models import hf_import
 
         params, cfg, _ = hf_import.from_pretrained(args.model_id)
-        tokenizer = AutoTokenizer.from_pretrained(args.model_id)
+        tokenizer = get_tokenizer(args.model_id)
         source = None
         seqlen = args.seqlen
 

@@ -118,12 +118,12 @@ def main(argv=None) -> int:
         tokenizer = ByteTokenizer()
         max_seq = min(args.max_seq, 128)
     else:
-        from transformers import AutoTokenizer
+        from ..utils.tokenizer import get_tokenizer
 
         from ..models import hf_import
 
         params, cfg, _ = hf_import.from_pretrained(args.model_id)
-        tokenizer = AutoTokenizer.from_pretrained(args.model_id, use_fast=False)
+        tokenizer = get_tokenizer(args.model_id)
         max_seq = args.max_seq
 
     if args.checkpoint:

@@ -260,7 +260,35 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
                                     jnp.asarray(pos), scale, **common)
         return out.astype(q.dtype)
     s = kv_cache["k"].shape[1]
-    allowed = causal_allowed(pos, t, s, jnp.asarray(pos) + t)
+    p = jnp.asarray(pos)
+    if p.ndim == 1 and s > 256:
+        # batched decode / spec verify: WINDOWED cache read.  Every strip
+        # slot's valid rows are the prefix [0, lengths_b + t), so one
+        # lax.switch over power-of-two windows covering max(lengths) + t
+        # reads only the live prefix of the cache instead of all max_seq
+        # rows — the attention read was 49% of the 32-layer decode step
+        # (bench_e2e --budget) and is HBM-bound, and most steps sit far
+        # below max_seq.  Numerically equivalent: rows beyond the window
+        # carried -inf scores (exactly zero probability) in the full read;
+        # only the f32 softmax/PV reduction order changes with the column
+        # count (tests pin a 2e-4 reduction-order tolerance).
+        windows = []
+        w = 256
+        while w < s:
+            windows.append(w)
+            w *= 2
+        windows.append(s)
+        needed = jnp.max(p) + t
+
+        def _branch(w):
+            win = {k: v[:, :w] for k, v in kv_cache.items()}
+            ck, cv = cache_kv(win, q.dtype)
+            allowed = causal_allowed(pos, t, w, p + t)
+            return masked_softmax_attention(q, ck, cv, allowed, scale)
+
+        idx = jnp.sum(jnp.asarray([needed > w for w in windows[:-1]]).astype(jnp.int32))
+        return jax.lax.switch(idx, [lambda w=w: _branch(w) for w in windows])
+    allowed = causal_allowed(pos, t, s, p + t)
     ck, cv = cache_kv(kv_cache, q.dtype)
     return masked_softmax_attention(q, ck, cv, allowed, scale)
 

@@ -175,9 +175,10 @@ def forward(
     cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
     if "layers_stacked" in params:
         # one scan body compiled once instead of num_layers unrolled copies
-        # (stack with models.stacking.stack_layers; calibration capture needs
-        # the unrolled path)
-        assert linear_fn is None, "linear_fn capture requires unrolled layers"
+        # (stack with models.stacking.stack_layers).  linear_fn passes
+        # through for TP's row-parallel psum wrapper — but calibration
+        # CAPTURE still needs the unrolled path (a capture callback would
+        # see one traced call per linear name, not one per layer).
         from ..core.pbw import PackedLinearV2
         from . import stacking as _stacking
 
@@ -199,7 +200,7 @@ def forward(
             lp = dict(lp_rest)
             for k in packed_names:
                 lp[k] = _stacking.StackedPackedLinearV2(stacked[k], idx)
-            h, cache = decoder_layer(lp, h, cfg, cos, sin, None, cache, pos)
+            h, cache = decoder_layer(lp, h, cfg, cos, sin, linear_fn, cache, pos)
             return h, cache
 
         if kv_caches is not None:

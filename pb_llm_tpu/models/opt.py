@@ -184,7 +184,8 @@ def forward(
 ) -> Tuple[jnp.ndarray, Optional[List[Dict[str, jnp.ndarray]]]]:
     x = embed(params, input_ids, cfg, pos)
     if "layers_stacked" in params:
-        assert linear_fn is None, "linear_fn capture requires unrolled layers"
+        # linear_fn passes through for TP's row-parallel psum wrapper;
+        # calibration capture still requires the unrolled path (see llama)
         from ..core.pbw import PackedLinearV2
         from . import stacking as _stacking
 
@@ -203,7 +204,7 @@ def forward(
             lp = dict(lp_rest)
             for k in packed_names:
                 lp[k] = _stacking.StackedPackedLinearV2(stacked[k], idx)
-            h, cache = decoder_layer(lp, h, cfg, None, cache, pos)
+            h, cache = decoder_layer(lp, h, cfg, linear_fn, cache, pos)
             return h, cache
 
         if kv_caches is not None:

@@ -175,6 +175,24 @@ def _fsdp_leaf(spec: Any, leaf: Any, dp: int) -> Any:
     return spec
 
 
+def _prepend_layer_axis(spec: Any) -> Any:
+    """[L]-stacked leaves (models.stacking) keep their per-layer sharding
+    with the leading layer axis unsharded: P(a, b) → P(None, a, b)."""
+    import dataclasses
+
+    if isinstance(spec, P):
+        return P(None, *spec)
+    if dataclasses.is_dataclass(spec):
+        repl = {f.name: P(None, *getattr(spec, f.name))
+                for f in dataclasses.fields(spec)
+                if isinstance(getattr(spec, f.name), P)}
+        return dataclasses.replace(spec, **repl)
+    if isinstance(spec, dict):
+        return {k: (P(None, *v) if isinstance(v, P) else v)
+                for k, v in spec.items()}
+    return spec
+
+
 def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] = None,
                 fsdp: bool = False) -> Dict[str, Any]:
     """PartitionSpec tree matching the model param tree.
@@ -201,6 +219,28 @@ def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] =
                         s = jax.tree_util.tree_map(lambda _: P(), leaf)
                     lspec[n] = s
                 specs["layers"].append(lspec)
+        elif key == "layers_stacked":
+            # scan_layers: same per-name sharding with the [L] axis prepended.
+            # Stacked PackedLinearV2 leaves carry [L]-leading side_idx, so
+            # n_row_groups reads shape[-1] (the property assumes 2-D).
+            import dataclasses as _dc
+
+            lspec = {}
+            for n, leaf in val.items():
+                if isinstance(leaf, PackedLinearV2):
+                    s = _packed_v2_spec(n, leaf.side_idx.shape[-1])
+                    s = _dc.replace(
+                        s, bias=None if leaf.bias is None else s.bias,
+                        ic=leaf.ic, oc=leaf.oc, col_tile=leaf.col_tile,
+                        pack_block=leaf.pack_block, k_pad_shard=leaf.k_pad_shard)
+                else:
+                    s = _leaf_spec(n, leaf)
+                if s is None:
+                    s = jax.tree_util.tree_map(lambda _: P(), leaf)
+                lspec[n] = _prepend_layer_axis(s)
+            specs[key] = lspec
+        elif key == "num_layers":
+            specs[key] = P()  # python int metadata; shard_params passes it through
         elif key == "lm_head":
             specs[key] = _leaf_spec(key, val) or jax.tree_util.tree_map(lambda _: P(), val)
         elif key in ("embed_tokens", "embed_positions"):
@@ -282,6 +322,8 @@ def sanitize_specs(params: Dict[str, Any], specs: Dict[str, Any], mesh: Mesh) ->
                 {n: _san(lp[n], s) for n, s in lspec.items()}
                 for lp, lspec in zip(params["layers"], spec)
             ]
+        elif key == "layers_stacked":
+            out[key] = {n: _san(params[key][n], s) for n, s in spec.items()}
         else:
             out[key] = _san(params.get(key), spec)
     return out
@@ -295,6 +337,8 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, family_name: str,
     def put(leaf, spec):
         if leaf is None:
             return None
+        if not hasattr(leaf, "shape"):  # python metadata (e.g. num_layers)
+            return leaf
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(

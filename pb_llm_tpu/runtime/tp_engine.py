@@ -54,8 +54,15 @@ def _tp_linear_fn(name, lin, x):
     """Row-parallel linears: matmul partials → psum → bias once."""
     if name in ROW_PARALLEL:
         from ..core.pbw import PackedLinear, PackedLinearV2
+        from ..models.stacking import StackedPackedLinearV2
 
-        if isinstance(lin, (PackedLinear, PackedLinearV2)):
+        if isinstance(lin, StackedPackedLinearV2):
+            # scan_layers: strip the stacked bias so it isn't added per
+            # shard pre-psum; re-add this layer's row after the psum
+            bias = None if lin.stacked.bias is None else lin.stacked.bias[lin.idx]
+            lin = StackedPackedLinearV2(
+                dataclasses.replace(lin.stacked, bias=None), lin.idx)
+        elif isinstance(lin, (PackedLinear, PackedLinearV2)):
             bias = lin.bias
             lin = dataclasses.replace(lin, bias=None)
         else:
@@ -82,8 +89,49 @@ def _cache_spec_for_key(k: str):
     return CACHE_SPEC
 
 
-def _cache_specs_like(caches) -> List[Dict[str, Any]]:
+def _cache_specs_like(caches):
+    if isinstance(caches, dict):  # scan-stacked: leading [L] axis unsharded
+        return {k: P(*((None,) + tuple(_cache_spec_for_key(k))))
+                for k in caches}
     return [{k: _cache_spec_for_key(k) for k in c} for c in caches]
+
+
+def _slice_slot(caches, slot):
+    """One slot's cache rows (batch axis 1 for stacked dicts, 0 otherwise)."""
+    if isinstance(caches, dict):
+        return jax.tree_util.tree_map(
+            lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, 1), caches)
+    return [
+        {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
+        for c in caches
+    ]
+
+
+def _update_slot(caches, new, slot):
+    if isinstance(caches, dict):
+        return jax.tree_util.tree_map(
+            lambda c, nc: jax.lax.dynamic_update_slice_in_dim(c, nc, slot, 1),
+            caches, new)
+    return [
+        {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
+        for c, nc in zip(caches, new)
+    ]
+
+
+def _index_slots(caches, slots):
+    if isinstance(caches, dict):
+        return jax.tree_util.tree_map(lambda c: c[:, slots], caches)
+    return [{k: v[slots] for k, v in c.items()} for c in caches]
+
+
+def _set_slots(caches, new, slots):
+    if isinstance(caches, dict):
+        return jax.tree_util.tree_map(
+            lambda c, nc: c.at[:, slots].set(nc), caches, new)
+    return [
+        {k: c[k].at[slots].set(nc[k]) for k in c}
+        for c, nc in zip(caches, new)
+    ]
 
 
 def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree=None) -> Callable:
@@ -94,11 +142,11 @@ def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree=None) ->
     tp = mesh.shape["tp"]
     lcfg = _local_cfg(cfg, fam, tp)
     pspecs = param_specs(params_tree, fam.name, mesh)
-    n_layers = len(params_tree["layers"])
     if caches_tree is not None:
         cache_specs = _cache_specs_like(caches_tree)
     else:
-        cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC} for _ in range(n_layers)]
+        cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC}
+                       for _ in range(len(params_tree["layers"]))]
 
     def local_step(params, caches, last_tokens, lengths):
         logits, caches = fam.forward(
@@ -130,25 +178,19 @@ def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, cach
     tp = mesh.shape["tp"]
     lcfg = _local_cfg(cfg, fam, tp)
     pspecs = param_specs(params_tree, fam.name, mesh)
-    n_layers = len(params_tree["layers"])
     if caches_tree is not None:
         cache_specs = _cache_specs_like(caches_tree)
     else:
-        cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC} for _ in range(n_layers)]
+        cache_specs = [{"k": CACHE_SPEC, "v": CACHE_SPEC}
+                       for _ in range(len(params_tree["layers"]))]
 
     def local_prefill(params, caches, ids_padded, slot, true_len):
-        slot_caches = [
-            {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
-            for c in caches
-        ]
+        slot_caches = _slice_slot(caches, slot)
         logits, new_slot = fam.forward(
             params, ids_padded[None, :], lcfg,
             linear_fn=_tp_linear_fn, kv_caches=slot_caches, pos=0,
         )
-        caches = [
-            {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
-            for c, nc in zip(caches, new_slot)
-        ]
+        caches = _update_slot(caches, new_slot, slot)
         next_logits = logits[0, true_len - 1]
         if next_logits.shape[-1] != cfg.vocab_size:
             next_logits = jax.lax.all_gather(next_logits, "tp", axis=-1, tiled=True)
@@ -177,13 +219,15 @@ def make_tp_prefill_paged(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int
     pspecs = param_specs(params_tree, fam.name, mesh)
     cache_specs = _cache_specs_like(caches_tree)
 
+    from .engine import _cache_strip_extras, _cache_with_extras
+
     def local_prefill(params, caches, ids_padded, slot_pages, true_len):
-        pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+        pcaches = _cache_with_extras(caches, slot_pages=slot_pages)
         logits, new = fam.forward(
             params, ids_padded[None, :], lcfg,
             linear_fn=_tp_linear_fn, kv_caches=pcaches, pos=0,
         )
-        new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
+        new = _cache_strip_extras(new)
         next_logits = logits[0, true_len - 1]
         if next_logits.shape[-1] != cfg.vocab_size:
             next_logits = jax.lax.all_gather(next_logits, "tp", axis=-1, tiled=True)
@@ -269,14 +313,14 @@ def make_tp_prefill_chunk(cfg, fam: Family, mesh: Mesh, params_tree, chunk: int,
     cache_specs = _cache_specs_like(caches_tree)
 
     if paged:
+        from .engine import _cache_strip_extras, _cache_with_extras
+
         def local_chunk(params, caches, ids_chunk, chunk_pages, table_row, offset, n_valid):
-            pcaches = [dict(c, slot_pages=chunk_pages, chunk_table=table_row)
-                       for c in caches]
+            pcaches = _cache_with_extras(caches, slot_pages=chunk_pages,
+                                         chunk_table=table_row)
             logits, new = fam.forward(params, ids_chunk[None, :], lcfg,
                                       linear_fn=_tp_linear_fn, kv_caches=pcaches, pos=offset)
-            new = [{k: v for k, v in c.items()
-                    if k not in ("slot_pages", "chunk_table")}
-                   for c in new]
+            new = _cache_strip_extras(new)
             nl = logits[0, n_valid - 1]
             if nl.shape[-1] != cfg.vocab_size:
                 nl = jax.lax.all_gather(nl, "tp", axis=-1, tiled=True)
@@ -285,16 +329,10 @@ def make_tp_prefill_chunk(cfg, fam: Family, mesh: Mesh, params_tree, chunk: int,
         in_specs = (pspecs, cache_specs, P(), P(), P(), P(), P())
     else:
         def local_chunk(params, caches, ids_chunk, slot, offset, n_valid):
-            slot_caches = [
-                {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, 0) for k, v in c.items()}
-                for c in caches
-            ]
+            slot_caches = _slice_slot(caches, slot)
             logits, new = fam.forward(params, ids_chunk[None, :], lcfg,
                                       linear_fn=_tp_linear_fn, kv_caches=slot_caches, pos=offset)
-            caches = [
-                {k: jax.lax.dynamic_update_slice_in_dim(c[k], nc[k], slot, 0) for k in c}
-                for c, nc in zip(caches, new)
-            ]
+            caches = _update_slot(caches, new, slot)
             nl = logits[0, n_valid - 1]
             if nl.shape[-1] != cfg.vocab_size:
                 nl = jax.lax.all_gather(nl, "tp", axis=-1, tiled=True)
@@ -329,25 +367,24 @@ def make_tp_prefill_batch(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int
         return nl
 
     if paged:
+        from .engine import _cache_strip_extras, _cache_with_extras
+
         def local_prefill(params, caches, ids_padded, slot_pages, true_lens):
-            pcaches = [dict(c, slot_pages=slot_pages) for c in caches]
+            pcaches = _cache_with_extras(caches, slot_pages=slot_pages)
             logits, new = fam.forward(
                 params, ids_padded, lcfg,
                 linear_fn=_tp_linear_fn, kv_caches=pcaches, pos=0,
             )
-            new = [{k: v for k, v in c.items() if k != "slot_pages"} for c in new]
+            new = _cache_strip_extras(new)
             return new, _next_logits(logits, true_lens)
     else:
         def local_prefill(params, caches, ids_padded, slots, true_lens):
-            slot_caches = [{k: v[slots] for k, v in c.items()} for c in caches]
+            slot_caches = _index_slots(caches, slots)
             logits, new = fam.forward(
                 params, ids_padded, lcfg,
                 linear_fn=_tp_linear_fn, kv_caches=slot_caches, pos=0,
             )
-            caches = [
-                {k: c[k].at[slots].set(nc[k]) for k in c}
-                for c, nc in zip(caches, new)
-            ]
+            caches = _set_slots(caches, new, slots)
             return caches, _next_logits(logits, true_lens)
 
     fn = shard_map(
@@ -393,8 +430,13 @@ class TPEngine:
         from .engine import Engine
         from .sampler import SamplingParams
 
-        if getattr(ecfg, "scan_layers", False):
-            raise NotImplementedError("scan_layers under TP shard_map is not supported yet")
+        if getattr(ecfg, "scan_layers", False) and "layers_stacked" not in params:
+            # stack BEFORE sharding: param_specs places stacked leaves with
+            # the [L] axis prepended; the scan body then runs the scalar-
+            # prefetch stacked kernel per shard inside the shard_map step
+            from ..models import stacking
+
+            params = stacking.stack_layers(params)
         tp = mesh.shape["tp"]
         kvh = cfg.kv_heads if fam.name == "llama" else cfg.num_attention_heads
         if cfg.num_attention_heads % tp or kvh % tp:
@@ -404,10 +446,17 @@ class TPEngine:
         params_sh = shard_params(params, mesh, fam.name) if shard else params
         self._base = Engine(params_sh, cfg, fam, ecfg, sampling or SamplingParams())
         base = self._base
-        if base.pool is not None:
-            # paged pool: pages head-sharded over tp, table replicated
-            from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding
 
+        if isinstance(base.caches, dict):
+            # scan-stacked cache dict: per-key spec with the [L] axis leading
+            cspecs = _cache_specs_like(base.caches)
+            base.caches = {
+                k: jax.device_put(v, NamedSharding(mesh, cspecs[k]))
+                for k, v in base.caches.items()
+            }
+        elif base.pool is not None:
+            # paged pool: pages head-sharded over tp, table replicated
             base.caches = [
                 {k: jax.device_put(v, NamedSharding(mesh, _cache_spec_for_key(k)))
                  for k, v in c.items()}

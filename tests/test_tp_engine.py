@@ -324,6 +324,106 @@ def test_tpengine_prefix_cache_matches_single_device(packed_llama):
         assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
 
 
+@pytest.fixture(scope="module")
+def packed_llama_v2():
+    """PBW v2, global column selection — the layout the scalar-prefetch
+    stacked kernel serves (scan_layers x TP, VERDICT r3 #3)."""
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256, num_hidden_layers=3,
+        num_attention_heads=8, num_key_value_heads=8, max_position_embeddings=64,
+    )
+    fam = family_for("llama")
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    calib = np.random.default_rng(1).integers(0, 128, size=(2, 16))
+    packed, _ = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.9, blocksize=32, mask_structure="column",
+                     col_tile=0, ic_shards=TP),  # row-parallel TP layout
+        fmt="packed_v2", log=None, pack_block=32,
+    )
+    return packed, cfg, fam
+
+
+def test_tpengine_scan_layers_matches_single_device(packed_llama_v2):
+    """scan_layers x TP (VERDICT r3 #3): the stacked-layer scan body runs
+    per shard inside the shard_map step (stacked params sharded with the
+    [L] axis prepended, stacked caches head-sharded) — token streams through
+    continuous batching match the UNROLLED single-device engine exactly."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama_v2
+    reqs = lambda: [
+        Request(request_id=i, prompt_ids=list(p), max_new_tokens=5)
+        for i, p in enumerate(np.random.default_rng(21).integers(0, 128, size=(4, 5)))
+    ]
+    ecfg_ref = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,))
+    eng_ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg_ref)
+    done_ref = ContinuousBatcher(eng_ref).run(reqs())
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,),
+                        scan_layers=True)
+    eng_tp = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    assert isinstance(eng_tp.caches, dict)  # stacked cache dict, [L] leading
+    done_tp = ContinuousBatcher(eng_tp).run(reqs())
+    assert all(r.done for r in done_tp)
+    for a, b in zip(done_ref, done_tp):
+        assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
+
+
+def test_tpengine_scan_layers_paged_batched_prefill(packed_llama_v2):
+    """The triple composition scan_layers x TP x paged KV (+ batched
+    prefill): what a llama-13b pod deployment runs (BASELINE configs[4]) —
+    stream parity vs the unrolled single-device paged engine."""
+    from pb_llm_tpu.runtime.batching import ContinuousBatcher, Request
+    from pb_llm_tpu.runtime.engine import Engine, EngineConfig
+
+    packed, cfg, fam = packed_llama_v2
+    reqs = lambda: [
+        Request(request_id=i, prompt_ids=list(p), max_new_tokens=4)
+        for i, p in enumerate(np.random.default_rng(23).integers(0, 128, size=(4, 5)))
+    ]
+    ecfg_ref = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,),
+                            page_size=8, max_prefill_batch=2)
+    eng_ref = Engine(copy.deepcopy(packed), cfg, fam, ecfg_ref)
+    done_ref = ContinuousBatcher(eng_ref).run(reqs())
+
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    ecfg = EngineConfig(n_slots=2, max_seq=32, prefill_buckets=(8,),
+                        page_size=8, max_prefill_batch=2, scan_layers=True)
+    eng_tp = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+    done_tp = ContinuousBatcher(eng_tp).run(reqs())
+    assert all(r.done for r in done_tp)
+    for a, b in zip(done_ref, done_tp):
+        assert a.output_ids == b.output_ids, (a.request_id, a.output_ids, b.output_ids)
+    assert eng_tp.pool.free_pages == eng_tp.pool.n_pages
+
+
+def test_tpengine_scan_layers_pallas_interpret_parity(packed_llama_v2):
+    """The scalar-prefetch STACKED KERNEL per shard inside the shard_map
+    decode step (pallas interpret on CPU): tokens match the xla-backend TP
+    scan engine.  Row-parallel layers run the stacked kernel on their local
+    [L]-stacked planes (shards_local == 1 inside the local view); the
+    per-engine KernelConfig pins the arms."""
+    from pb_llm_tpu.ops.kernel_config import KernelConfig
+    from pb_llm_tpu.runtime.engine import EngineConfig
+
+    packed, cfg, fam = packed_llama_v2
+    mesh = pmesh.make_mesh(dp=1, tp=TP)
+    prompt = [5, 17, 42, 3]
+    toks = {}
+    for backend in ("xla", "pallas_interpret"):
+        kc = KernelConfig(backend=backend, decode_dot="f32",
+                          prefill="hybrid", attention="xla")
+        ecfg = EngineConfig(n_slots=1, max_seq=32, prefill_buckets=(8,),
+                            scan_layers=True, kernels=kc)
+        eng = tp_engine.TPEngine(copy.deepcopy(packed), cfg, fam, ecfg, mesh)
+        toks[backend] = [eng.prefill(0, prompt)] + [
+            eng.decode_step()[0] for _ in range(2)]
+    assert toks["pallas_interpret"] == toks["xla"], toks
+
+
 def test_tpengine_int8_paged(packed_llama):
     """int8 paged pool under TP: scale planes shard P(None, tp, None);
     stream matches the single-device int8-paged engine."""
