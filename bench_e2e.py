@@ -98,6 +98,10 @@ def main():
     ap.add_argument("--sidecar_bits", type=int, default=8, choices=[4, 8])
     ap.add_argument("--fmt", type=str, default="v2", choices=["v1", "v2"])
     ap.add_argument("--low_frac", type=float, default=0.9)
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse q/k/v and gate/up into single packed matmuls "
+                         "(models.fusion): 4 kernel launches per block "
+                         "instead of 7")
     ap.add_argument("--scan_layers", action="store_true",
                     help="lax.scan over stacked layers (one compiled body; "
                          "measures the compile-time win of models.stacking)")
@@ -146,6 +150,11 @@ def main():
     log(f"building packed llama ({args.layers} layers)...")
     params = build_packed_llama(cfg, jax.random.PRNGKey(0), args.sidecar_bits,
                                 fmt=args.fmt, low_frac=args.low_frac)
+    if args.fuse:
+        from pb_llm_tpu.models.fusion import fuse_parallel_linears
+
+        params = fuse_parallel_linears(params, "llama")
+        log("fused q|k|v and gate|up (4 packed matmuls per block)")
 
     B, S = args.slots, args.ctx
 

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over stacked decoder layers: one compiled "
                         "decode body instead of num_layers unrolled copies")
+    p.add_argument("--fuse_linears", action="store_true",
+                   help="fuse q/k/v and gate/up into single packed matmuls "
+                        "(PBW v2 global-selection checkpoints; quality-"
+                        "identical, fewer kernel launches; single-device)")
     p.add_argument("--decode_dot", type=str, default=None,
                    choices=["auto", "f32", "int8", "dma", "bf16", "pair"],
                    help="PBW-v2 decode dot arm (default: env PB_TPU_DECODE_DOT "
@@ -168,6 +172,7 @@ def main(argv=None) -> int:
         spec_gamma=args.spec_gamma,
         prefill_chunk=args.prefill_chunk,
         kernels=kernels,
+        fuse_linears=args.fuse_linears,
     )
     if args.tp > 1:
         from ..parallel.mesh import make_mesh

@@ -555,6 +555,45 @@ def matmul_reference_v2(x: jnp.ndarray, p: PackedLinearV2) -> jnp.ndarray:
     return y
 
 
+def merge_packed_linears_v2(ps) -> PackedLinearV2:
+    """Concatenate same-input PackedLinearV2 layers along oc into ONE layer
+    with one ROW GROUP per constituent (col_tile = each part's oc,
+    side_idx [k_pad, G]) — the fused-qkv / fused-gate+up serving layout.
+    Dequantization is exactly the horizontal concat of the parts' dequants
+    (each group keeps its own salient column set and scales), so fusing is
+    quality-neutral; it exists to cut kernel launches and x-prep per layer
+    (7 → 4 packed matmuls in a llama block).
+
+    Requires: equal ic/oc/pack_block/side_bits/k_pad, global selection
+    (n_row_groups == 1) and un-sharded sidecars per part, uniform bias-ness.
+    """
+    p0 = ps[0]
+    for p in ps:
+        if not isinstance(p, PackedLinearV2):
+            raise ValueError("merge_packed_linears_v2 needs PackedLinearV2 parts")
+        if p.n_row_groups != 1 or p.shards_local != 1:
+            raise ValueError("parts must be global-selection, un-sharded")
+        if (p.ic, p.oc, p.pack_block, p.side_bits, p.k_pad) != (
+                p0.ic, p0.oc, p0.pack_block, p0.side_bits, p0.k_pad):
+            raise ValueError("parts must agree on ic/oc/pack_block/side_bits/k_pad")
+        if (p.bias is None) != (p0.bias is None):
+            raise ValueError("parts must uniformly have or lack bias")
+    cat1 = lambda f: jnp.concatenate([getattr(p, f) for p in ps], axis=1)
+    cat0 = lambda f: jnp.concatenate([getattr(p, f) for p in ps], axis=0)
+    return PackedLinearV2(
+        sign_packed=cat1("sign_packed"),
+        side_val=cat1("side_val"),
+        side_idx=cat1("side_idx"),
+        low_scale=cat1("low_scale"),
+        low_mean=cat1("low_mean"),
+        high_scale=cat0("high_scale"),
+        high_zero=cat0("high_zero"),
+        bias=None if p0.bias is None else cat0("bias"),
+        ic=p0.ic, oc=sum(p.oc for p in ps), col_tile=p0.oc,
+        pack_block=p0.pack_block, k_pad_shard=0, side_bits=p0.side_bits,
+    )
+
+
 def gather_x_v2(x: jnp.ndarray, p: PackedLinearV2) -> jnp.ndarray:
     """Per-row-group activation gather feeding the v2 kernel's sidecar dot:
     [m, ic] → [m, total_k_pad, n_row_groups]; padding indices hit an appended

@@ -137,9 +137,17 @@ def decoder_layer(
     hd = cfg.head_dim
 
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = lf("q_proj", lp["q_proj"], h).reshape(b, t, cfg.num_attention_heads, hd)
-    k = lf("k_proj", lp["k_proj"], h).reshape(b, t, cfg.kv_heads, hd)
-    v = lf("v_proj", lp["v_proj"], h).reshape(b, t, cfg.kv_heads, hd)
+    if "qkv_proj" in lp:  # fused serving layout (models.fusion)
+        wq = cfg.num_attention_heads * hd
+        wkv = cfg.kv_heads * hd
+        qkv = lf("qkv_proj", lp["qkv_proj"], h)
+        q = qkv[..., :wq].reshape(b, t, cfg.num_attention_heads, hd)
+        k = qkv[..., wq : wq + wkv].reshape(b, t, cfg.kv_heads, hd)
+        v = qkv[..., wq + wkv :].reshape(b, t, cfg.kv_heads, hd)
+    else:
+        q = lf("q_proj", lp["q_proj"], h).reshape(b, t, cfg.num_attention_heads, hd)
+        k = lf("k_proj", lp["k_proj"], h).reshape(b, t, cfg.kv_heads, hd)
+        v = lf("v_proj", lp["v_proj"], h).reshape(b, t, cfg.kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -153,8 +161,13 @@ def decoder_layer(
     x = x + lf("o_proj", lp["o_proj"], attn)
 
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = lf("gate_proj", lp["gate_proj"], h)
-    up = lf("up_proj", lp["up_proj"], h)
+    if "gateup_proj" in lp:  # fused serving layout (models.fusion)
+        gu = lf("gateup_proj", lp["gateup_proj"], h)
+        ffn = gu.shape[-1] // 2
+        gate, up = gu[..., :ffn], gu[..., ffn:]
+    else:
+        gate = lf("gate_proj", lp["gate_proj"], h)
+        up = lf("up_proj", lp["up_proj"], h)
     x = x + lf("down_proj", lp["down_proj"], jax.nn.silu(gate) * up)
     return x, kv_cache
 

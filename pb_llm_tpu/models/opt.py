@@ -130,9 +130,16 @@ def decoder_layer(
 
     residual = x
     h = layer_norm(x, lp["self_attn_layer_norm"], cfg.layer_norm_eps) if cfg.do_layer_norm_before else x
-    q = lf("q_proj", lp["q_proj"], h).reshape(b, t, nh, hd)
-    k = lf("k_proj", lp["k_proj"], h).reshape(b, t, nh, hd)
-    v = lf("v_proj", lp["v_proj"], h).reshape(b, t, nh, hd)
+    if "qkv_proj" in lp:  # fused serving layout (models.fusion)
+        w = nh * hd
+        qkv = lf("qkv_proj", lp["qkv_proj"], h)
+        q = qkv[..., :w].reshape(b, t, nh, hd)
+        k = qkv[..., w : 2 * w].reshape(b, t, nh, hd)
+        v = qkv[..., 2 * w :].reshape(b, t, nh, hd)
+    else:
+        q = lf("q_proj", lp["q_proj"], h).reshape(b, t, nh, hd)
+        k = lf("k_proj", lp["k_proj"], h).reshape(b, t, nh, hd)
+        v = lf("v_proj", lp["v_proj"], h).reshape(b, t, nh, hd)
     scale = jnp.asarray(hd**-0.5, x.dtype)
     if kv_cache is not None:
         kv_cache = cache_update(kv_cache, k, v, pos)

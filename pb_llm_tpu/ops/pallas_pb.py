@@ -362,8 +362,9 @@ def _planar_v2_pair_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *,
     o_ref[:] = rowsum * beta + acc_b * alpha + acc_v * hs + rowsum_g * gamma + bias
 
 
-def _v2_salient_dot_int8(xg8, v_ref, side_bits: int, shards: int) -> jnp.ndarray:
-    """int32 sidecar dot on the int8 MXU: xg8 [m, k_pad] int8 x codes.
+def _v2_salient_dot_int8(xg8, v, side_bits: int, shards: int) -> jnp.ndarray:
+    """int32 sidecar dot on the int8 MXU: xg8 [m, k_pad] int8 x codes
+    (``v``: the uint8 code VALUES, already loaded from the ref).
 
     8-bit codes don't fit int8, but codes − 128 do: XOR 0x80 + bitcast is
     offset-binary → int8; the kernel adds the missing 128·Σ_j xg_j back as
@@ -372,21 +373,21 @@ def _v2_salient_dot_int8(xg8, v_ref, side_bits: int, shards: int) -> jnp.ndarray
     bit-for-bit test).  4-bit codes (0..15) fit int8 directly; shard
     segments concat like the f32 path."""
     if side_bits == 4:
-        raw = v_ref[:]
-        kps_packed = raw.shape[0] // shards
+        kps_packed = v.shape[0] // shards
         segs = []
         for s_ in range(shards):
-            seg = raw[s_ * kps_packed : (s_ + 1) * kps_packed].astype(jnp.int32)
+            seg = v[s_ * kps_packed : (s_ + 1) * kps_packed].astype(jnp.int32)
             segs += [(seg & 0xF).astype(jnp.int8), (seg >> 4).astype(jnp.int8)]
         v_i8 = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
     else:
-        v_i8 = pltpu.bitcast(v_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+        v_i8 = pltpu.bitcast(v ^ jnp.uint8(0x80), jnp.int8)
     return jnp.dot(xg8, v_i8, preferred_element_type=jnp.int32)
 
 
 def _planar_v2_int8_kernel(x8_ref, sx_ref, rs_ref, xg8_ref, rsg_ref, s_ref,
                            v_ref, coef_ref, o_ref, *, ic: int, oc_tile: int,
-                           pack_block: int, side_bits: int, shards: int):
+                           pack_block: int, side_bits: int, shards: int,
+                           chunk: int):
     """Int8 byte-lane decode kernel: 8 int8 dots of [m, 4g]x[4g, oc] per
     pack block (one shift+AND per FOUR bit-planes, `_bit_plane_bytes_int8`)
     instead of 32 f32 dots of [m, g]x[g, oc].  x arrives int8-quantized
@@ -420,19 +421,31 @@ def _planar_v2_int8_kernel(x8_ref, sx_ref, rs_ref, xg8_ref, rsg_ref, s_ref,
         w_off += g
         r_off += rows
 
-    acc_v = _v2_salient_dot_int8(xg8_ref[:], v_ref, side_bits, shards)
-
+    # sidecar terms per ROW GROUP: each chunk of `chunk` output columns has
+    # its own salient column set (fused qkv / gate+up layers carry one group
+    # per constituent matrix; plain layers have one global group)
+    n_chunks = oc_tile // chunk
     sx = sx_ref[:]
-    rsg = rsg_ref[:]
+    side_parts = []
+    rsg_parts = []
+    for j in range(n_chunks):
+        acc_v = _v2_salient_dot_int8(
+            xg8_ref[j], v_ref[:, j * chunk:(j + 1) * chunk], side_bits, shards)
+        rsg_j = rsg_ref[j]  # [m, 1] exact f32 Σ_salient x for this group
+        side_f = acc_v.astype(jnp.float32) * sx
+        if side_bits == 8:
+            side_f = side_f + 128.0 * rsg_j  # offset-binary correction
+        side_parts.append(side_f)
+        rsg_parts.append(jnp.broadcast_to(rsg_j, (side_f.shape[0], chunk)))
+    side_f = jnp.concatenate(side_parts, axis=1) if n_chunks > 1 else side_parts[0]
+    rsg = jnp.concatenate(rsg_parts, axis=1) if n_chunks > 1 else rsg_parts[0]
+
     alpha2 = coef_ref[0:1, :]  # 2·scale: planes here carry {0,1}, not {0,2}
     beta = coef_ref[1:2, :]
     gamma = coef_ref[2:3, :]
     hs = coef_ref[3:4, :]
     bias = coef_ref[4:5, :]
     y_bin = (acc_b.astype(jnp.float32) * sx) * alpha2
-    side_f = acc_v.astype(jnp.float32) * sx
-    if side_bits == 8:
-        side_f = side_f + 128.0 * rsg  # offset-binary correction, pre-hs
     o_ref[:] = rs_ref[:] * beta + y_bin + side_f * hs + rsg * gamma + bias
 
 
@@ -463,8 +476,8 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
     x8 = byte_permute_x(xq, ic, p.pack_block_local)
     rs = jnp.sum(xp, axis=1, keepdims=True)
 
-    xg = gather_x_v2(xp, p)[:, :, 0]               # [m_pad, k_pad] f32
-    rsg = jnp.sum(xg, axis=1, keepdims=True)       # exact f32 Σ_salient x
+    xg = jnp.transpose(gather_x_v2(xp, p), (2, 0, 1))  # [n_rg, m_pad, k_pad]
+    rsg = jnp.sum(xg, axis=2, keepdims=True)           # [n_rg, m_pad, 1] exact
     xg8 = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
 
     scale = p.low_scale[0].astype(jnp.float32)
@@ -475,10 +488,14 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha2, beta, gamma, p.high_scale, bias], axis=0)
 
+    # row groups (fused qkv / gate+up layers: one salient column set per
+    # constituent matrix): chunk = columns sharing one group inside a tile
+    chunk = min(oc_tile, p.col_tile)
+    gpt = oc_tile // chunk
     kernel = functools.partial(
         _planar_v2_int8_kernel, ic=ic, oc_tile=oc_tile,
         pack_block=p.pack_block_local,
-        side_bits=p.side_bits, shards=p.shards_local,
+        side_bits=p.side_bits, shards=p.shards_local, chunk=chunk,
     )
     out = pl.pallas_call(
         kernel,
@@ -488,8 +505,12 @@ def _planar_v2_int8_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool):
             pl.BlockSpec((m_tile, ic), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_tile, p.k_pad), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_tile, 1), lambda i, mi: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, m_tile, p.k_pad),
+                         lambda i, mi, _gpt=gpt, _ot=oc_tile, _ct=p.col_tile:
+                         (((i * _ot) // _ct) // _gpt, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, m_tile, 1),
+                         lambda i, mi, _gpt=gpt, _ot=oc_tile, _ct=p.col_tile:
+                         (((i * _ot) // _ct) // _gpt, mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p.side_val.shape[0], oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
@@ -1167,7 +1188,7 @@ def pb_matmul_pallas_v2(
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if m >= _V2_PREFILL_M:
-        if prefill_int8 and p.n_row_groups == 1:
+        if prefill_int8:
             # fused int8 byte-lane kernel at large m: int8 MXU dots (~2x
             # bf16 FLOPs) and NO 90 MB w_bin round-trip; opt-in like
             # prefill_bf16 (x rounds to per-row absmax int8)
@@ -1179,7 +1200,7 @@ def pb_matmul_pallas_v2(
         dot_dtype = jnp.bfloat16 if prefill_bf16 else jnp.float32
         return _v2_prefill_call(x, p, oc_tile, interpret, dot_dtype,
                                 gather=prefill_gather, extract=prefill_extract)
-    if decode_dot == "int8" and p.n_row_groups == 1 and m <= 256:
+    if decode_dot == "int8" and m <= 256:
         return _planar_v2_int8_call(
             x, p,
             oc_tile if oc_tile is not None else _decode_oc_tile_v2_int8(p, m),

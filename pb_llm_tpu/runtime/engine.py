@@ -95,6 +95,12 @@ class EngineConfig:
     # trace time.  Two engines with different arms coexist in one process —
     # each jitted program traces under its own config.
     kernels: Optional[Any] = None
+    # fuse q/k/v and gate/up into single packed matmuls (models.fusion):
+    # 7 → 4 kernel launches per llama block, quality-identical (each matrix
+    # keeps its own salient columns/scales as a row group of the merged
+    # layer).  PBW v2 global-selection layers only; single-device serving
+    # (the TP engine shards by per-name Megatron rules and rejects this).
+    fuse_linears: bool = False
 
 
 def _cache_with_extras(caches, **extras):
@@ -166,6 +172,10 @@ class Engine:
             if ecfg.prefix_cache:
                 raise ValueError("prefix_cache requires a paged pool (page_size > 0)")
             self.caches = kvmod.make_caches(cfg, ecfg.n_slots, ecfg.max_seq, n_layers, kv_heads, head_dim, ecfg.cache_dtype)
+        if ecfg.fuse_linears and "layers" in self.params:
+            from ..models.fusion import fuse_parallel_linears
+
+            self.params = fuse_parallel_linears(self.params, fam.name)
         if ecfg.scan_layers:
             from ..models import stacking
 

@@ -430,6 +430,11 @@ class TPEngine:
         from .engine import Engine
         from .sampler import SamplingParams
 
+        if getattr(ecfg, "fuse_linears", False):
+            raise NotImplementedError(
+                "fuse_linears under TP is unsupported: the Megatron shardings "
+                "are per-name and a fused layer's oc shards would cross row-"
+                "group boundaries — use per-name layers with --tp")
         if getattr(ecfg, "scan_layers", False) and "layers_stacked" not in params:
             # stack BEFORE sharding: param_specs places stacked leaves with
             # the [L] axis prepended; the scan body then runs the scalar-
