@@ -518,29 +518,36 @@ def main():
             if name.startswith("spec"):
                 return 0, False, int(name[4:]) + 1
             return {"strips": (0, False, 1), "strips_int8": (0, True, 1),
+                    "fused": (0, False, 1),  # q|k|v + gate|up merged matmuls
                     "paged": (args.paged or 64, False, 1),
                     "paged_int8": (args.paged or 64, True, 1)}[name]
 
+        fused_params = None
         names = [a.strip() for a in args.arms.split(",") if a.strip()]
+        if "fused" in names:
+            from pb_llm_tpu.models.fusion import fuse_parallel_linears
+
+            fused_params = fuse_parallel_linears(params, "llama")
         fns, arm_caches, widths = {}, {}, {}
         for name in names:
             paged, int8, width = arm_def(name)
             arm_caches[name] = make_arm_caches(paged, int8)
             widths[name] = width
+            arm_params = fused_params if name == "fused" else params
             tok0 = tokens0 if width == 1 else jnp.zeros((B, width), jnp.int32)
             for n_steps in (4, 12):
                 f = jax.jit(lambda p, c, t, l, n=n_steps: decode_scan(p, c, t, l, n)[0])
                 t0 = time.time()
-                float(f(params, arm_caches[name], tok0, lengths0))
+                float(f(arm_params, arm_caches[name], tok0, lengths0))
                 log(f"compiled {name} n={n_steps} in {time.time()-t0:.0f}s")
-                fns[(name, n_steps)] = (f, tok0)
+                fns[(name, n_steps)] = (f, tok0, arm_params)
         raw = {(name, n): [] for name in names for n in (4, 12)}
         for rep in range(5):
             for name in names:
                 for n in (4, 12):
-                    f, tok0 = fns[(name, n)]
+                    f, tok0, arm_params = fns[(name, n)]
                     t0 = time.perf_counter()
-                    float(f(params, arm_caches[name], tok0 + rep, lengths0))
+                    float(f(arm_params, arm_caches[name], tok0 + rep, lengths0))
                     raw[(name, n)].append(time.perf_counter() - t0)
         out = {}
         for name in names:

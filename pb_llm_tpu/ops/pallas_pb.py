@@ -1119,27 +1119,52 @@ def pb_matmul_pallas_v2_stacked(
 _V2_PREFILL_M = 256
 
 
+def _aligned_oc_tile_v2(p: PackedLinearV2) -> int:
+    """oc tile respecting ROW-GROUP alignment: a tile must either span whole
+    groups or sit inside one (the kernels' per-chunk sidecar loop assumes
+    uniform chunks) — a tile straddling a group boundary would apply group
+    0's gathered x to group 1's columns (silently wrong).  Returns 0 when
+    no aligned tile exists (dispatch falls back to the XLA reference)."""
+    oc, ct = p.oc_local, p.col_tile
+    for cand in (512, 256, 128):
+        if oc % cand == 0 and (ct >= oc or ct % cand == 0):
+            return cand
+    if ct >= oc or oc % ct == 0:
+        return oc  # whole-oc tile: chunk loop walks the groups
+    return 0
+
+
 def _decode_oc_tile_v2(p: PackedLinearV2, m: int) -> int:
     """One whole-oc tile when the planes fit VMEM (measured 39.8 vs 51.8 µs
     at 4096×11008 m=8 on v5e — a 43-tile grid costs ~12 µs of overhead);
-    otherwise the generic tile."""
+    otherwise the generic (group-aligned) tile."""
     oc = p.oc_local
     m_tile = min(_round_up(max(m, 8), 8), 256)
     vmem = ((p.ic_local // 32) * oc * 4 + p.side_val.shape[0] * oc
             + m_tile * (p.ic_local + oc) * 4 + 5 * oc * 4)
     if vmem < _PLANAR_VMEM_CAP and p.col_tile >= oc:
         return oc
-    return _default_oc_tile(oc)
+    return _aligned_oc_tile_v2(p) or _default_oc_tile(oc)
 
 
 def _decode_oc_tile_v2_int8(p: PackedLinearV2, m: int) -> int:
-    """int8 decode tile: HALF-oc when it stays lane-aligned — the 2-step
-    grid overlaps tile 1's DMA with tile 0's dots (measured 17.3 vs 17.8 µs
-    whole-oc at llama-7b MLP shape, same-run arms; >2 tiles lose to per-tile
-    overhead: 43 tiles measured 36.4 µs)."""
-    oc = p.oc_local
-    if p.col_tile >= oc and oc % 256 == 0:
-        return oc // 2
+    """int8 decode tile: HALF-oc when it stays lane- and group-aligned —
+    the 2-step grid overlaps tile 1's DMA with tile 0's dots (measured 17.3
+    vs 17.8 µs whole-oc at llama-7b MLP shape, same-run arms; >2 tiles lose
+    to per-tile overhead: 43 tiles measured 36.4 µs).  Fused (multi-group)
+    layers tile on whole GROUPS: half-oc when it spans whole groups
+    (gate|up: 2 groups → 1 group per tile), else one group per tile
+    (qkv: 3 tiles) — a tile straddling a group boundary is wrong."""
+    oc, ct = p.oc_local, p.col_tile
+    if ct >= oc:
+        if oc % 256 == 0:
+            return oc // 2
+        return _decode_oc_tile_v2(p, m)
+    if oc % ct == 0:
+        half = oc // 2
+        if half % ct == 0 and half % 128 == 0:
+            return half
+        return ct
     return _decode_oc_tile_v2(p, m)
 
 
@@ -1149,13 +1174,9 @@ def pallas_supported_v2(p: PackedLinearV2) -> bool:
         return False
     if ic > p.pack_block_local and ic % p.pack_block_local != 0:
         return False
-    oc_tile = _default_oc_tile(oc)
-    chunk = min(oc_tile, p.col_tile)
-    if oc_tile % chunk or p.col_tile % chunk:
-        return False
-    if oc_tile > p.col_tile and oc_tile % p.col_tile:
-        return False
-    return True
+    if p.col_tile < oc and oc % p.col_tile:
+        return False  # per-chunk loops assume uniform row groups
+    return _aligned_oc_tile_v2(p) != 0
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1193,10 +1214,13 @@ def pb_matmul_pallas_v2(
             # bf16 FLOPs) and NO 90 MB w_bin round-trip; opt-in like
             # prefill_bf16 (x rounds to per-row absmax int8)
             return _planar_v2_int8_call(
-                x, p, oc_tile if oc_tile is not None else _default_oc_tile(p.oc_local),
+                x, p,
+                oc_tile if oc_tile is not None
+                else (_aligned_oc_tile_v2(p) or _default_oc_tile(p.oc_local)),
                 interpret)
         if oc_tile is None:
-            oc_tile = _default_oc_tile(p.oc_local)  # scratch [ic, oc_tile] caps the tile
+            # group-aligned tile (scratch [ic, oc_tile] caps it)
+            oc_tile = _aligned_oc_tile_v2(p) or _default_oc_tile(p.oc_local)
         dot_dtype = jnp.bfloat16 if prefill_bf16 else jnp.float32
         return _v2_prefill_call(x, p, oc_tile, interpret, dot_dtype,
                                 gather=prefill_gather, extract=prefill_extract)

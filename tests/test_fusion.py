@@ -99,6 +99,43 @@ def test_int8_kernel_multi_row_group_exact_at_unit_scale(packed_v2_llama):
     np.testing.assert_allclose(i8, f32, rtol=1e-6, atol=1e-4)
 
 
+def test_merged_default_tiles_stay_group_aligned():
+    """col_tile = 384 (not divisible by the 512/256 default tiles): the
+    dispatch must pick a group-aligned tile (128) — a tile straddling a
+    group boundary would apply group 0's gathered x to group 1's columns.
+    Regression for the fused-gate|up llama-7b case (col_tile=11008, default
+    512 tile → silent reference fallback in round 4's first fused bench)."""
+    from pb_llm_tpu.models import linear as _lin
+    from pb_llm_tpu.models.llama import LlamaConfig, init_params as _init
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=128, intermediate_size=384, num_hidden_layers=1,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=32,
+    )
+    fam = family_for("llama")
+    params = _init(cfg, jax.random.PRNGKey(9))
+    calib = np.random.default_rng(9).integers(0, 64, size=(1, 8))
+    packed, _ = quantize_model_ptq(
+        copy.deepcopy(params), cfg, fam, calib,
+        SolverConfig(low_frac=0.9, blocksize=32, mask_structure="column", col_tile=0),
+        fmt="packed_v2", log=None, pack_block=32,
+    )
+    lp = packed["layers"][0]
+    merged = pbw.merge_packed_linears_v2([lp["gate_proj"], lp["up_proj"]])
+    assert merged.oc == 768 and merged.col_tile == 384
+    assert pallas_pb.pallas_supported_v2(merged)
+    assert pallas_pb._aligned_oc_tile_v2(merged) == 128
+    # decode tile = half-oc (2 groups -> 1 group per tile)
+    assert pallas_pb._decode_oc_tile_v2_int8(merged, 4) == 384
+    x = jnp.asarray(np.random.default_rng(10).standard_normal((4, 128)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(pbw.matmul_reference_v2(x, merged))
+        got = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+            x, merged, interpret=True, decode_dot="int8"))  # default tiles
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 2e-2
+
+
 def test_engine_fused_stream_matches_unfused(packed_v2_llama):
     """Continuous batching with fuse_linears on vs off: identical token
     streams (merged dequant is the exact concat; the matmul differs only in
