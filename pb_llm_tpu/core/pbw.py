@@ -316,10 +316,19 @@ class PackedLinearV2:
     # the sidecar stream (effective bits ~1.4 at low_frac=0.9).  All row
     # accounting (k_pad, k_pad_shard) stays in UNPACKED slot-row units.
     side_bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # low-code width: 1 (xnor/sign/rtn/prune sign plane) or 2/4 (the
+    # reference's 2bit/4bit ablations, `gptq_pb/low_quant.py:44-65`):
+    # sign_packed is then PLANE-MAJOR [low_bits * ic/32, oc] and ``low_mean``
+    # holds the uniform-code zero point (value = scale * (code - zero))
+    low_bits: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    @property
+    def words_per_plane(self) -> int:
+        return self.sign_packed.shape[0] // self.low_bits
 
     @property
     def ic_local(self) -> int:
-        return self.sign_packed.shape[0] * 32
+        return self.words_per_plane * 32
 
     @property
     def oc_local(self) -> int:
@@ -429,8 +438,9 @@ def pack_linear_v2(
 
     ``ic_shards``: shard-major sidecar layout for row-parallel TP (local
     column indices per contiguous ic shard; see PackedLinearV2)."""
-    if method not in ("xnor", "sign", "rtn", "prune"):
-        raise ValueError(f"v2 packs 1-bit low methods only, got {method!r}")
+    if method not in ("xnor", "sign", "rtn", "prune", "2bit", "4bit"):
+        raise ValueError(f"v2 cannot pack method {method!r}")
+    low_bits = {"2bit": 2, "4bit": 4}.get(method, 1)
     oc, ic = w_q.shape
     if col_tile <= 0 or col_tile > oc:
         col_tile = oc  # global selection sentinel (see column_structured_mask)
@@ -438,6 +448,9 @@ def pack_linear_v2(
         raise ValueError("pack_linear_v2 requires ic % 32 == 0")
     if ic % ic_shards:
         raise ValueError(f"ic {ic} not divisible by ic_shards {ic_shards}")
+    if low_bits > 1 and ic_shards > 1:
+        raise ValueError("multi-bit low planes are plane-major on axis 0 and "
+                         "cannot use the shard-major (ic_shards) sidecar layout")
     ic_s = ic // ic_shards
 
     w_q = jnp.asarray(w_q, jnp.float32)
@@ -463,6 +476,10 @@ def pack_linear_v2(
     if method == "xnor":
         low_mean = low_state["mean"].astype(jnp.float32)
         low_scale = low_state["scale"].astype(jnp.float32)
+    elif method in ("2bit", "4bit"):
+        # uniform code c = round(q/scale + zero); value = scale*(c - zero)
+        low_scale = low_state["scale"].astype(jnp.float32)
+        low_mean = low_state["zero"].astype(jnp.float32)  # holds the zero
     else:
         s = low_state["scale"].astype(jnp.float32)
         if method == "prune":
@@ -492,8 +509,17 @@ def pack_linear_v2(
         half = k_pad // 2
         side_val = (seg[:, :half] | (seg[:, half:] << 4)).reshape(ic_shards * half, oc).astype(np.uint8)
 
-    mean_rows = jnp.repeat(low_mean, ic, axis=0)[:ic]
-    bits = ((w_q.T - mean_rows) >= 0) & ~jnp.asarray(salient.T)
+    if low_bits == 1:
+        mean_rows = jnp.repeat(low_mean, ic, axis=0)[:ic]
+        bits = ((w_q.T - mean_rows) >= 0) & ~jnp.asarray(salient.T)
+        plane_list = [bits]
+    else:
+        scale_rows = jnp.maximum(jnp.repeat(low_scale, ic, axis=0)[:ic], 1e-20)
+        zero_rows = jnp.repeat(low_mean, ic, axis=0)[:ic]
+        codes_low = jnp.clip(jnp.round(w_q.T / scale_rows + zero_rows),
+                             0, 2**low_bits - 1).astype(jnp.int32)
+        codes_low = jnp.where(jnp.asarray(salient.T), 0, codes_low)
+        plane_list = [((codes_low >> j) & 1).astype(bool) for j in range(low_bits)]
     pack_block = pack_block or packing.default_pack_block(ic_s)
     # shard-splittable sign plane: pack blocks must never straddle a shard
     # boundary (the bit layout is block-local)
@@ -501,7 +527,9 @@ def pack_linear_v2(
         raise ValueError(f"pack_block {pack_block} must divide the ic shard width {ic_s}")
 
     packed = PackedLinearV2(
-        sign_packed=packing.pack_bits(bits.astype(jnp.uint32), pack_block),
+        sign_packed=jnp.concatenate(
+            [packing.pack_bits(pl.astype(jnp.uint32), pack_block)
+             for pl in plane_list], axis=0),
         side_val=jnp.asarray(side_val),
         side_idx=jnp.asarray(side_idx),
         low_scale=low_scale,
@@ -510,7 +538,7 @@ def pack_linear_v2(
         high_zero=hz,
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
         ic=ic, oc=oc, col_tile=col_tile, pack_block=pack_block, k_pad_shard=k_pad,
-        side_bits=side_bits,
+        side_bits=side_bits, low_bits=low_bits,
     )
     w_rt = dequantize_v2(packed).T
     diag = {"pack_mismatch": float(jnp.mean(jnp.abs(w_rt - w_q) > 1e-6)),
@@ -528,8 +556,18 @@ def dequantize_v2(p: PackedLinearV2) -> jnp.ndarray:
     ic, oc = p.ic_local, p.oc_local
     shards, ic_s, kps = p.shards_local, p.ic_shard_local, p.k_pad_shard_local
     side_val = unpack_side_codes(p.side_val, p.side_bits, p.shards_local)
-    bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
-    w_bin = p.low_mean[0][None, :] + (2.0 * bits - 1.0) * p.low_scale[0][None, :]
+    wpp = p.words_per_plane
+    if p.low_bits == 1:
+        bits = packing.unpack_bits(p.sign_packed, ic, p.pack_block_local).astype(jnp.float32)
+        w_bin = p.low_mean[0][None, :] + (2.0 * bits - 1.0) * p.low_scale[0][None, :]
+    else:
+        code = jnp.zeros((ic, oc), jnp.float32)
+        for j in range(p.low_bits):
+            bits_j = packing.unpack_bits(
+                p.sign_packed[j * wpp : (j + 1) * wpp], ic, p.pack_block_local)
+            code = code + (2.0 ** j) * bits_j.astype(jnp.float32)
+        # uniform code: value = scale * (code - zero); low_mean holds the zero
+        w_bin = p.low_scale[0][None, :] * (code - p.low_mean[0][None, :])
 
     codes = jnp.zeros((ic_s + 1, shards, oc), jnp.float32)  # row ic_s = sink
     m = jnp.zeros((ic_s + 1, shards, oc), jnp.float32)
@@ -573,9 +611,9 @@ def merge_packed_linears_v2(ps) -> PackedLinearV2:
             raise ValueError("merge_packed_linears_v2 needs PackedLinearV2 parts")
         if p.n_row_groups != 1 or p.shards_local != 1:
             raise ValueError("parts must be global-selection, un-sharded")
-        if (p.ic, p.oc, p.pack_block, p.side_bits, p.k_pad) != (
-                p0.ic, p0.oc, p0.pack_block, p0.side_bits, p0.k_pad):
-            raise ValueError("parts must agree on ic/oc/pack_block/side_bits/k_pad")
+        if (p.ic, p.oc, p.pack_block, p.side_bits, p.low_bits, p.k_pad) != (
+                p0.ic, p0.oc, p0.pack_block, p0.side_bits, p0.low_bits, p0.k_pad):
+            raise ValueError("parts must agree on ic/oc/pack_block/side_bits/low_bits/k_pad")
         if (p.bias is None) != (p0.bias is None):
             raise ValueError("parts must uniformly have or lack bias")
     cat1 = lambda f: jnp.concatenate([getattr(p, f) for p in ps], axis=1)
@@ -630,7 +668,8 @@ def save_pbw(path: str, layers: Dict[str, PackedLinear], extra_meta: Optional[di
             meta["layers"][name] = {
                 "format": "v2", "ic": p.ic, "oc": p.oc, "col_tile": p.col_tile,
                 "pack_block": p.pack_block, "k_pad_shard": p.k_pad_shard_local,
-                "side_bits": p.side_bits, "has_bias": p.bias is not None,
+                "side_bits": p.side_bits, "low_bits": p.low_bits,
+                "has_bias": p.bias is not None,
             }
             fields = _FIELDS_V2
         else:
@@ -671,7 +710,8 @@ class PBWShardWriter:
             self._meta[name] = {
                 "format": "v2", "ic": p.ic, "oc": p.oc, "col_tile": p.col_tile,
                 "pack_block": p.pack_block, "k_pad_shard": p.k_pad_shard_local,
-                "side_bits": p.side_bits, "has_bias": p.bias is not None,
+                "side_bits": p.side_bits, "low_bits": p.low_bits,
+                "has_bias": p.bias is not None,
             }
             fields = _FIELDS_V2
         else:
@@ -746,7 +786,8 @@ def load_pbw(path: str) -> Tuple[Dict[str, PackedLinear], dict]:
                 ic=lm["ic"], oc=lm["oc"], col_tile=lm["col_tile"],
                 pack_block=lm.get("pack_block", packing.PACK_BLOCK),
                 k_pad_shard=lm.get("k_pad_shard", 0),
-                side_bits=lm.get("side_bits", 8), **kw,
+                side_bits=lm.get("side_bits", 8),
+                low_bits=lm.get("low_bits", 1), **kw,
             )
             continue
         kw = {f: jnp.asarray(z[f"{name}::{f}"]) for f in _FIELDS if f"{name}::{f}" in z}

@@ -33,8 +33,8 @@ def _fusable(lp: Dict[str, Any], names) -> bool:
     p0 = parts[0]
     return all(
         p.n_row_groups == 1 and p.shards_local == 1
-        and (p.ic, p.oc, p.pack_block, p.side_bits, p.k_pad)
-        == (p0.ic, p0.oc, p0.pack_block, p0.side_bits, p0.k_pad)
+        and (p.ic, p.oc, p.pack_block, p.side_bits, p.low_bits, p.k_pad)
+        == (p0.ic, p0.oc, p0.pack_block, p0.side_bits, p0.low_bits, p0.k_pad)
         and (p.bias is None) == (p0.bias is None)
         for p in parts
     )

@@ -296,20 +296,26 @@ def _v2_salient_terms(xg_ref, v_ref, mrows: int, oc_tile: int, chunk: int,
 
 def _planar_v2_kernel(x_ref, xg_ref, s_ref, v_ref, coef_ref, o_ref, *, ic: int,
                       oc_tile: int, pack_block: int, chunk: int, dot_dtype,
-                      side_bits: int = 8, shards: int = 1):
+                      side_bits: int = 8, shards: int = 1, low_bits: int = 1):
+    """s_ref is PLANE-MAJOR [low_bits, ic//32, oc_tile]; low_bits >= 2 runs
+    the reference's uniform 2/4-bit low ablations in the v2 format — the
+    per-plane dots accumulate with 2^j weights and the caller supplies
+    alpha = scale/2, beta = -scale*zero (code2 = 2*code planes)."""
     xb = x_ref[:]
     mrows = xb.shape[0]
     acc_b = jnp.zeros((mrows, oc_tile), jnp.float32)
     w_off = r_off = 0
     for rows in packing.block_sizes(ic, pack_block):
         g = rows // WORD_BITS
-        ws = s_ref[w_off : w_off + g, :]
+        planes = [s_ref[j, w_off : w_off + g, :] for j in range(low_bits)]
         for b in range(WORD_BITS):
             xs = xb[:, r_off + b * g : r_off + (b + 1) * g].astype(dot_dtype)
-            bits_s = _bit_plane_two(ws, b)  # {0, 2.0}; 2x folded into alpha
-            if dot_dtype != jnp.float32:
-                bits_s = bits_s.astype(dot_dtype)
-            acc_b += jnp.dot(xs, bits_s, preferred_element_type=jnp.float32)
+            for j, ws in enumerate(planes):
+                bits_s = _bit_plane_two(ws, b)  # {0, 2.0}; 2x folded into alpha
+                if dot_dtype != jnp.float32:
+                    bits_s = bits_s.astype(dot_dtype)
+                acc_b += (2.0 ** j) * jnp.dot(
+                    xs, bits_s, preferred_element_type=jnp.float32)
         w_off += g
         r_off += rows
 
@@ -550,8 +556,12 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
 
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
-    alpha = scale  # w_bin = beta + 2·scale·bit; kernel's bit planes carry {0,2}
-    beta = mean - scale
+    if p.low_bits == 1:
+        alpha = scale  # w_bin = beta + 2·scale·bit; bit planes carry {0,2}
+        beta = mean - scale
+    else:
+        alpha = 0.5 * scale  # w_bin = scale·(code − zero); low_mean = zero
+        beta = -scale * mean
     gamma = -p.high_scale * p.high_zero - beta
     bias = p.bias if p.bias is not None else jnp.zeros((oc,), jnp.float32)
     coef = jnp.stack([alpha, beta, gamma, p.high_scale, bias], axis=0)
@@ -567,9 +577,17 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
         kernel = functools.partial(
             _planar_v2_kernel, ic=ic, oc_tile=oc_tile,
             pack_block=p.pack_block_local, chunk=chunk, dot_dtype=dot_dtype,
-            side_bits=p.side_bits, shards=p.shards_local,
+            side_bits=p.side_bits, shards=p.shards_local, low_bits=p.low_bits,
         )
         x_in = xp
+    wpp = p.words_per_plane
+    sign_in = (p.sign_packed if pair
+               else p.sign_packed.reshape(p.low_bits, wpp, oc))
+    sign_spec = (
+        pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM)
+        if pair else
+        pl.BlockSpec((p.low_bits, wpp, oc_tile), lambda i, mi: (0, 0, i),
+                     memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, oc), jnp.float32),
@@ -579,7 +597,7 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
             pl.BlockSpec((gpt, m_tile, p.k_pad),
                          lambda i, mi, _gpt=gpt, _ot=oc_tile, _ct=p.col_tile:
                          (((i * _ot) // _ct) // _gpt, mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ic // 32, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
+            sign_spec,
             pl.BlockSpec((p.side_val.shape[0], oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((5, oc_tile), lambda i, mi: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -600,28 +618,32 @@ def _planar_v2_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dty
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_in, xg, p.sign_packed, p.side_val, coef)
+    )(x_in, xg, sign_in, p.side_val, coef)
     return out[:m]
 
 
 def _v2_dequant_kernel(s_ref, coef_ref, w_ref, *, ic: int, oc_tile: int,
-                       pack_block: int):
-    """Binary-part dequant: w_bin = β + α·bits2 written tile-by-tile.  Pure
-    VPU + DMA (extraction ~40 µs for a full 4096x11008 layer; the 2-byte/w
-    write dominates).  Salient rows still carry β here — the caller installs
+                       pack_block: int, low_bits: int = 1):
+    """Binary-part dequant: w_bin = β + α·code2 written tile-by-tile (code2
+    = Σ_j 2^j · bits2_j; one plane for the 1-bit methods).  Pure VPU + DMA
+    (extraction ~40 µs for a full 4096x11008 layer; the 2-byte/w write
+    dominates).  Salient rows still carry β here — the caller installs
     them with one XLA row scatter."""
     strips = []
     w_off = 0
     for rows in packing.block_sizes(ic, pack_block):
         g = rows // WORD_BITS
-        ws = s_ref[w_off : w_off + g, :]
         for b in range(WORD_BITS):
-            strips.append(_bit_plane_two(ws, b))  # rows land in natural order
+            acc = _bit_plane_two(s_ref[0, w_off : w_off + g, :], b)
+            for j in range(1, low_bits):
+                acc = acc + (2.0 ** j) * _bit_plane_two(
+                    s_ref[j, w_off : w_off + g, :], b)
+            strips.append(acc)  # rows land in natural order
         w_off += g
-    bits2 = jnp.concatenate(strips, axis=0)  # [ic, oc_tile] {0, 2.0}
+    code2 = jnp.concatenate(strips, axis=0)  # [ic, oc_tile]
     alpha = coef_ref[0:1, :]
     beta = coef_ref[1:2, :]
-    w_ref[:] = (beta + alpha * bits2).astype(w_ref.dtype)
+    w_ref[:] = (beta + alpha * code2).astype(w_ref.dtype)
 
 
 def _dequant_v2_binary(p: PackedLinearV2, dtype=jnp.bfloat16,
@@ -633,19 +655,25 @@ def _dequant_v2_binary(p: PackedLinearV2, dtype=jnp.bfloat16,
         oc_tile = _default_oc_tile(oc)
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
-    alpha = scale  # bit planes carry {0,2}: w_bin = (mean-scale) + 2·scale·bit
-    beta = mean - scale
+    if p.low_bits == 1:
+        alpha = scale  # bit planes carry {0,2}: w_bin = (mean-scale) + 2·scale·bit
+        beta = mean - scale
+    else:
+        alpha = 0.5 * scale  # uniform code: scale·(code − zero)
+        beta = -scale * mean
     coef = jnp.stack([alpha, beta], axis=0)
 
+    wpp = p.words_per_plane
     kernel = functools.partial(
         _v2_dequant_kernel, ic=ic, oc_tile=oc_tile, pack_block=p.pack_block_local,
+        low_bits=p.low_bits,
     )
     w_bin = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((ic, oc), dtype),
         grid=(oc // oc_tile,),
         in_specs=[
-            pl.BlockSpec((ic // 32, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p.low_bits, wpp, oc_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ic, oc_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -661,7 +689,7 @@ def _dequant_v2_binary(p: PackedLinearV2, dtype=jnp.bfloat16,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(p.sign_packed, coef)
+    )(p.sign_packed.reshape(p.low_bits, wpp, oc), coef)
     return w_bin
 
 
@@ -675,19 +703,28 @@ def dequant_v2_binary_xla(p: PackedLinearV2, dtype=jnp.bfloat16) -> jnp.ndarray:
     ic, oc = p.ic_local, p.oc_local
     scale = p.low_scale[0].astype(jnp.float32)
     mean = p.low_mean[0].astype(jnp.float32)
-    beta = mean - scale
-    ws = p.sign_packed  # [ic//32, oc], block-major words, bit b ↔ row b*g+i
     shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)[:, None, None]
-    parts = []
-    w_off = 0
-    for rows in packing.block_sizes(ic, p.pack_block_local):
-        g = rows // WORD_BITS
-        blk = ws[w_off : w_off + g]
-        bits = (blk[None, :, :] >> shifts) & jnp.uint32(1)  # [32, g, oc]
-        parts.append(bits.reshape(rows, oc))
-        w_off += g
-    bits = jnp.concatenate(parts, axis=0).astype(jnp.float32)  # [ic, oc] {0,1}
-    return (beta[None, :] + (2.0 * scale)[None, :] * bits).astype(dtype)
+    wpp = p.words_per_plane
+
+    def plane(j):
+        ws = p.sign_packed[j * wpp : (j + 1) * wpp]
+        parts = []
+        w_off = 0
+        for rows in packing.block_sizes(ic, p.pack_block_local):
+            g = rows // WORD_BITS
+            blk = ws[w_off : w_off + g]
+            bits = (blk[None, :, :] >> shifts) & jnp.uint32(1)  # [32, g, oc]
+            parts.append(bits.reshape(rows, oc))
+            w_off += g
+        return jnp.concatenate(parts, axis=0).astype(jnp.float32)  # {0,1}
+
+    if p.low_bits == 1:
+        beta = mean - scale
+        return (beta[None, :] + (2.0 * scale)[None, :] * plane(0)).astype(dtype)
+    code = plane(0)
+    for j in range(1, p.low_bits):
+        code = code + (2.0 ** j) * plane(j)
+    return ((code - mean[None, :]) * scale[None, :]).astype(dtype)
 
 
 def dequant_v2_pallas(p: PackedLinearV2, dtype=jnp.bfloat16,
@@ -765,7 +802,10 @@ def _v2_prefill_call(x, p: PackedLinearV2, oc_tile: int, interpret: bool, dot_dt
     from ..core.pbw import unpack_side_codes
 
     codes = unpack_side_codes(p.side_val, p.side_bits, p.shards_local)
-    beta = p.low_mean[0].astype(jnp.float32) - p.low_scale[0].astype(jnp.float32)
+    if p.low_bits == 1:
+        beta = p.low_mean[0].astype(jnp.float32) - p.low_scale[0].astype(jnp.float32)
+    else:
+        beta = -(p.low_scale[0] * p.low_mean[0]).astype(jnp.float32)
     corr = ((codes.astype(jnp.float32) - p.high_zero[None, :])
             * p.high_scale[None, :] - beta[None, :])
 
@@ -997,6 +1037,8 @@ def stacked_supported_v2(sp: PackedLinearV2) -> bool:
     ic = wpp * WORD_BITS
     if sp.side_idx.shape[2] != 1:  # n_row_groups
         return False
+    if sp.low_bits != 1:  # multi-bit planes: per-layer fallback path
+        return False
     if sp.k_pad_shard and sp.k_pad_shard != sp.side_val.shape[1] * (8 // sp.side_bits):
         return False  # sharded sidecar layouts take the fallback
     if oc % 128 or ic % 32:
@@ -1209,7 +1251,7 @@ def pb_matmul_pallas_v2(
     m, ic = x.shape
     assert ic == p.ic_local, f"x ic {ic} != packed ic {p.ic_local}"
     if m >= _V2_PREFILL_M:
-        if prefill_int8:
+        if prefill_int8 and p.low_bits == 1:
             # fused int8 byte-lane kernel at large m: int8 MXU dots (~2x
             # bf16 FLOPs) and NO 90 MB w_bin round-trip; opt-in like
             # prefill_bf16 (x rounds to per-row absmax int8)
@@ -1224,16 +1266,16 @@ def pb_matmul_pallas_v2(
         dot_dtype = jnp.bfloat16 if prefill_bf16 else jnp.float32
         return _v2_prefill_call(x, p, oc_tile, interpret, dot_dtype,
                                 gather=prefill_gather, extract=prefill_extract)
-    if decode_dot == "int8" and m <= 256:
+    if decode_dot == "int8" and m <= 256 and p.low_bits == 1:
         return _planar_v2_int8_call(
             x, p,
             oc_tile if oc_tile is not None else _decode_oc_tile_v2_int8(p, m),
             interpret)
-    if decode_dot == "dma" and p.n_row_groups == 1 and m <= 256:
+    if decode_dot == "dma" and p.n_row_groups == 1 and m <= 256 and p.low_bits == 1:
         return _planar_v2_dma_call(x, p, interpret)
     if oc_tile is None:
         oc_tile = _decode_oc_tile_v2(p, m)
-    if decode_dot == "pair":
+    if decode_dot == "pair" and p.low_bits == 1:
         return _planar_v2_call(x, p, oc_tile, interpret, jnp.bfloat16, pair=True)
     dd = jnp.bfloat16 if decode_dot == "bf16" else jnp.float32
     return _planar_v2_call(x, p, oc_tile, interpret, dd)

@@ -102,6 +102,12 @@ def _leaf_spec(name: str, leaf: Any) -> Any:
 
     if isinstance(leaf, PackedLinearV2):
         spec = _packed_v2_spec(name, leaf.n_row_groups)
+        if leaf.low_bits > 1 and name in ROW_PARALLEL:
+            # plane-major sign axis 0 cannot split over tp without mixing
+            # planes — replicate multi-bit row-parallel layers (the 2/4-bit
+            # ablation formats; the flagship 1-bit layout shards fully)
+            spec = dataclasses.replace(
+                spec, sign_packed=P(), side_val=P(), side_idx=P())
         return dataclasses.replace(
             spec,
             bias=None if leaf.bias is None else spec.bias,

@@ -804,3 +804,103 @@ def test_engine_scan_layers_pallas_stacked_parity():
     finally:
         binary_matmul.set_backend("auto")
         binary_matmul.set_decode_dot("auto")
+
+
+# ---------------------------------------------------------------------------
+# multi-bit low (2bit/4bit ablations, `gptq_pb/low_quant.py:44-65`) in the
+# v2 column-structured format — VERDICT r3 stretch #9
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method,bits", [("2bit", 2), ("4bit", 4)])
+def test_v2_pack_multiplane_low(method, bits):
+    """2/4-bit low codes pack as stacked v2 bitplanes, exactly; the f32
+    planar kernel and the hybrid prefill serve them (the int8/pair/dma arms
+    gate back to f32 — multi-bit has no byte-lane variant)."""
+    from pb_llm_tpu.quant.high_quant import high_calibrate, high_quantize
+    from pb_llm_tpu.quant.low_quant import low_calibrate, low_quantize
+
+    rng = np.random.default_rng(21)
+    oc, ic = 128, 128
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    cols = np.sort(np.argsort(-np.abs(w).sum(0))[:12])  # global column set
+    mask = np.ones((oc, ic), bool)
+    mask[:, cols] = False  # mask=True ⇔ binarized
+    low_state = low_calibrate(jnp.asarray(w * mask), method)
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    q_low = np.asarray(low_quantize(jnp.asarray(w), low_state, method))
+    q_high = np.asarray(high_quantize(jnp.asarray(w), high_state))
+    w_q = np.where(mask, q_low, q_high)
+
+    p, diag = pbw.pack_linear_v2(jnp.asarray(w_q), jnp.asarray(mask),
+                                 low_state, high_state, method, col_tile=0,
+                                 pack_block=64)
+    assert p.low_bits == bits
+    assert p.sign_packed.shape == (bits * ic // 32, oc)
+    assert diag["pack_mismatch"] == 0.0
+    np.testing.assert_allclose(np.asarray(pbw.dequantize_v2(p)).T, w_q,
+                               rtol=1e-5, atol=1e-6)
+
+    for m in (4, 300):  # decode planar + prefill hybrid paths
+        x = jnp.asarray(rng.standard_normal((m, ic)).astype(np.float32))
+        with jax.default_matmul_precision("float32"):
+            ref = np.asarray(pbw.matmul_reference_v2(x, p))
+            got = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+                x, p, interpret=True, oc_tile=128, decode_dot="f32"))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=5e-3)
+    # the int8 arm routes multi-bit layouts to the exact f32 kernel
+    x = jnp.asarray(rng.standard_normal((4, ic)).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        a = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+            x, p, interpret=True, oc_tile=128, decode_dot="int8"))
+        b = np.asarray(pallas_pb.pb_matmul_pallas_v2(
+            x, p, interpret=True, oc_tile=128, decode_dot="f32"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_v2_multiplane_save_load_roundtrip(tmp_path):
+    from pb_llm_tpu.quant.high_quant import high_calibrate, high_quantize
+    from pb_llm_tpu.quant.low_quant import low_calibrate, low_quantize
+
+    rng = np.random.default_rng(22)
+    oc, ic = 128, 64
+    w = rng.standard_normal((oc, ic)).astype(np.float32)
+    cols = np.sort(np.argsort(-np.abs(w).sum(0))[:6])
+    mask = np.ones((oc, ic), bool)
+    mask[:, cols] = False
+    low_state = low_calibrate(jnp.asarray(w * mask), "2bit")
+    high_state = high_calibrate(jnp.asarray(w), bits=8)
+    w_q = np.where(mask, np.asarray(low_quantize(jnp.asarray(w), low_state, "2bit")),
+                   np.asarray(high_quantize(jnp.asarray(w), high_state)))
+    p, _ = pbw.pack_linear_v2(jnp.asarray(w_q), jnp.asarray(mask),
+                              low_state, high_state, "2bit", col_tile=0,
+                              pack_block=64)
+    pbw.save_pbw(str(tmp_path / "ckpt"), {"l.q_proj": p})
+    layers, _ = pbw.load_pbw(str(tmp_path / "ckpt"))
+    p2 = layers["l.q_proj"]
+    assert p2.low_bits == 2
+    np.testing.assert_array_equal(np.asarray(pbw.dequantize_v2(p2)),
+                                  np.asarray(pbw.dequantize_v2(p)))
+
+
+def test_run_ptq_2bit_packed_v2_matches_sim():
+    """End-to-end: `run_ptq ... 2bit --format packed_v2 --synthetic` produces
+    the same perplexities as the sim format (pack_mismatch 0 ⇒ identical
+    forward numerics)."""
+    from pb_llm_tpu.cli import run_ptq
+
+    ppls = {}
+    for fmt in ("sim", "packed_v2"):
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = run_ptq.main([
+                "facebook/opt-125m", "wikitext2", "2bit", "--low_frac", "0.5",
+                "--synthetic", "--nsamples", "2", "--format", fmt,
+                "--mask_structure", "column"])  # same mask for both formats
+        assert rc == 0
+        out = buf.getvalue()
+        ppls[fmt] = [line for line in out.splitlines() if "perplexity" in line]
+    assert ppls["sim"] and ppls["sim"] == ppls["packed_v2"], ppls
