@@ -124,26 +124,15 @@ def masked_softmax_attention(q, k, v, allowed, scale) -> jnp.ndarray:
     """q:[B,t,Hq,d] k,v:[B,s,H,d] allowed:[*,1,t,s] → [B,t,Hq,d].
 
     Softmax in float32 (parity with the reference models' fp behavior).
-
-    bf16 caches dot NATIVELY in bf16 with f32 accumulation: an XLA dot
-    cannot fuse an operand convert, so `k.astype(f32)` MATERIALIZES a
-    2x-sized f32 copy of the cache in HBM before each dot — measured as the
-    attention read running at ~480 GB/s effective vs the ~740 GB/s dense
-    stream rate (bench_e2e --budget).  Only q and probs round to bf16
-    (tiny, engine-grade — the weights themselves are 1.8-bit); f32 caches
-    keep the exact all-f32 path."""
+    bf16 caches are upcast into the dots: a round-4 experiment dotted bf16
+    natively on the hypothesis that the upcast materializes a 2x f32 cache
+    copy — MEASURED WRONG (scripts/bench_attn_ab.py: upcast 2.563 vs
+    bf16-native 2.668 ms/step, 8L B=8 ctx=512) — XLA fuses the convert into
+    its attention fusion and the f32 matvecs lower better."""
     hq, hkv = q.shape[2], k.shape[2]
     if hq != hkv:
         k = jnp.repeat(k, hq // hkv, axis=2)
         v = jnp.repeat(v, hq // hkv, axis=2)
-    if k.dtype == jnp.bfloat16:
-        scores = jnp.einsum("bthd,bshd->bhts", (q * scale).astype(jnp.bfloat16),
-                            k, preferred_element_type=jnp.float32)
-        scores = jnp.where(allowed, scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhts,bshd->bthd", probs.astype(jnp.bfloat16), v,
-                         preferred_element_type=jnp.float32)
-        return out.astype(q.dtype)
     scores = jnp.einsum("bthd,bshd->bhts", q * scale, k)
     scores = jnp.where(allowed, scores.astype(jnp.float32), -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
@@ -310,18 +299,11 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
 
 
 def cache_kv(cache: Dict[str, jnp.ndarray], dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Read (k, v) [B, S, H, d] for the attention dots, dequantizing if
-    needed.  bf16 strips come back AS bf16 (not upcast): an XLA dot cannot
-    fuse an operand convert, so a bf16→f32 cast here would materialize a
-    2x f32 copy of the cache in HBM — `masked_softmax_attention` dots bf16
-    natively with f32 accumulation instead.  int8 strips dequantize to
-    bf16 for the same reason (scales are absmax/127: bf16's 8 mantissa
-    bits cover the int8 payload; the <2% forced-decode NLL bound test
-    pins the engine-level effect)."""
+    """Read (k, v) [B, S, H, d] in compute dtype, dequantizing if needed.
+    (The upcast does NOT materialize a cache copy — XLA fuses it into the
+    attention fusion; measured in scripts/bench_attn_ab.py.)"""
     if "k_scale" in cache:
-        k = cache["k"].astype(jnp.bfloat16) * cache["k_scale"].astype(jnp.bfloat16)
-        v = cache["v"].astype(jnp.bfloat16) * cache["v_scale"].astype(jnp.bfloat16)
+        k = cache["k"].astype(dtype) * cache["k_scale"].astype(dtype)
+        v = cache["v"].astype(dtype) * cache["v_scale"].astype(dtype)
         return k, v
-    if cache["k"].dtype == jnp.bfloat16:
-        return cache["k"], cache["v"]
     return cache["k"].astype(dtype), cache["v"].astype(dtype)
