@@ -152,10 +152,12 @@ def interleaved_slopes(arms, reps=10):
     # a drift spike between a rep's short and long calls can make its slope
     # unphysically small (one run produced a packed slope implying 104% of
     # the same-rep dense stream rate — impossible: the packed operand set's
-    # own DMA floor probe sits at 84% of dense, scripts/bench_v2_sidecar.py).
-    # Keep only PHYSICAL reps: packed stream ≤ 90% of the same-rep dense
-    # rate and dense ≤ the 819 GB/s HBM peak; pick the fastest packed slope
-    # among them.
+    # own DMA floor probe sits at 84% of dense, scripts/bench_v2_sidecar.py;
+    # another, under host CPU contention, a 5.9 µs median, below even the
+    # 819 GB/s absolute floor).  Keep only PHYSICAL reps — both arms above
+    # their HBM floors and packed ≤ 90% of the same-rep dense rate — and
+    # pick the fastest packed slope among them; if none qualify (hopelessly
+    # contended run) fall back to the medians and flag it.
     pbits = IC * OC / 8 + 416 * OC + 416 * 4  # ≈ packed bytes (k_pad=416)
     dense_bytes = IC * OC * 2
 
@@ -163,7 +165,9 @@ def interleaved_slopes(arms, reps=10):
         d, p_ = per_rep[ref_tag][i], per_rep[key_tag][i]
         if d <= 0 or p_ <= 0:
             return False
-        if dense_bytes / d > 819e9 * 1.02:
+        if dense_bytes / d > 819e9 * 1.02:   # dense can't beat HBM peak
+            return False
+        if pbits / p_ > 819e9 * 1.02:        # neither can the packed stream
             return False
         return (pbits / p_) <= 0.90 * (dense_bytes / d)
 
@@ -171,6 +175,7 @@ def interleaved_slopes(arms, reps=10):
     best_i = min(ok, key=lambda i: per_rep[key_tag][i]) if ok else None
     if best_i is None:
         best = dict(med)
+        best["contended"] = True  # consumed by main(); medians untrusted too
     else:
         best = {tag: float(per_rep[tag][best_i]) for tag in arms}
     return med, best
@@ -322,6 +327,10 @@ def main():
         }))
         return
     (med, best), k_pad = res
+    contended = best.pop("contended", False)
+    if contended:
+        log("WARNING: no physical repetition survived the drift filter — "
+            "this run is contended; numbers below are medians and UNTRUSTED")
     t_dense, t_packed = best["dense"], best["packed"]
     log(f"dense bf16 (best pair): {t_dense*1e6:.1f} us/matmul "
         f"({IC*OC*2/t_dense/1e9:.0f} GB/s weight stream); median {med['dense']*1e6:.1f} us")
@@ -356,6 +365,7 @@ def main():
                 "dense_stream_gbps": round(dense_gbps, 1),
                 "median_packed_us": round(med["packed"] * 1e6, 1),
                 "median_dense_us": round(med["dense"] * 1e6, 1),
+                "contended": contended,
                 "decode_dot": "int8",
             }
         ),
@@ -373,6 +383,10 @@ def main():
             "unit": "tokens/s/chip",
             "vs_baseline": None,
             "ms_per_step": round(step_s * 1e3, 3),
+            # chip-state context from the SAME process minutes earlier: the
+            # tunnel chip drifts (dense measured 665-743 GB/s across runs
+            # today); tok/s roughly scales with this rate
+            "same_run_dense_stream_gbps": round(dense_gbps, 1),
         }), flush=True)
 
 

@@ -257,7 +257,36 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
             return full_causal_attention(q, k_new, v_new, scale)
         if t == 1:
             lengths = jnp.asarray(pos) + 1  # includes the token just written
-            out = paged_attention(q[:, 0], kp, vp, kv_cache["table"], lengths,
+            table = kv_cache["table"]
+            maxp = table.shape[1]
+            if maxp > 4:
+                # windowed page-table read (same idea as the strip window
+                # below): a slot's live pages are a prefix of its table row,
+                # so lax.switch over power-of-two table widths covering
+                # max(lengths) trims the kernel's (slot, page) grid — the
+                # paged kernel's cost is dominated by per-step fixed
+                # overhead once trash-page DMA elision removes the dead
+                # reads.  Exact: pages at or beyond a slot's length carried
+                # zero probability (NEG_INF scores) either way.
+                page = kp.shape[2]
+                widths = []
+                w = 4
+                while w < maxp:
+                    widths.append(w)
+                    w *= 2
+                widths.append(maxp)
+                needed = (jnp.max(lengths) + page - 1) // page
+
+                def _branch(wp):
+                    out = paged_attention(q[:, 0], kp, vp, table[:, :wp],
+                                          lengths, scale, **common)
+                    return out[:, None].astype(q.dtype)
+
+                idx = jnp.sum(jnp.asarray(
+                    [needed > wp for wp in widths[:-1]]).astype(jnp.int32))
+                return jax.lax.switch(
+                    idx, [lambda wp=wp: _branch(wp) for wp in widths])
+            out = paged_attention(q[:, 0], kp, vp, table, lengths,
                                   scale, **common)
             return out[:, None].astype(q.dtype)
         # multi-query window (speculative verify): rows already written

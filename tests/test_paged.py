@@ -351,3 +351,20 @@ def test_paged_spec_decode_matches_plain_paged(tiny_opt):
             drafts[0, : len(nxt)] = nxt  # oracle drafts -> multi-token hops
             got.extend(eng.spec_decode_step(drafts)[0])
         assert got[: len(want)] == want, (dt, got, want)
+
+
+def test_paged_engine_windowed_table_matches_strip(tiny_opt):
+    """maxp > 4 triggers the WINDOWED page-table read (lax.switch over
+    power-of-two table widths, models.attention): token streams must match
+    the strip engine across window-bucket crossings (4 → 8 pages here:
+    lengths run 5 .. 38 over page_size 8 with maxp 16)."""
+    params, cfg, fam = tiny_opt
+    strip = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=128, prefill_buckets=(8,)))
+    paged = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=128, prefill_buckets=(8,), page_size=8))
+    assert paged.pool.table.shape[1] == 16  # window path active (maxp > 4)
+    prompt = [5, 17, 99, 3, 42]
+    want = _greedy_tokens(strip, prompt, 34)   # crosses 32 = 4 pages
+    got = _greedy_tokens(paged, prompt, 34)
+    assert got == want, (got, want)
