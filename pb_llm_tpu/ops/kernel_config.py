@@ -132,13 +132,16 @@ def current() -> KernelConfig:
     return from_env()
 
 
-def wrap_jit(fn, cfg: Optional[KernelConfig]):
+def wrap_jit(fn, cfg: Optional[KernelConfig], donate_argnums=()):
     """jit ``fn`` so its traces (first call and shape-driven retraces)
     happen under ``cfg`` — how Engine pins per-engine arms without
-    threading the config through every forward."""
+    threading the config through every forward.  ``donate_argnums`` passes
+    through to jax.jit (the engine donates its KV-cache argument: without
+    donation every out-of-scan decode/prefill call COPIES the full cache
+    to preserve the input buffer — gigabytes per step at serving scale)."""
     import jax
 
-    jf = jax.jit(fn)
+    jf = jax.jit(fn, donate_argnums=donate_argnums)
 
     if cfg is None:
         return jf

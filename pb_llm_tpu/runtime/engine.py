@@ -205,10 +205,18 @@ class Engine:
         self.token_logprobs: Dict[int, List[float]] = {}
 
     def _jit(self, fn):
-        """jit ``fn`` with traces scoped to this engine's KernelConfig."""
+        """jit ``fn`` with traces scoped to this engine's KernelConfig.
+
+        Every engine program takes the KV caches as argument 1 and returns
+        the updated caches; the argument is DONATED — without donation the
+        in-program cache scatter must preserve the input buffer, so XLA
+        copies the ENTIRE cache (all layers — gigabytes at llama-7b
+        serving shapes) on every out-of-scan decode/prefill call.  The
+        engine always reassigns self.caches from the result, so the old
+        buffer is dead anyway."""
         from ..ops.kernel_config import wrap_jit
 
-        return wrap_jit(fn, self.ecfg.kernels)
+        return wrap_jit(fn, self.ecfg.kernels, donate_argnums=(1,))
 
     # ---------------- slot management ----------------
 
@@ -268,14 +276,17 @@ class Engine:
 
     def _refresh_table(self) -> None:
         """Push the host page table into every layer's cache dict (or the
-        scan-stacked cache's [L]-broadcast table leaf)."""
-        table = self.pool.table_device()
+        scan-stacked cache's [L]-broadcast table leaf).  Per-layer tables
+        are DISTINCT buffers: the cache argument is donated and aliased
+        leaves would be donated twice in one call."""
         if isinstance(self.caches, dict):  # scan_layers: stacked [L, ...]
+            table = self.pool.table_device()
             L = self.caches["table"].shape[0]
             self.caches = dict(
                 self.caches, table=jnp.broadcast_to(table, (L,) + table.shape))
         else:
-            self.caches = [dict(c, table=table) for c in self.caches]
+            self.caches = [dict(c, table=jnp.asarray(self.pool.table))
+                           for c in self.caches]
 
     def _ensure_pages(self, slot: int, length: int) -> None:
         before = list(self.pool.owned[slot])

@@ -186,17 +186,24 @@ class PagePool:
         f32) carry per-(token, head) f32 absmax scales in [P+1, H, page]
         sidecar planes — same scheme as the int8 strip cache
         (`models.attention.cache_update`), dequantized in-kernel."""
-        table = self.table_device()
         shape = (self.n_pages + 1, kv_heads, self.page_size, head_dim)
-        cache = {
-            "k_pages": jnp.zeros(shape, dtype),
-            "v_pages": jnp.zeros(shape, dtype),
-            "table": table,
-        }
-        if dtype == jnp.int8:
-            cache["k_scale_pages"] = jnp.zeros(shape[:3], jnp.float32)
-            cache["v_scale_pages"] = jnp.zeros(shape[:3], jnp.float32)
-        return [dict(cache) for _ in range(n_layers)]
+
+        def layer():
+            # DISTINCT buffers per layer: the engine DONATES its cache
+            # argument, and a buffer aliased across layers would be donated
+            # twice in one call (XLA rejects it).  Content is identical;
+            # only aliasing must be broken.
+            cache = {
+                "k_pages": jnp.zeros(shape, dtype),
+                "v_pages": jnp.zeros(shape, dtype),
+                "table": jnp.asarray(self.table),
+            }
+            if dtype == jnp.int8:
+                cache["k_scale_pages"] = jnp.zeros(shape[:3], jnp.float32)
+                cache["v_scale_pages"] = jnp.zeros(shape[:3], jnp.float32)
+            return cache
+
+        return [layer() for _ in range(n_layers)]
 
 
 # -- device-side writes (functional; per-layer arrays; call under jit) ------

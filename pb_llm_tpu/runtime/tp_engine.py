@@ -22,6 +22,7 @@ pack with `pack_linear(..., pack_block=ic // tp)` (see
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, List
 
 import jax
@@ -166,7 +167,7 @@ def make_tp_step(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree=None) ->
         out_specs=(cache_specs, P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(1,))  # caches donated (see Engine._jit)
 
 
 def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree=None) -> Callable:
@@ -203,7 +204,7 @@ def make_tp_prefill(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, cach
         out_specs=(cache_specs, P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(1,))  # caches donated (see Engine._jit)
 
 
 def make_tp_prefill_paged(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree) -> Callable:
@@ -240,7 +241,7 @@ def make_tp_prefill_paged(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int
         out_specs=(cache_specs, P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(1,))  # caches donated (see Engine._jit)
 
 
 def make_tp_spec(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Callable:
@@ -271,7 +272,7 @@ def make_tp_spec(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Call
         out_specs=(cache_specs, P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(1,))  # caches donated (see Engine._jit)
 
 
 def make_tp_spec_logits(cfg, fam: Family, mesh: Mesh, params_tree, caches_tree) -> Callable:
@@ -344,7 +345,7 @@ def make_tp_prefill_chunk(cfg, fam: Family, mesh: Mesh, params_tree, chunk: int,
         local_chunk, mesh=mesh, in_specs=in_specs,
         out_specs=(cache_specs, P()), check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(1,))  # caches donated (see Engine._jit)
 
 
 def make_tp_prefill_batch(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int, caches_tree, paged: bool) -> Callable:
@@ -394,7 +395,7 @@ def make_tp_prefill_batch(cfg, fam: Family, mesh: Mesh, params_tree, bucket: int
         out_specs=(cache_specs, P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(1,))  # caches donated (see Engine._jit)
 
 
 def make_caches_tp(cfg, fam: Family, mesh: Mesh, n_slots: int, max_seq: int, dtype=jnp.float32) -> List[Dict[str, jnp.ndarray]]:
@@ -492,7 +493,7 @@ class TPEngine:
             step = make_tp_step(cfg, fam, mesh, params_sh, caches_tree=base.caches)
             sampling_ = base.sampling
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, caches, last_tokens, lengths, active, key):
                 caches, logits = step(params, caches, last_tokens, lengths)
                 toks = sample(logits, key, sampling_)
@@ -514,7 +515,7 @@ class TPEngine:
 
             step = make_tp_step(cfg, fam, mesh, params_sh, caches_tree=base.caches)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, caches, last_tokens, lengths, active, key, temp, tk, tp):
                 caches, logits = step(params, caches, last_tokens, lengths)
                 toks = sample_vec(logits, key, temp, tk, tp)
@@ -562,7 +563,7 @@ class TPEngine:
             step = make_tp_spec_logits(cfg, fam, mesh, params_sh,
                                        caches_tree=base.caches)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def run(params, caches, inputs, lengths, key, temp, tk, tp_, drafts):
                 caches, logits = step(params, caches, inputs, lengths)
                 acc, corr, lp_d, lp_c = spec_verify_sample(
