@@ -111,7 +111,7 @@ def slope_time(loop_maker, args, reps=6):
     return (res[L_LONG] - res[L_SHORT]) / (L_LONG - L_SHORT)
 
 
-def interleaved_slopes(arms, reps=10):
+def interleaved_slopes(arms, pbits, reps=10):
     """Per-arm slopes with the arms' timing rounds INTERLEAVED (A,B,A,B...).
 
     The tunnel/chip drifts over minutes (measured: the same dense matmul
@@ -158,8 +158,7 @@ def interleaved_slopes(arms, reps=10):
     # their HBM floors and packed ≤ 90% of the same-rep dense rate — and
     # pick the fastest packed slope among them; if none qualify (hopelessly
     # contended run) fall back to the medians and flag it.
-    pbits = IC * OC / 8 + 416 * OC + 416 * 4  # ≈ packed bytes (k_pad=416)
-    dense_bytes = IC * OC * 2
+    dense_bytes = IC * OC * 2  # pbits: the caller's actual packed bytes
 
     def physical(i):
         d, p_ = per_rep[ref_tag][i], per_rep[key_tag][i]
@@ -317,7 +316,9 @@ def main():
     def build():
         mk_d, args_d = bench_dense()
         mk_p, args_p, k_pad = bench_packed()
-        return interleaved_slopes({"dense": (mk_d, args_d), "packed": (mk_p, args_p)}), k_pad
+        pbits = IC * OC / 8 + k_pad * OC + k_pad * 4
+        return interleaved_slopes(
+            {"dense": (mk_d, args_d), "packed": (mk_p, args_p)}, pbits), k_pad
 
     res = _retry(build, "bench")
     if res is None:

@@ -51,15 +51,9 @@ def main(argv=None) -> int:
     from ..utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     args = build_parser().parse_args(argv)
-    import dataclasses as _dc
+    from ..ops.kernel_config import pin_exact_prefill
 
-    from ..ops import kernel_config as _kc
-
-    # parity: eval forwards stay on the EXACT hybrid prefill — serving's
-    # fused-int8 default would round x to int8 in every large-m matmul and
-    # shift the reported ppl (force int8 via PB_TPU_PREFILL_INT8=1 if wanted)
-    if _kc.from_env().prefill == "auto":
-        _kc.set_default(_dc.replace(_kc.from_env(), prefill="hybrid"))
+    pin_exact_prefill()  # parity: exact hybrid prefill unless env overrides
     import numpy as np
 
     from ..eval.ppl import perplexity

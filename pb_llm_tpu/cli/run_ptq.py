@@ -101,14 +101,9 @@ def main(argv=None) -> int:
     from ..utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     args = build_parser().parse_args(argv)
-    import dataclasses as _dc
+    from ..ops.kernel_config import pin_exact_prefill
 
-    from ..ops import kernel_config as _kc
-
-    # parity: calibration capture + post-PTQ eval run the EXACT hybrid
-    # prefill (serving's fused-int8 default rounds x per row; see run_eval)
-    if _kc.from_env().prefill == "auto":
-        _kc.set_default(_dc.replace(_kc.from_env(), prefill="hybrid"))
+    pin_exact_prefill()  # parity: exact hybrid prefill unless env overrides
     from ..calib.pipeline import quantize_model_ptq, save_masks
     from ..core.config import PTQJobConfig
     from ..data.loaders import get_loaders

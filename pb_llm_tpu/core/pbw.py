@@ -629,6 +629,7 @@ def merge_packed_linears_v2(ps) -> PackedLinearV2:
         bias=None if p0.bias is None else cat0("bias"),
         ic=p0.ic, oc=sum(p.oc for p in ps), col_tile=p0.oc,
         pack_block=p0.pack_block, k_pad_shard=0, side_bits=p0.side_bits,
+        low_bits=p0.low_bits,
     )
 
 

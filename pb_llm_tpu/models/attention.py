@@ -20,15 +20,12 @@ Pos = Union[int, jnp.ndarray]
 
 def set_attention_impl(impl: str) -> None:
     """Process-default full-sequence attention impl ("auto" = Pallas flash
-    on TPU for long windows, XLA masked softmax otherwise).  Thin wrapper
-    over the typed `ops.kernel_config` (read at call time; per-engine via
-    EngineConfig.kernels / `use_kernels`)."""
-    import dataclasses
-
+    on TPU for long windows, XLA masked softmax otherwise).  Per-FIELD
+    override on `ops.kernel_config` — other fields keep their env/default
+    resolution; per-engine arms via EngineConfig.kernels / `use_kernels`."""
     from ..ops import kernel_config as _kc
 
-    assert impl in ("auto", "flash", "flash_interpret", "xla")
-    _kc.set_default(dataclasses.replace(_kc.current(), attention=impl))
+    _kc.set_field_default(attention=impl)
 
 
 # sequence-parallel context: while set, the no-cache full-sequence attention

@@ -196,6 +196,14 @@ def forward(
         from ..core.pbw import PackedLinearV2
         from . import stacking as _stacking
 
+        if linear_fn is not None and not getattr(linear_fn, "scan_safe", False):
+            raise ValueError(
+                "linear_fn over stacked layers: a capture-style callback "
+                "would see ONE traced call per linear NAME instead of one "
+                "per layer (silently wrong statistics) — run calibration "
+                "on unrolled layers, or mark a per-call-stateless wrapper "
+                "with fn.scan_safe = True (like runtime.tp_engine's psum "
+                "wrapper)")
         stacked = params["layers_stacked"]
         # keep PackedLinearV2 leaves out of the scan xs (see models.llama:
         # sliced pallas operands materialize); markers carry stacked planes

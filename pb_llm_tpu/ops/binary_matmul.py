@@ -13,8 +13,6 @@ arms coexist in one process (VERDICT r3 #5).
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
@@ -25,16 +23,14 @@ from . import pallas_pb
 
 
 def set_backend(mode: str) -> None:
-    """Process-default packed backend (tests/benches; thin wrapper over
-    `kernel_config.set_default`)."""
-    assert mode in ("auto", "pallas", "pallas_interpret", "xla")
-    _kc.set_default(dataclasses.replace(_kc.current(), backend=mode))
+    """Process-default packed backend (tests/benches; per-FIELD override —
+    other fields keep their env/default resolution)."""
+    _kc.set_field_default(backend=mode)
 
 
 def set_decode_dot(mode: str) -> None:
     """Process-default v2 decode dot path (tests / benches)."""
-    assert mode in ("auto", "f32", "int8", "dma", "bf16", "pair")
-    _kc.set_default(dataclasses.replace(_kc.current(), decode_dot=mode))
+    _kc.set_field_default(decode_dot=mode)
 
 
 def _on_tpu() -> bool:

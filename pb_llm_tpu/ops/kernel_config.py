@@ -91,6 +91,7 @@ def from_env() -> KernelConfig:
 
 
 _default: Optional[KernelConfig] = None
+_field_overrides: dict = {}
 _tls = threading.local()
 
 
@@ -99,6 +100,27 @@ def set_default(cfg: Optional[KernelConfig]) -> None:
     None restores the env-var/defaults resolution."""
     global _default
     _default = cfg
+
+
+def set_field_default(**fields) -> None:
+    """Per-FIELD process defaults (what the legacy setters set_backend /
+    set_decode_dot / set_attention_impl use): layered over set_default /
+    the env vars at RESOLVE time, so a setter pins only its own field —
+    later env-var changes to other fields stay visible (building the
+    default from `current()` instead froze the whole env snapshot)."""
+    for f, v in fields.items():
+        if f not in _VALID or v not in _VALID[f]:
+            raise ValueError(f"KernelConfig.{f}={v!r} not in {_VALID.get(f)}")
+    _field_overrides.update(fields)
+
+
+def pin_exact_prefill() -> None:
+    """Parity CLIs (run_ptq / run_eval): pin the EXACT hybrid prefill
+    unless the env explicitly chose an arm — serving's fused-int8 default
+    rounds x per row in every large-m matmul and would shift reported
+    perplexities."""
+    if from_env().prefill == "auto":
+        set_field_default(prefill="hybrid")
 
 
 class use_kernels:
@@ -121,15 +143,17 @@ class use_kernels:
 
 
 def current() -> KernelConfig:
-    """The active config at this call site (see module docstring order)."""
+    """The active config at this call site: innermost `use_kernels` context
+    > per-field setter overrides > `set_default` > env vars > defaults."""
     stack = getattr(_tls, "stack", None)
     if stack:
         for cfg in reversed(stack):
             if cfg is not None:
                 return cfg
-    if _default is not None:
-        return _default
-    return from_env()
+    base = _default if _default is not None else from_env()
+    if _field_overrides:
+        base = dataclasses.replace(base, **_field_overrides)
+    return base
 
 
 def wrap_jit(fn, cfg: Optional[KernelConfig], donate_argnums=()):

@@ -970,15 +970,9 @@ def _stacked_int8_kernel(li_ref, x8_ref, sx_ref, rs_ref, xg8_ref, rsg_ref,
         r_off += rows
 
     # sidecar on the int8 MXU: offset-binary codes with the +128 correction
-    # added pre-hs against the exact f32 rowsum (same trick as the flat
-    # kernel, `_v2_salient_dot_int8`) — stacked layouts are un-sharded
-    if side_bits == 4:
-        raw = v_ref[0].astype(jnp.int32)
-        v_i8 = jnp.concatenate(
-            [(raw & 0xF).astype(jnp.int8), (raw >> 4).astype(jnp.int8)], axis=0)
-    else:
-        v_i8 = pltpu.bitcast(v_ref[0] ^ jnp.uint8(0x80), jnp.int8)
-    acc_v = jnp.dot(xg8_ref[:], v_i8, preferred_element_type=jnp.int32)
+    # added pre-hs against the exact f32 rowsum — ONE implementation shared
+    # with the flat kernel (stacked layouts are un-sharded → shards=1)
+    acc_v = _v2_salient_dot_int8(xg8_ref[:], v_ref[0], side_bits, 1)
 
     sx = sx_ref[:]
     rsg = rsg_ref[:]

@@ -235,6 +235,11 @@ def param_specs(params: Dict[str, Any], family_name: str, mesh: Optional[Mesh] =
             for n, leaf in val.items():
                 if isinstance(leaf, PackedLinearV2):
                     s = _packed_v2_spec(n, leaf.side_idx.shape[-1])
+                    if leaf.low_bits > 1 and n in ROW_PARALLEL:
+                        # same guard as _leaf_spec: plane-major sign axis 0
+                        # cannot split over tp without mixing planes
+                        s = _dc.replace(
+                            s, sign_packed=P(), side_val=P(), side_idx=P())
                     s = _dc.replace(
                         s, bias=None if leaf.bias is None else s.bias,
                         ic=leaf.ic, oc=leaf.oc, col_tile=leaf.col_tile,

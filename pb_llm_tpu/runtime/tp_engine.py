@@ -77,6 +77,11 @@ def _tp_linear_fn(name, lin, x):
     return apply_linear(lin, x)
 
 
+# stateless per call: safe inside the stacked-layer scan body (the model
+# forwards reject unmarked linear_fns there — capture callbacks are not)
+_tp_linear_fn.scan_safe = True
+
+
 def _cache_spec_for_key(k: str):
     """Strip caches carry heads on axis 2 (k/v and int8 scale planes alike);
     paged pools carry heads on axis 1 ([P+1, H, page, D]) and the page table

@@ -17,7 +17,11 @@ def get_tokenizer(model_id: str):
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(model_id, use_fast=False)
-    if "llama" in model_id.lower():
+    # Pin ONLY for llama-1/2-family sentencepiece tokenizers (vocab 32000)
+    # — the reference's compat fix targets those.  A blanket substring
+    # match would rewrite Llama-3-style ids (bos 128000/eos 128001) to
+    # 1/2 and silently corrupt every window instead of protecting them.
+    if "llama" in model_id.lower() and getattr(tok, "vocab_size", None) == 32000:
         if (getattr(tok, "bos_token_id", None) != 1
                 or getattr(tok, "eos_token_id", None) != 2):
             try:

@@ -14,9 +14,10 @@ from pb_llm_tpu.utils.tokenizer import get_tokenizer
 
 
 class _StubTok:
-    def __init__(self, bos, eos):
+    def __init__(self, bos, eos, vocab=32000):
         self.bos_token_id = bos
         self.eos_token_id = eos
+        self.vocab_size = vocab
 
 
 @pytest.fixture
@@ -28,7 +29,8 @@ def stub_auto(monkeypatch):
         def from_pretrained(model_id, use_fast=True):
             calls["model_id"] = model_id
             calls["use_fast"] = use_fast
-            return _StubTok(*calls.pop("ids", (0, 2)))
+            ids = calls.pop("ids", (0, 2))
+            return _StubTok(*ids, vocab=calls.pop("vocab", 32000))
 
     mod = types.SimpleNamespace(AutoTokenizer=_Auto)
     monkeypatch.setitem(sys.modules, "transformers", mod)
@@ -57,3 +59,13 @@ def test_non_llama_left_alone(stub_auto):
     tok = get_tokenizer("facebook/opt-1.3b")
     assert (tok.bos_token_id, tok.eos_token_id) == (2, 2)
     assert stub_auto["use_fast"] is False
+
+
+def test_llama3_style_vocab_left_alone(stub_auto):
+    """A 'llama' id with a NON-32000 vocab (Llama-3-style: bos 128000) must
+    NOT be rewritten to 1/2 — the pin targets the llama-1/2 sentencepiece
+    tokenizers the reference's compat fix was written for."""
+    stub_auto["ids"] = (128000, 128001)
+    stub_auto["vocab"] = 128256
+    tok = get_tokenizer("meta-llama/Meta-Llama-3-8B")
+    assert (tok.bos_token_id, tok.eos_token_id) == (128000, 128001)
