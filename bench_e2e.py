@@ -515,12 +515,15 @@ def main():
         # strip caches — compare against the "strips" t=1 arm in one process
         # to price a speculative verify step
         def arm_def(name):
+            # "_xattn" suffix: force decode_attention=xla for that arm (the
+            # kernel-vs-XLA comparison rides one process, drift-free)
             if name.startswith("spec"):
                 return 0, False, int(name[4:]) + 1
+            base = name[:-6] if name.endswith("_xattn") else name
             return {"strips": (0, False, 1), "strips_int8": (0, True, 1),
                     "fused": (0, False, 1),  # q|k|v + gate|up merged matmuls
                     "paged": (args.paged or 64, False, 1),
-                    "paged_int8": (args.paged or 64, True, 1)}[name]
+                    "paged_int8": (args.paged or 64, True, 1)}[base]
 
         fused_params = None
         names = [a.strip() for a in args.arms.split(",") if a.strip()]
@@ -535,8 +538,12 @@ def main():
             widths[name] = width
             arm_params = fused_params if name == "fused" else params
             tok0 = tokens0 if width == 1 else jnp.zeros((B, width), jnp.int32)
+            from pb_llm_tpu.ops import kernel_config as _kc
+
+            acfg = (_kc.KernelConfig(decode_attention="xla")
+                    if name.endswith("_xattn") else None)
             for n_steps in (4, 12):
-                f = jax.jit(lambda p, c, t, l, n=n_steps: decode_scan(p, c, t, l, n)[0])
+                f = _kc.wrap_jit(lambda p, c, t, l, n=n_steps: decode_scan(p, c, t, l, n)[0], acfg)
                 t0 = time.time()
                 float(f(arm_params, arm_caches[name], tok0, lengths0))
                 log(f"compiled {name} n={n_steps} in {time.time()-t0:.0f}s")

@@ -292,6 +292,41 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
         return out.astype(q.dtype)
     s = kv_cache["k"].shape[1]
     p = jnp.asarray(pos)
+    if p.ndim == 1 and t == 1:
+        # batched single-token decode: the fused Pallas strip kernel
+        # (ops.decode_attention) when enabled — XLA parity on bf16 strips,
+        # 1.7x on int8 strips (dequant scales fold outside the
+        # contractions; scripts/bench_attn_layout.py), and it composes
+        # with the power-of-two window below WITHOUT slicing (the grid
+        # just never visits blocks past s_used).
+        from ..ops import kernel_config as _kc
+
+        impl = _kc.current().decode_attention
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl in ("pallas", "pallas_interpret"):
+            from ..ops.decode_attention import decode_attention
+
+            def _kcall(w):
+                out = decode_attention(
+                    q[:, 0], kv_cache["k"], kv_cache["v"], p + 1, scale,
+                    k_scale=kv_cache.get("k_scale"),
+                    v_scale=kv_cache.get("v_scale"),
+                    s_used=w, interpret=impl == "pallas_interpret")
+                return out[:, None].astype(q.dtype)
+
+            if s <= 256:
+                return _kcall(s)
+            widths = []
+            w = 256
+            while w < s:
+                widths.append(w)
+                w *= 2
+            widths.append(s)
+            needed = jnp.max(p) + 1
+            idx = jnp.sum(jnp.asarray(
+                [needed > w for w in widths[:-1]]).astype(jnp.int32))
+            return jax.lax.switch(idx, [lambda w=w: _kcall(w) for w in widths])
     if p.ndim == 1 and s > 256:
         # batched decode / spec verify: WINDOWED cache read.  Every strip
         # slot's valid rows are the prefix [0, lengths_b + t), so one

@@ -32,6 +32,7 @@ _VALID = {
     "prefill_gather": ("take", "dot"),
     "prefill_extract": ("pallas", "xla"),
     "attention": ("auto", "flash", "flash_interpret", "xla"),
+    "decode_attention": ("auto", "pallas", "pallas_interpret", "xla"),
 }
 
 
@@ -51,6 +52,12 @@ class KernelConfig:
       with bf16 dots).
     prefill_gather / prefill_extract: hybrid-path variants (bench arms).
     attention: full-sequence attention impl ("auto" = Pallas flash ≥1024).
+    decode_attention: batched strip-cache decode attention ("auto" =
+      fused Pallas kernel on TPU [ops.decode_attention — measured at XLA
+      parity on bf16 strips and 1.7x on int8 strips, where it folds the
+      dequant scales outside the contractions], XLA masked softmax
+      elsewhere; the kernel rounds q to bf16 in its MXU dots — the same
+      precision class as XLA's default-precision f32 einsum on TPU).
     """
 
     backend: str = "auto"
@@ -59,6 +66,7 @@ class KernelConfig:
     prefill_gather: str = "take"
     prefill_extract: str = "pallas"
     attention: str = "auto"
+    decode_attention: str = "auto"
 
     def __post_init__(self):
         for f, valid in _VALID.items():
@@ -87,6 +95,7 @@ def from_env() -> KernelConfig:
         prefill_gather=os.environ.get("PB_TPU_PREFILL_GATHER", "take"),
         prefill_extract=os.environ.get("PB_TPU_PREFILL_EXTRACT", "pallas"),
         attention=os.environ.get("PB_TPU_ATTENTION", "auto"),
+        decode_attention=os.environ.get("PB_TPU_DECODE_ATTENTION", "auto"),
     )
 
 

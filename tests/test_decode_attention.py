@@ -1,0 +1,127 @@
+"""Oracle tests for the fused strip decode-attention kernel
+(`ops.decode_attention`, interpret mode on CPU) and its dispatch through
+`models.attention.cached_attention`."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pb_llm_tpu.models.attention import (cache_update, cached_attention,
+                                         causal_allowed,
+                                         masked_softmax_attention)
+from pb_llm_tpu.ops import kernel_config as kc
+from pb_llm_tpu.ops.decode_attention import decode_attention
+
+
+def _oracle(q, k, v, lengths, scale):
+    allowed = causal_allowed(lengths - 1, 1, k.shape[1], lengths)
+    return masked_softmax_attention(
+        q[:, None], k.astype(jnp.float32), v.astype(jnp.float32),
+        allowed, scale)[:, 0]
+
+
+def _mk(B, S, Hq, Hkv, D, dtype, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, Hq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), dtype)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("Hq,Hkv", [(8, 8), (8, 2)])
+def test_kernel_matches_oracle_f32(Hq, Hkv):
+    B, S, D = 4, 128, 64
+    q, k, v = _mk(B, S, Hq, Hkv, D, jnp.float32)
+    lengths = jnp.array([1 + (37 * i) % S for i in range(B)], jnp.int32)
+    out = decode_attention(q, k, v, lengths, 1.0 / np.sqrt(D),
+                           s_used=S, block_s=32, interpret=True)
+    ref = _oracle(q, k, v, lengths, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+
+
+def test_kernel_matches_oracle_bf16():
+    B, S, Hq, D = 3, 96, 4, 128
+    q, k, v = _mk(B, S, Hq, Hq, D, jnp.bfloat16)
+    lengths = jnp.array([5, 96, 33], jnp.int32)
+    out = decode_attention(q, k, v, lengths, 0.1, s_used=S, block_s=32,
+                           interpret=True)
+    ref = _oracle(q, k, v, lengths, 0.1)
+    # q rides the MXU in bf16 — same precision class as XLA's
+    # default-precision f32 einsum on real TPU hardware
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_kernel_matches_oracle_int8():
+    B, S, Hq, Hkv, D = 4, 128, 8, 4, 64
+    q, k, v = _mk(B, S, Hq, Hkv, D, jnp.float32)
+    ksc = jnp.maximum(jnp.max(jnp.abs(k), -1, keepdims=True) / 127.0, 1e-8)
+    vsc = jnp.maximum(jnp.max(jnp.abs(v), -1, keepdims=True) / 127.0, 1e-8)
+    ki = jnp.clip(jnp.round(k / ksc), -127, 127).astype(jnp.int8)
+    vi = jnp.clip(jnp.round(v / vsc), -127, 127).astype(jnp.int8)
+    lengths = jnp.array([1, 128, 65, 32], jnp.int32)
+    out = decode_attention(q, ki, vi, lengths, 0.125, k_scale=ksc,
+                           v_scale=vsc, s_used=S, block_s=32, interpret=True)
+    # oracle over the DEQUANTIZED cache: the kernel's scale folding must be
+    # numerically equivalent to dequantize-then-attend
+    ref = _oracle(q, ki * ksc, vi * vsc, lengths, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_kernel_window_prefix_only():
+    """s_used < S: rows past the window are never visited; result equals
+    the oracle as long as lengths stay inside the window."""
+    B, S, Hq, D = 2, 256, 4, 64
+    q, k, v = _mk(B, S, Hq, Hq, D, jnp.float32)
+    # poison the tail: it must not be read
+    k = k.at[:, 128:].set(jnp.nan)
+    v = v.at[:, 128:].set(jnp.nan)
+    lengths = jnp.array([128, 77], jnp.int32)
+    out = decode_attention(q, k, v, lengths, 0.2, s_used=128, block_s=64,
+                           interpret=True)
+    ref = _oracle(q, k[:, :128], v[:, :128], lengths, 0.2)
+    assert not np.any(np.isnan(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+
+
+def test_kernel_empty_slot_zero_output():
+    B, S, Hq, D = 2, 64, 2, 64
+    q, k, v = _mk(B, S, Hq, Hq, D, jnp.float32)
+    lengths = jnp.array([0, 64], jnp.int32)
+    out = decode_attention(q, k, v, lengths, 1.0, s_used=S, block_s=32,
+                           interpret=True)
+    assert np.all(np.asarray(out)[0] == 0.0)
+
+
+def test_cached_attention_dispatches_kernel():
+    """cached_attention with decode_attention=pallas_interpret matches the
+    XLA path (strip cache, vector pos, t=1), bf16 and int8 caches."""
+    B, S, H, D = 4, 512, 4, 64
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, 1, H, D), jnp.float32)
+    k_new = jax.random.normal(ks[1], (B, 1, H, D), jnp.float32)
+    v_new = jax.random.normal(ks[2], (B, 1, H, D), jnp.float32)
+    pos = jnp.array([0, 17, 400, 511], jnp.int32)
+    for quant in (False, True):
+        if quant:
+            cache = {"k": jnp.zeros((B, S, H, D), jnp.int8),
+                     "v": jnp.zeros((B, S, H, D), jnp.int8),
+                     "k_scale": jnp.zeros((B, S, H, 1), jnp.float32),
+                     "v_scale": jnp.zeros((B, S, H, 1), jnp.float32)}
+        else:
+            cache = {"k": jnp.zeros((B, S, H, D), jnp.float32),
+                     "v": jnp.zeros((B, S, H, D), jnp.float32)}
+        fill = jax.random.normal(ks[3], (B, S, H, D), jnp.float32) * 0.5
+        for t0 in range(0, 512, 64):  # prefill some history
+            cache = cache_update(cache, fill[:, t0:t0 + 64],
+                                 fill[:, t0:t0 + 64], t0)
+        cache = cache_update(cache, k_new, v_new, pos)
+        with kc.use_kernels(kc.KernelConfig(decode_attention="xla")):
+            ref = cached_attention(cache, q, k_new, v_new, pos, 0.125)
+        with kc.use_kernels(kc.KernelConfig(decode_attention="pallas_interpret")):
+            out = cached_attention(cache, q, k_new, v_new, pos, 0.125)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32), atol=2e-2)
+        # tight slots (pos 511) read the full window; short ones the prefix
+        assert out.shape == ref.shape == (B, 1, H, D)
