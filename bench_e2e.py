@@ -514,12 +514,15 @@ def main():
         # spec arms ("specN"): verify windows of t = N+1 tokens per step over
         # strip caches — compare against the "strips" t=1 arm in one process
         # to price a speculative verify step
-        def arm_def(name):
+        def arm_base(name):
             # "_xattn" suffix: force decode_attention=xla for that arm (the
             # kernel-vs-XLA comparison rides one process, drift-free)
-            if name.startswith("spec"):
-                return 0, False, int(name[4:]) + 1
-            base = name[:-6] if name.endswith("_xattn") else name
+            return name[:-6] if name.endswith("_xattn") else name
+
+        def arm_def(name):
+            base = arm_base(name)
+            if base.startswith("spec"):
+                return 0, False, int(base[4:]) + 1
             return {"strips": (0, False, 1), "strips_int8": (0, True, 1),
                     "fused": (0, False, 1),  # q|k|v + gate|up merged matmuls
                     "paged": (args.paged or 64, False, 1),
@@ -536,7 +539,7 @@ def main():
             paged, int8, width = arm_def(name)
             arm_caches[name] = make_arm_caches(paged, int8)
             widths[name] = width
-            arm_params = fused_params if name == "fused" else params
+            arm_params = fused_params if arm_base(name) == "fused" else params
             tok0 = tokens0 if width == 1 else jnp.zeros((B, width), jnp.int32)
             from pb_llm_tpu.ops import kernel_config as _kc
 

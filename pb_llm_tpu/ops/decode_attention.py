@@ -49,6 +49,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _expand_groups(sc, n_groups):
+    """[S_blk, Hkv] -> [S_blk, Hq=Hkv*G] with column c = sc[:, c // G].
+
+    jnp.repeat on the lane axis does not lower on Mosaic for small Hkv
+    (``tpu.reshape vector<SxHkvxG> -> vector<SxHq>`` is rejected); a dot
+    against the constant group-expansion matrix E[kv, c] = (c // G == kv)
+    always lowers and is MXU-trivial at these shapes.
+    """
+    if n_groups == 1:
+        return sc
+    hkv = sc.shape[1]
+    hq = hkv * n_groups
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hkv, hq), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hkv, hq), 1) // n_groups
+    e = (rows == cols).astype(sc.dtype)
+    return jax.lax.dot_general(sc, e, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_s: int, n_blocks: int,
             n_groups: int, quantized: bool):
     if quantized:
@@ -92,7 +111,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_s: int, n_blocks: int,
         if quantized:
             # per-(token, head) K scale factors out of the D-contraction
             ksc = ks_ref[0]                                    # [S_blk, Hkv]
-            s = s * jnp.repeat(ksc, n_groups, axis=1)
+            s = s * _expand_groups(ksc, n_groups)
         rows = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         allowed = rows < base
         s = jnp.where(allowed, s, NEG_INF)
@@ -110,7 +129,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_s: int, n_blocks: int,
         if quantized:
             # V scale folds into the probability weights before the dot
             vsc = vs_ref[0]
-            pw = pw * jnp.repeat(vsc, n_groups, axis=1)
+            pw = pw * _expand_groups(vsc, n_groups)
             v2 = v2.astype(jnp.bfloat16)
         pprec = (jax.lax.Precision.HIGHEST if v2.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)

@@ -60,8 +60,9 @@ def main():
     v_sc = jnp.maximum(jnp.max(jnp.abs(vs_hm.astype(jnp.float32)), -1), 1e-8) / 127.0
     ks_i8 = jnp.clip(jnp.round(ks_hm.astype(jnp.float32) / k_sc[..., None]), -127, 127).astype(jnp.int8)
     vs_i8 = jnp.clip(jnp.round(vs_hm.astype(jnp.float32) / v_sc[..., None]), -127, 127).astype(jnp.int8)
-    # dense arm: same bytes/layer as bf16 K+V -> [4096, 2*S*H*D/4096] bf16
-    wd = jax.random.normal(key, (L, 4096, 2 * S * H * D // 4096), jnp.bfloat16)
+    # dense arm: same bytes/layer as the bf16 K+V cache arms stream,
+    # including the B slots factor -> [4096, 2*B*S*H*D/4096] bf16
+    wd = jax.random.normal(key, (L, 4096, 2 * B * S * H * D // 4096), jnp.bfloat16)
     xd = jax.random.normal(key, (8, 4096), jnp.bfloat16)
 
     mask = (jnp.arange(S)[None, :] < (lengths[:, None] + 1))[:, None, :]  # [B,1,S]

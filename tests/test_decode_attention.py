@@ -125,3 +125,29 @@ def test_cached_attention_dispatches_kernel():
                                    np.asarray(ref, np.float32), atol=2e-2)
         # tight slots (pos 511) read the full window; short ones the prefix
         assert out.shape == ref.shape == (B, 1, H, D)
+
+
+@pytest.mark.tpu
+def test_tpu_lowering_smoke_int8_gqa():
+    """Mosaic TPU lowering smoke (interpret=False): the quantized + GQA
+    variant exercises jnp.repeat on the lane axis and the [Hq, Hkv, D]
+    reshapes that interpret-mode CI never lowers (ADVICE r4 item 4).
+    Run: PB_TPU_TESTS=1 pytest -m tpu."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("no TPU backend")
+    B, S, Hq, Hkv, D = 4, 256, 32, 8, 128
+    q, k, v = _mk(B, S, Hq, Hkv, D, jnp.float32)
+    ksc = jnp.maximum(jnp.max(jnp.abs(k), -1, keepdims=True) / 127.0, 1e-8)
+    vsc = jnp.maximum(jnp.max(jnp.abs(v), -1, keepdims=True) / 127.0, 1e-8)
+    ki = jnp.clip(jnp.round(k / ksc), -127, 127).astype(jnp.int8)
+    vi = jnp.clip(jnp.round(v / vsc), -127, 127).astype(jnp.int8)
+    lengths = jnp.array([1, 256, 130, 32], jnp.int32)
+    out = decode_attention(q, ki, vi, lengths, 1.0 / np.sqrt(D), k_scale=ksc,
+                           v_scale=vsc, s_used=S, block_s=128)
+    ref = _oracle(q, ki * ksc, vi * vsc, lengths, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
+    # bf16 + MHA shape (the serving default) lowers too
+    qb, kb, vb = _mk(B, S, Hq, Hq, D, jnp.bfloat16, seed=1)
+    out = decode_attention(qb, kb, vb, lengths, 1.0 / np.sqrt(D), s_used=S)
+    ref = _oracle(qb, kb, vb, lengths, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)

@@ -37,6 +37,7 @@ def _greedy_reference(params, cfg, fam, prompt, steps):
     return ids[len(prompt):]
 
 
+@pytest.mark.quick
 def test_engine_greedy_matches_full_forward(engine_setup):
     params, cfg, fam = engine_setup
     eng = Engine(params, cfg, fam, EngineConfig(n_slots=2, max_seq=48, prefill_buckets=(8, 16)))
@@ -111,6 +112,7 @@ def test_sampler_top_k_top_p():
     assert int(sample(logits, key, SamplingParams())[0]) == 0
 
 
+@pytest.mark.quick
 def test_packed_params_engine(engine_setup):
     """Engine runs with PBW-packed linears (XLA path on CPU)."""
     import copy

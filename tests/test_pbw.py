@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from pb_llm_tpu.core import pbw
 from pb_llm_tpu.quant.high_quant import high_calibrate, high_quantize
 from pb_llm_tpu.quant.low_quant import low_calibrate, low_quantize

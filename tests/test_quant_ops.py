@@ -8,6 +8,9 @@ the same math.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 import torch
 
 from pb_llm_tpu.quant.high_quant import high_calibrate, high_codes, high_dequant_codes, high_quantize

@@ -1,6 +1,9 @@
 """GPTQ-PB solver vs an independent NumPy oracle of the same algorithm."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 import jax.numpy as jnp
 import scipy.linalg
 
