@@ -53,14 +53,27 @@ class QATLinear:
     train_outlier: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
-def weight_quant_8bit(w: jnp.ndarray) -> jnp.ndarray:
+def weight_quant_8bit(w: jnp.ndarray, wrap_compat: bool = False) -> jnp.ndarray:
     """Per-row asymmetric uint8 fake-quant, zp rounded to integer
-    (`outlier_quantizer.py:10-29`; clamp applied before the uint8 cast —
-    the reference casts first, which can wrap only when row-min > 0.5)."""
+    (`outlier_quantizer.py:10-29`).
+
+    Default clamps the code to [0, 255] BEFORE the uint8 cast — the
+    documented fix.  The reference casts the rounded float straight to
+    uint8 first (`outlier_quantizer.py:18-20`), which two's-complement
+    wraps negative codes mod 256; since zp = round(row min) collapses to 0
+    whenever |min| < 0.5 (every real LLM weight matrix), the wrap fires on
+    ALL negative weights in practice.  ``wrap_compat=True`` reproduces that
+    wrap bit-exactly — used by the reference-differential tests
+    (`tests/test_reference_diff.py`) and for replaying reference QAT runs.
+    """
     w = w.astype(jnp.float32)
     w_range = jnp.max(w, axis=-1, keepdims=True) - jnp.min(w, axis=-1, keepdims=True)
     zp = jnp.round(jnp.min(w, axis=-1, keepdims=True))
-    q = jnp.clip(jnp.round((w - zp) / w_range * 255.0), 0.0, 255.0)
+    qf = jnp.round((w - zp) / w_range * 255.0)
+    if wrap_compat:
+        q = (qf.astype(jnp.int32) & 255).astype(jnp.float32)
+    else:
+        q = jnp.clip(qf, 0.0, 255.0)
     return q * (w_range / 255.0) + zp
 
 
@@ -82,6 +95,7 @@ def make_qat_linear(
     method: str = "xnor_outlier",
     gptq_mask: Optional[np.ndarray] = None,
     freeze_8bit: bool = True,
+    wrap_compat: bool = False,
 ) -> QATLinear:
     """Build a QATLinear from a dense [oc, ic] weight.
 
@@ -95,7 +109,7 @@ def make_qat_linear(
     else:
         mask = gen_outlier_mask(w, outlier_fraction)
     if freeze_8bit:
-        w = weight_quant_8bit(w)  # outlier_quantizer.py:75
+        w = weight_quant_8bit(w, wrap_compat)  # outlier_quantizer.py:75
     return QATLinear(
         weight=w,
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),

@@ -1,0 +1,410 @@
+"""Differential validation against the ACTUAL reference implementation.
+
+Every other parity test in this suite checks against hand-written oracles.
+This module imports and EXECUTES the reference program itself
+(`/root/reference/gptq_pb/run.py:34-189` `quant_sequential`,
+`/root/reference/gptq_pb/eval_ppl_utils.py:90-183` `opt_eval`,
+`/root/reference/quant/outlier_quantizer.py:33-124`
+`BinaryXnorExceptOutliersLinear`) on the same random-init OPT weights /
+calibration windows / Hessians as this framework, offline (no network:
+random-init `OPTForCausalLM(OPTConfig(...))`, synthetic token streams).
+
+Measured cross-framework bounds (documented, not aspirational):
+  * solver on IDENTICAL (W, H): masks bit-identical, |dW| <= 1e-6 — the
+    column loop, Cholesky chain, damping and dead-column handling are
+    numerically the same program.
+  * full pipeline, magnitude metric: masks bit-identical (they depend only
+    on |W|), ppl within 5e-4 relative.
+  * full pipeline, hessian metric: torch-CPU vs XLA-CPU matmul ordering
+    perturbs H at ~1e-6, which flips a handful of borderline quantile
+    elements (measured 68/393216 = 0.017%); masks must agree >= 99.9% and
+    ppl within 5e-4 relative.
+  * QAT: with `wrap_compat=True` the frozen sim-8bit master is
+    BIT-identical (the reference's uint8 wrap reproduced exactly) and
+    forward/backward match to f32 roundoff.
+
+Reference quirks handled (shims are harness-only, never numeric):
+  * `fasterquant` calls `torch.cuda.synchronize()` unconditionally
+    (`gptq.py:176`) — no-op'd on this CPU-only torch build.
+  * `quant/quantizer.py:33-34` evaluates `.cuda()` at import time —
+    `Tensor.cuda` is shimmed to identity before import.
+  * mask pickles go to `./outputs/mask` relative to CWD (`gptq.py:108-114`)
+    — each test chdirs into tmp_path.
+  * the RTN path never accumulates `Losses`, so the reference reports
+    error == 0.0 for `--disable_gptq` (`gptq.py:119-127` vs `:166`); the
+    error comparison applies to the GPTQ path only.
+"""
+
+import contextlib
+import glob
+import io
+import os
+import re
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+REF_ROOT = "/root/reference"
+REF_GPTQ = os.path.join(REF_ROOT, "gptq_pb")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_GPTQ), reason="reference checkout not present")
+
+# linear name mapping: ours -> reference module path inside a decoder layer
+NMAP = {"q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj", "out_proj": "self_attn.out_proj",
+        "fc1": "fc1", "fc2": "fc2"}
+
+
+@pytest.fixture(scope="module")
+def refmods():
+    """Import the reference modules (CPU shims applied, sys.path appended —
+    the reference tree is read-only and never written to)."""
+    torch.cuda.synchronize = lambda *a, **k: None
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    for p in (REF_GPTQ, REF_ROOT):
+        if p not in sys.path:
+            sys.path.append(p)
+    import run as ref_run                      # /root/reference/gptq_pb/run.py
+    from eval_ppl_utils import opt_eval        # eval_ppl_utils.py:90
+    from gptq import LowHighGPT                # gptq.py:15
+    from high_quant import HighQuantizer       # high_quant.py:10
+    from low_quant import LowQuantizer         # low_quant.py:6
+    from quant.outlier_quantizer import (      # /root/reference/quant/
+        BinaryXnorExceptOutliersLinear, BinaryXnorExceptOutliersLinearHessian)
+    return types.SimpleNamespace(
+        run=ref_run, opt_eval=opt_eval, LowHighGPT=LowHighGPT,
+        HighQuantizer=HighQuantizer, LowQuantizer=LowQuantizer,
+        OutlierLinear=BinaryXnorExceptOutliersLinear,
+        OutlierLinearHessian=BinaryXnorExceptOutliersLinearHessian)
+
+
+def _build_torch_opt(word_embed_proj_dim=128):
+    torch.manual_seed(0)
+    cfg = transformers.OPTConfig(
+        vocab_size=384, hidden_size=128, ffn_dim=256, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=word_embed_proj_dim, do_layer_norm_before=True,
+        attn_implementation="eager")
+    model = transformers.OPTForCausalLM(cfg)
+    model.eval()
+    model.seqlen = cfg.max_position_embeddings
+    return model
+
+
+def _tokens():
+    rng = np.random.RandomState(1234)
+    calib = rng.randint(0, 384, size=(8, 64)).astype(np.int64)
+    evaltok = rng.randint(0, 384, size=(1, 4 * 64)).astype(np.int64)
+    return calib, evaltok
+
+
+def _ref_quantize_and_eval(refmods, model, calib, evaltok, method, metric,
+                           disable_gptq, low_frac=0.5):
+    """Drive the reference pipeline exactly as its __main__ does
+    (`run.py:281-313`), on CPU, capturing the printed perplexity."""
+    refmods.run.args = types.SimpleNamespace(
+        model="ref-opt-diff", dataset="wikitext2", low_quant_method=method,
+        low_frac=low_frac, high_bit=8, salient_metric=metric, groupsize=-1,
+        blocksize=128, percdamp=0.01, disable_gptq=disable_gptq,
+        minlayer=-1, maxlayer=1000, quant_only="", invert=False,
+        nsamples=calib.shape[0], plot=False)
+    dataloader = [(torch.tensor(calib[i:i + 1]), None)
+                  for i in range(calib.shape[0])]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        refmods.run.quant_sequential(model, dataloader, "cpu")
+        refmods.opt_eval(
+            model, types.SimpleNamespace(input_ids=torch.tensor(evaltok)),
+            "cpu", "ds")
+    m = re.search(r"perplexity': ([0-9.e+-]+)", buf.getvalue())
+    return float(m.group(1))
+
+
+def _our_quantize_and_eval(model, calib, evaltok, method, metric,
+                           disable_gptq, low_frac=0.5):
+    from pb_llm_tpu.calib.pipeline import quantize_model_ptq
+    from pb_llm_tpu.calib.solver import SolverConfig
+    from pb_llm_tpu.eval.ppl import perplexity
+    from pb_llm_tpu.models import hf_import
+    from pb_llm_tpu.models.registry import FAMILIES
+
+    params, cfg, famname = hf_import.from_torch_model(model)
+    fam = FAMILIES[famname]
+    sc = SolverConfig(low_method=method, low_frac=low_frac, high_bit=8,
+                      groupsize=-1, salient_metric=metric, blocksize=128,
+                      percdamp=0.01, disable_gptq=disable_gptq)
+    qparams, report = quantize_model_ptq(params, cfg, fam, calib, sc,
+                                         fmt="sim", log=None)
+    ppl = perplexity(qparams, cfg, fam.forward, evaltok, seqlen=64)
+    return qparams, report, float(ppl)
+
+
+def _load_ref_mask(i, name, low_frac=0.5):
+    path = (f"outputs/mask/mask_{low_frac}_ref-opt-diff"
+            f"model.decoder.layers.{i}.{NMAP[name]}.pkl")
+    return torch.load(path, weights_only=True).numpy()
+
+
+@pytest.mark.parametrize("method,metric,disable_gptq", [
+    ("xnor", "magnitude", False),
+    ("xnor", "hessian", False),
+    ("sign", "magnitude", True),
+])
+def test_ptq_pipeline_differential(refmods, tmp_path, monkeypatch,
+                                   method, metric, disable_gptq):
+    """Full pipeline: reference `quant_sequential` + `opt_eval` vs
+    `quantize_model_ptq` + `eval.ppl.perplexity` on identical weights and
+    calibration windows."""
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("outputs", exist_ok=True)
+    calib, evaltok = _tokens()
+
+    model = _build_torch_opt()
+    ref_ppl = _ref_quantize_and_eval(refmods, model, calib, evaltok,
+                                     method, metric, disable_gptq)
+    refsd = model.state_dict()
+
+    model2 = _build_torch_opt()   # same seed => identical init
+    qparams, report, ppl = _our_quantize_and_eval(
+        model2, calib, evaltok, method, metric, disable_gptq)
+
+    assert len(report.masks) == 18  # 3 layers x 6 linears
+    mask_diff = mask_total = 0
+    wdiff = []
+    for key, mk in report.masks.items():
+        li, name = key.split("/")
+        i = int(li.split("_")[1])
+        rm = _load_ref_mask(i, name)
+        mask_diff += int((np.asarray(mk) != rm).sum())
+        mask_total += rm.size
+        ours = np.asarray(qparams["layers"][i][name]["w"]).T      # [oc, ic]
+        ref = refsd[f"model.decoder.layers.{i}.{NMAP[name]}.weight"].numpy()
+        wdiff.append(np.abs(ours - ref).ravel())
+    wdiff = np.concatenate(wdiff)
+
+    if metric == "magnitude":
+        # magnitude masks depend only on |W| -> must be bit-identical
+        assert mask_diff == 0
+    else:
+        # hessian-metric quantile thresholds sit on H, which differs at
+        # ~1e-6 between torch-CPU and XLA-CPU gemms; only borderline
+        # elements may flip (measured 0.017%)
+        assert mask_diff / mask_total < 1e-3, (mask_diff, mask_total)
+    if disable_gptq:
+        # RTN has no error feedback: weights match to 8-bit rounding
+        # boundaries of identical inputs
+        assert float(wdiff.max()) < 1e-3
+    else:
+        # GPTQ error feedback amplifies the H perturbation chaotically on
+        # borderline quantization boundaries; the mean stays tiny
+        assert float(wdiff.mean()) < 1e-3
+    assert ppl == pytest.approx(ref_ppl, rel=5e-4)
+
+
+@pytest.mark.parametrize("method", ["xnor", "sign"])
+@pytest.mark.parametrize("metric", ["magnitude", "hessian"])
+@pytest.mark.parametrize("disable_gptq", [False, True])
+def test_solver_differential(refmods, tmp_path, monkeypatch,
+                             method, metric, disable_gptq):
+    """Solver on IDENTICAL (W, H): the reference `LowHighGPT.fasterquant`
+    vs `calib.solver.gptq_pb`.  With the activation-capture variable
+    removed, masks must be bit-identical and weights equal to f32
+    roundoff — this retires the NumPy hand-oracle as the primary evidence
+    for solver parity."""
+    from pb_llm_tpu.calib.solver import SolverConfig, gptq_pb
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("outputs/mask", exist_ok=True)
+    rng = np.random.RandomState(7)
+    oc, ic, n = 96, 128, 512
+    W = (rng.randn(oc, ic) * 0.02).astype(np.float32)
+    X = rng.randn(n, ic).astype(np.float32)
+    H = (2.0 / n) * (X.T @ X)
+
+    lin = torch.nn.Linear(ic, oc, bias=False)
+    lin.weight.data = torch.tensor(W.copy())
+    lin.global_name = "solver_diff"
+    g = refmods.LowHighGPT(
+        lin,
+        refmods.LowQuantizer(lin.weight, method=method, groupsize=-1),
+        refmods.HighQuantizer(8, True, False, False),
+        salient_metric=metric, disable_gptq=disable_gptq)
+    g.H = torch.tensor(H.copy())
+    g.nsamples = n
+    with contextlib.redirect_stdout(io.StringIO()):
+        info = g.fasterquant(0.5, blocksize=128, percdamp=0.01)
+    ref_wq = lin.weight.data.numpy()
+    ref_mask = torch.load(glob.glob("outputs/mask/*solver_diff*")[0],
+                          weights_only=True).numpy()
+
+    cfgq = SolverConfig(low_method=method, low_frac=0.5, high_bit=8,
+                        groupsize=-1, salient_metric=metric, blocksize=128,
+                        percdamp=0.01, disable_gptq=disable_gptq)
+    out = gptq_pb(np.asarray(W), np.asarray(H), cfgq)
+    assert np.array_equal(np.asarray(out["mask"]), ref_mask)
+    np.testing.assert_allclose(np.asarray(out["w_q"]), ref_wq, atol=1e-6)
+    if disable_gptq:
+        assert info["error"] == 0.0          # reference RTN quirk
+    else:
+        assert float(out["error"]) == pytest.approx(info["error"], rel=1e-4)
+
+
+def test_evaluator_protocol_parity(refmods, tmp_path, monkeypatch):
+    """`eval.ppl.perplexity` == the reference `opt_eval` windowed protocol
+    on the SAME fp weights — including the OPT `project_in`/`project_out`
+    + top-level `final_layer_norm` ordering (`eval_ppl_utils.py:156-169`),
+    exercised via word_embed_proj_dim != hidden_size."""
+    from pb_llm_tpu.eval.ppl import perplexity
+    from pb_llm_tpu.models import hf_import
+    from pb_llm_tpu.models.registry import FAMILIES
+
+    monkeypatch.chdir(tmp_path)
+    _, evaltok = _tokens()
+    model = _build_torch_opt(word_embed_proj_dim=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        refmods.opt_eval(
+            model, types.SimpleNamespace(input_ids=torch.tensor(evaltok)),
+            "cpu", "ds")
+    ref_ppl = float(re.search(r"perplexity': ([0-9.e+-]+)",
+                              buf.getvalue()).group(1))
+
+    params, cfg, famname = hf_import.from_torch_model(model)
+    ppl = perplexity(params, cfg, FAMILIES[famname].forward, evaltok,
+                     seqlen=64)
+    assert float(ppl) == pytest.approx(ref_ppl, rel=1e-4)
+
+
+def test_qat_forward_backward_differential(refmods):
+    """`BinaryXnorExceptOutliersLinear` (training mode) vs
+    `make_qat_linear(wrap_compat=True)` + `apply_qat_linear`: mask, frozen
+    sim-8bit master, forward, and weight/input grads all match."""
+    import jax
+    import jax.numpy as jnp
+
+    from pb_llm_tpu.quant.qat import QATLinear, apply_qat_linear, make_qat_linear
+
+    rng = np.random.RandomState(3)
+    oc, ic, B = 64, 96, 8
+    W = (rng.randn(oc, ic) * 0.02).astype(np.float32)
+    bias = (rng.randn(oc) * 0.01).astype(np.float32)
+    X = rng.randn(B, ic).astype(np.float32)
+    G = rng.randn(B, oc).astype(np.float32)
+
+    ref = refmods.OutlierLinear(torch.tensor(W), torch.tensor(bias),
+                                outlier_fraction=0.1)
+    ref.train()
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref.gen_outlier_mask()
+    xt = torch.tensor(X, requires_grad=True)
+    out_ref = ref(xt)
+    (out_ref * torch.tensor(G)).sum().backward()
+
+    q = make_qat_linear(W, bias, 0.1, method="xnor_outlier",
+                        wrap_compat=True)
+    assert np.array_equal(np.asarray(q.outlier_mask),
+                          ref.outlier_mask.numpy())
+    # frozen master is BIT-identical (uint8 wrap reproduced)
+    assert np.array_equal(np.asarray(q.weight), ref.weight.data.numpy())
+
+    def f(w, x):
+        q2 = QATLinear(weight=w, bias=q.bias, outlier_mask=q.outlier_mask,
+                       method=q.method)
+        out = apply_qat_linear(q2, x)
+        return jnp.sum(out * G), out
+
+    (_, out), (gw, gx) = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+        q.weight, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(out), out_ref.detach().numpy(),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gw), ref.weight.grad.numpy(),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gx), xt.grad.numpy(), atol=2e-6)
+
+
+def test_qat_wrap_compat_documents_default_deviation():
+    """The ONLY difference between default weight_quant_8bit and
+    wrap_compat is where the reference's uint8 wrap fires (negative
+    codes); elsewhere they are equal."""
+    from pb_llm_tpu.quant.qat import weight_quant_8bit
+
+    rng = np.random.RandomState(5)
+    W = (rng.randn(32, 48) * 0.02).astype(np.float32)
+    fixed = np.asarray(weight_quant_8bit(W))
+    wrapped = np.asarray(weight_quant_8bit(W, wrap_compat=True))
+    # recompute codes to locate wrap sites
+    w_range = W.max(-1, keepdims=True) - W.min(-1, keepdims=True)
+    zp = np.round(W.min(-1, keepdims=True))
+    codes = np.round((W - zp) / w_range * 255.0)
+    wrap_sites = (codes < 0) | (codes > 255)
+    assert wrap_sites.any()   # std-0.02 weights: zp rounds to 0, wrap fires
+    np.testing.assert_allclose(fixed[~wrap_sites], wrapped[~wrap_sites],
+                               atol=0.0)
+    assert np.abs(fixed[wrap_sites] - wrapped[wrap_sites]).min() > 0.0
+
+
+def test_qat_hessian_mask_differential(refmods, tmp_path, monkeypatch):
+    """Hessian QAT variant: the reference loads the GPTQ mask pickle by
+    relative path and INVERTS it (`outlier_quantizer.py:126-143`); ours
+    takes the mask directly.  Same pickle -> same outlier_mask + frozen
+    master."""
+    from pb_llm_tpu.quant.qat import make_qat_linear
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(11)
+    oc, ic = 32, 64
+    W = (rng.randn(oc, ic) * 0.02).astype(np.float32)
+    gptq_mask = rng.rand(oc, ic) < 0.9   # True <=> binarized
+    gname = "hess-diff-layer"
+    os.makedirs("gptq_pb/outputs/mask", exist_ok=True)
+    torch.save(torch.tensor(gptq_mask), f"gptq_pb/outputs/mask/mask_0.9_{gname}.pkl")
+
+    ref = refmods.OutlierLinearHessian(torch.tensor(W), None,
+                                       outlier_fraction=0.1)
+    ref.global_name = gname
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref.gen_outlier_mask()
+
+    q = make_qat_linear(W, None, 0.1, method="xnor_outlier_hessian",
+                        gptq_mask=gptq_mask, wrap_compat=True)
+    assert np.array_equal(np.asarray(q.outlier_mask),
+                          ref.outlier_mask.numpy())
+    assert np.array_equal(np.asarray(q.weight), ref.weight.data.numpy())
+
+
+def test_2bit_quantizer_documented_deviation(refmods):
+    """The reference 2-bit path computes `zero` with an indexing slip
+    (`low_quant.py:65`: `scale[groupi]` — ONE row's scale — builds every
+    row's zero point).  Our implementation uses the per-row scale
+    (documented fix, `quant/low_quant.py` header).  Assert (a) the
+    deviation is exactly that and nothing else: patching the reference
+    buffer with the per-row zero makes the two implementations agree;
+    (b) the slip is live in the unpatched reference."""
+    from pb_llm_tpu.quant.low_quant import (low_calibrate, low_quantize)
+
+    rng = np.random.RandomState(13)
+    oc, ic = 48, 64
+    W = (rng.randn(oc, ic) * 0.05 + 0.01).astype(np.float32)
+
+    lo = refmods.LowQuantizer(torch.tensor(W), method="2bit", groupsize=-1)
+    lo.calibrate(torch.tensor(W), groupi=0)
+    ref_buggy = lo.quantize(torch.tensor(W), groupi=0).numpy()
+
+    # per-row zero (what line 65 computes with the full scale vector)
+    xmin = np.minimum(W.min(1), 0.0)
+    scale = np.asarray(lo.scale[0]).reshape(-1)
+    per_row_zero = np.round(-xmin / scale)
+    lo.zero[0] = torch.tensor(per_row_zero.astype(np.float32)).reshape(-1, 1)
+    ref_fixed = lo.quantize(torch.tensor(W), groupi=0).numpy()
+
+    state = low_calibrate(np.asarray(W), "2bit", groupsize=-1)
+    ours = np.asarray(low_quantize(np.asarray(W), state, "2bit",
+                                   groupsize=-1))
+    np.testing.assert_allclose(ours, ref_fixed, atol=1e-6)
+    assert np.abs(ref_buggy - ref_fixed).max() > 1e-3   # the slip is real
