@@ -366,6 +366,11 @@ def main():
                 "dense_stream_gbps": round(dense_gbps, 1),
                 "median_packed_us": round(med["packed"] * 1e6, 1),
                 "median_dense_us": round(med["dense"] * 1e6, 1),
+                # drift-honest headline companion (VERDICT r4 item 6): the
+                # same ratio from per-arm medians over all interleaved reps —
+                # best-pair can ride a lucky quiet window; round-over-round
+                # comparisons should quote this first
+                "vs_baseline_median": round(med["dense"] / med["packed"], 3),
                 "contended": contended,
                 "decode_dot": "int8",
             }

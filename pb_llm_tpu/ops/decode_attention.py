@@ -24,6 +24,13 @@ XLA dequantizes per ELEMENT.  This kernel attacks both:
   [Hq, H*D], from which the (hq, hq // G) diagonal D-slices are extracted
   by an eye-mask reduction (the 32x cross-term flop waste is free — the
   kernel is bandwidth-bound).
+* ``block_b`` > 1 (round 5, VERDICT r4 item 2): K slots ride ONE grid
+  step — their cache strips arrive in one K-times-larger DMA and their
+  dots run back to back off a shared Qbd scratch, amortizing the ~1 us
+  per-grid-step fixed cost (measured: 16 grid steps at B=8/ctx512 cost
+  ~16 us/layer of pure overhead at the bf16 dense-rate floor).  Per-slot
+  dots (not one K-wide block-diagonal dot) keep compute linear in K, so
+  the kernel stays bandwidth-bound.
 
 Softmax is the online/flash recurrence over s-blocks (same as
 `ops.flash_attention`).  Length masking: decode reads rows < lengths[b]
@@ -68,16 +75,16 @@ def _expand_groups(sc, n_groups):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_s: int, n_blocks: int,
-            n_groups: int, quantized: bool):
+def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_b: int, block_s: int,
+            n_blocks: int, n_groups: int, quantized: bool):
     if quantized:
         ks_ref, vs_ref, o_ref, qbd_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, qbd_ref, m_ref, l_ref, acc_ref = rest
-    b = pl.program_id(0)
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    hq, d = q_ref.shape[1], q_ref.shape[2]
-    hkv = hq // n_groups
+    bb, hq, d = q_ref.shape
+    hkv = k_ref.shape[2]
     hd = hkv * d
 
     @pl.when(j == 0)
@@ -85,74 +92,81 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_s: int, n_blocks: int,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        # Qbd [Hkv*D, Hq]: tile q^T down the kv heads, mask off-group cols.
-        qt = q_ref[0].astype(jnp.float32).T                    # [D, Hq]
-        tiled = jnp.broadcast_to(qt[None], (hkv, d, hq)).reshape(hd, hq)
-        row_h = jax.lax.broadcasted_iota(jnp.int32, (hd, hq), 0) // d
-        col_h = jax.lax.broadcasted_iota(jnp.int32, (hd, hq), 1) // n_groups
+        # Qbd [Hkv*D, bb*Hq]: all bb slots' block-diagonal query matrices
+        # side by side; slot kb's dot slices columns [kb*Hq, (kb+1)*Hq).
+        # Column c belongs to q head c % Hq, whose kv head is (c%Hq) // G.
+        qt = q_ref[:].astype(jnp.float32).reshape(bb * hq, d).T  # [D, bb*Hq]
+        tiled = jnp.broadcast_to(qt[None], (hkv, d, bb * hq)).reshape(hd, bb * hq)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (hd, bb * hq), 0) // d
+        col_h = (jax.lax.broadcasted_iota(jnp.int32, (hd, bb * hq), 1)
+                 % hq) // n_groups
         qbd_ref[:] = jnp.where(row_h == col_h, tiled, 0.0).astype(qbd_ref.dtype)
 
-    base = len_ref[b]
     start = j * block_s
 
-    @pl.when(start < base)
-    def _():
-        k2 = k_ref[0].reshape(block_s, hd)                     # contiguous view
-        if quantized:
-            k2 = k2.astype(jnp.bfloat16)
-        # HIGHEST keeps the f32-cache (CPU-test) path exact; bf16 operands
-        # multiply exactly on the MXU anyway, and Mosaic rejects an fp32
-        # contract precision on bf16 inputs.
-        prec = (jax.lax.Precision.HIGHEST if k2.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
-        s = jax.lax.dot_general(                               # [S_blk, Hq]
-            k2, qbd_ref[:], (((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32)
-        if quantized:
-            # per-(token, head) K scale factors out of the D-contraction
-            ksc = ks_ref[0]                                    # [S_blk, Hkv]
-            s = s * _expand_groups(ksc, n_groups)
-        rows = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        allowed = rows < base
-        s = jnp.where(allowed, s, NEG_INF)
+    for kb in range(block_b):
+        base = len_ref[i * block_b + kb]
+        cs, ce = kb * hq, (kb + 1) * hq
 
-        m_prev = m_ref[:]                                      # [1, Hq]
-        l_prev = l_ref[:]
-        m_curr = jnp.max(s, axis=0, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        pw = jnp.exp(s - m_next)                               # [S_blk, Hq]
-        pw = jnp.where(allowed, pw, 0.0)
-        l_ref[:] = alpha * l_prev + jnp.sum(pw, axis=0, keepdims=True)
-        m_ref[:] = m_next
-        v2 = v_ref[0].reshape(block_s, hd)
-        if quantized:
-            # V scale folds into the probability weights before the dot
-            vsc = vs_ref[0]
-            pw = pw * _expand_groups(vsc, n_groups)
-            v2 = v2.astype(jnp.bfloat16)
-        pprec = (jax.lax.Precision.HIGHEST if v2.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
-        full = jax.lax.dot_general(                            # [Hq, Hkv*D]
-            pw.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
-            precision=pprec, preferred_element_type=jnp.float32)
-        # extract the (hq, hq // G) diagonal D-slice per q head
-        f3 = full.reshape(hq, hkv, d)
-        qh = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv, 1), 0) // n_groups
-        kh = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv, 1), 1)
-        pv = jnp.sum(jnp.where(qh == kh, f3, 0.0), axis=1)     # [Hq, D]
-        acc_ref[:] = acc_ref[:] * alpha.reshape(hq, 1) + pv
+        @pl.when(start < base)
+        def _(kb=kb, base=base, cs=cs, ce=ce):
+            k2 = k_ref[kb].reshape(block_s, hd)                # contiguous view
+            if quantized:
+                k2 = k2.astype(jnp.bfloat16)
+            # HIGHEST keeps the f32-cache (CPU-test) path exact; bf16
+            # operands multiply exactly on the MXU anyway, and Mosaic
+            # rejects an fp32 contract precision on bf16 inputs.
+            prec = (jax.lax.Precision.HIGHEST if k2.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+            s = jax.lax.dot_general(                           # [S_blk, Hq]
+                k2, qbd_ref[:, cs:ce], (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            if quantized:
+                # per-(token, head) K scale factors out of the D-contraction
+                ksc = ks_ref[kb]                               # [S_blk, Hkv]
+                s = s * _expand_groups(ksc, n_groups)
+            rows = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            allowed = rows < base
+            s = jnp.where(allowed, s, NEG_INF)
+
+            m_prev = m_ref[:, cs:ce]                           # [1, Hq]
+            l_prev = l_ref[:, cs:ce]
+            m_curr = jnp.max(s, axis=0, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            pw = jnp.exp(s - m_next)                           # [S_blk, Hq]
+            pw = jnp.where(allowed, pw, 0.0)
+            l_ref[:, cs:ce] = alpha * l_prev + jnp.sum(pw, axis=0, keepdims=True)
+            m_ref[:, cs:ce] = m_next
+            v2 = v_ref[kb].reshape(block_s, hd)
+            if quantized:
+                # V scale folds into the probability weights before the dot
+                vsc = vs_ref[kb]
+                pw = pw * _expand_groups(vsc, n_groups)
+                v2 = v2.astype(jnp.bfloat16)
+            pprec = (jax.lax.Precision.HIGHEST if v2.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+            full = jax.lax.dot_general(                        # [Hq, Hkv*D]
+                pw.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
+                precision=pprec, preferred_element_type=jnp.float32)
+            # extract the (hq, hq // G) diagonal D-slice per q head
+            f3 = full.reshape(hq, hkv, d)
+            qh = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv, 1), 0) // n_groups
+            kh = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv, 1), 1)
+            pv = jnp.sum(jnp.where(qh == kh, f3, 0.0), axis=1)  # [Hq, D]
+            acc_ref[cs:ce] = acc_ref[cs:ce] * alpha.reshape(hq, 1) + pv
 
     @pl.when(j == n_blocks - 1)
     def _():
-        l = l_ref[:].reshape(hq, 1)
+        l = l_ref[:].reshape(bb * hq, 1)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] * l_inv).reshape(bb, hq, d).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("s_used", "block_s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("s_used", "block_s", "block_b",
+                                             "interpret"))
 def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
-                     s_used=None, block_s=256, interpret=False):
+                     s_used=None, block_s=256, block_b=1, interpret=False):
     """Batched single-token decode attention over a strip cache.
 
     q: [B, Hq, D] (f32 or bf16) — the current step's query, NOT pre-scaled.
@@ -161,6 +175,10 @@ def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
       token (row s attends iff s < lengths[b]).
     s_used: static window — only cache rows [0, s_used) are visited (the
       caller guarantees max(lengths) <= s_used); defaults to S.
+    block_b: slots per grid step (amortizes per-step fixed cost; B must be
+      divisible — callers use `slots_per_block(B)`); per-step VMEM block is
+      block_b * block_s cache rows, so large block_b pairs with smaller
+      block_s.
     Returns [B, Hq, D] float32.
     """
     b, hq, d = q.shape
@@ -173,35 +191,41 @@ def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
     block_s = min(block_s, s_used)
     n_blocks = (s_used + block_s - 1) // block_s
     quantized = k_scale is not None
+    if b % block_b:
+        raise ValueError(f"block_b={block_b} must divide B={b}")
 
-    grid = (b, n_blocks)
-    qspec = pl.BlockSpec((1, hq, d), lambda i, j, ln: (i, 0, 0))
-    kvspec = pl.BlockSpec((1, block_s, hkv, d), lambda i, j, ln: (i, j, 0, 0))
+    grid = (b // block_b, n_blocks)
+    qspec = pl.BlockSpec((block_b, hq, d), lambda i, j, ln: (i, 0, 0))
+    kvspec = pl.BlockSpec((block_b, block_s, hkv, d),
+                          lambda i, j, ln: (i, j, 0, 0))
     in_specs = [qspec, kvspec, kvspec]
     args = [q, k, v]
     if quantized:
         # squeeze the cache's [B, S, H, 1] scales to 3D: a trailing dim of 1
         # would be lane-padded to 128 in VMEM (128x the block footprint)
-        scspec = pl.BlockSpec((1, block_s, hkv), lambda i, j, ln: (i, j, 0))
+        scspec = pl.BlockSpec((block_b, block_s, hkv),
+                              lambda i, j, ln: (i, j, 0))
         in_specs += [scspec, scspec]
         args += [k_scale.astype(jnp.float32).reshape(b, s, hkv),
                  v_scale.astype(jnp.float32).reshape(b, s, hkv)]
 
     kern = functools.partial(
-        _kernel, block_s=block_s, n_blocks=n_blocks, n_groups=n_groups,
-        quantized=quantized)
+        _kernel, block_b=block_b, block_s=block_s, n_blocks=n_blocks,
+        n_groups=n_groups, quantized=quantized)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hq, d), lambda i, j, ln: (i, 0, 0)),
+            out_specs=pl.BlockSpec((block_b, hq, d),
+                                   lambda i, j, ln: (i, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((hkv * d, hq), jnp.bfloat16 if quantized or k.dtype == jnp.bfloat16 else jnp.float32),
-                pltpu.VMEM((1, hq), jnp.float32),
-                pltpu.VMEM((1, hq), jnp.float32),
-                pltpu.VMEM((hq, d), jnp.float32),
+                pltpu.VMEM((hkv * d, block_b * hq),
+                           jnp.bfloat16 if quantized or k.dtype == jnp.bfloat16 else jnp.float32),
+                pltpu.VMEM((1, block_b * hq), jnp.float32),
+                pltpu.VMEM((1, block_b * hq), jnp.float32),
+                pltpu.VMEM((block_b * hq, d), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hq, d), jnp.float32),

@@ -92,8 +92,44 @@ def main():
              "generated": b.stats.generated_tokens,
              "spec_accepted": b.stats.spec_accepted,
              "lengths": [int(x) for x in eng.lengths]}
+
+    # phase 2 (VERDICT r4 item 8): spec decoding with a DRAFT MODEL active.
+    # Each host rolls its own draft-engine replica (identical torch seed);
+    # propose() is a deterministic function of the replicated request
+    # histories, so drafts — and therefore accept/reject patterns, slot
+    # lengths and streams — must stay byte-identical with NO extra DCN
+    # traffic beyond the admission record.
+    from pb_llm_tpu.runtime.draft import ModelDraftSource
+
+    torch.manual_seed(1)  # different weights than the target, same per host
+    draft_hf = OPTConfig(
+        vocab_size=128, hidden_size=16, ffn_dim=32, num_hidden_layers=1,
+        num_attention_heads=2, max_position_embeddings=64,
+        word_embed_proj_dim=16, dropout=0.0)
+    dparams, dcfg, _ = hf_import.from_torch_model(
+        OPTForCausalLM(draft_hf).eval().float())
+    draft_eng = Engine(dparams, dcfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8, 16)))
+    eng2 = Engine(params, cfg, fam, EngineConfig(
+        n_slots=2, max_seq=64, prefill_buckets=(8, 16),
+        max_prefill_batch=2, spec_gamma=2))
+    b2 = Capturing(eng2, max_prompt=16,
+                   draft_source=ModelDraftSource(draft_eng))
+    # NON-repetitive prompts: prompt-lookup would never fire here, so any
+    # accepted token in phase 2 came from the draft model
+    reqs2 = [Request(request_id=10 + i, prompt_ids=[2 + i, 31, 5, 77],
+                     max_new_tokens=8) for i in range(3)]
+    b2.run(reqs2)
+    streams2 = {str(rid): req.output_ids for rid, req in sorted(b2.seen.items())}
+    stats2 = {"decode_steps": b2.stats.decode_steps,
+              "generated": b2.stats.generated_tokens,
+              "spec_accepted": b2.stats.spec_accepted,
+              "draft_lengths": [int(x) for x in draft_eng.lengths],
+              "lengths": [int(x) for x in eng2.lengths]}
+
     with open(os.path.join(outdir, f"serving_{rank}.json"), "w") as fh:
-        json.dump({"streams": streams, "stats": stats}, fh)
+        json.dump({"streams": streams, "stats": stats,
+                   "draft_streams": streams2, "draft_stats": stats2}, fh)
     print("WORKER_OK", rank, flush=True)
 
 

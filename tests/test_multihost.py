@@ -91,3 +91,11 @@ def test_two_process_serving_determinism(tmp_path):
     # was exercised, not just carried)
     assert any(v[-1] == 9 and len(v) < 10 for v in r0["streams"].values()) or \
            all(len(v) <= 10 for v in r0["streams"].values())
+    # phase 2: spec with a DRAFT MODEL active (each host rolls its own
+    # replica) — streams/stats/draft-engine lengths byte-identical, and the
+    # prompts are non-repetitive so every accepted token came from the
+    # draft model, not prompt-lookup
+    assert r0["draft_streams"] == r1["draft_streams"]
+    assert r0["draft_stats"] == r1["draft_stats"]
+    assert len(r0["draft_streams"]) == 3
+    assert all(len(v) == 8 for v in r0["draft_streams"].values())
