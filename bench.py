@@ -264,21 +264,20 @@ def _retry(fn, tag):
 def bench_e2e_decode(layers=32, slots=8, ctx=512):
     """Second JSON line (VERDICT r3 #2): llama-7b-shape 32-layer B=8 decode
     tokens/s/chip under the serving defaults (unrolled layers, int8 decode
-    dot, bf16 strip KV cache) — the number the ≥1200 tok/s target is about.
-    Slope over two scan lengths, min over reps."""
+    dot, int8 strip KV cache + Pallas decode attention — the round-5
+    default flip, EngineConfig.cache_dtype) — the number the ≥1200 tok/s
+    target is about.  Slope over two scan lengths, min over reps."""
     from bench_e2e import build_packed_llama
     from pb_llm_tpu.models.llama import LlamaConfig
     from pb_llm_tpu.models.registry import family_for
+    from pb_llm_tpu.runtime.kv_cache import make_caches
     import pb_llm_tpu.ops.binary_matmul  # noqa: F401
 
     cfg = LlamaConfig(num_hidden_layers=layers)
     fam = family_for("llama")
     params = build_packed_llama(cfg, jax.random.PRNGKey(0))
-    caches = [
-        {"k": jnp.zeros((slots, ctx, cfg.kv_heads, cfg.head_dim), jnp.bfloat16),
-         "v": jnp.zeros((slots, ctx, cfg.kv_heads, cfg.head_dim), jnp.bfloat16)}
-        for _ in range(layers)
-    ]
+    caches = make_caches(cfg, slots, ctx, layers, cfg.kv_heads, cfg.head_dim,
+                         jnp.int8)
     tokens0 = jnp.zeros((slots,), jnp.int32)
     lengths0 = jnp.full((slots,), ctx // 2, jnp.int32)
 
@@ -384,7 +383,8 @@ def main():
         log(f"e2e decode: {step_s*1e3:.2f} ms/step, {toks:.0f} tok/s/chip")
         print(json.dumps({
             "metric": "llama-7b-shape e2e decode throughput (B=8 slots, 32 layers, "
-                      "PBW v2 1.81 b/w, serving defaults: int8 decode dot, bf16 KV)",
+                      "PBW v2 1.81 b/w, serving defaults: int8 decode dot, int8 KV "
+                      "+ Pallas decode attention)",
             "value": round(toks, 1),
             "unit": "tokens/s/chip",
             "vs_baseline": None,

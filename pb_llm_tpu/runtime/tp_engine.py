@@ -474,7 +474,7 @@ class TPEngine:
                 for c in base.caches
             ]
         else:
-            base.caches = make_caches_tp(cfg, fam, mesh, ecfg.n_slots, ecfg.max_seq, ecfg.cache_dtype)
+            base.caches = make_caches_tp(cfg, fam, mesh, ecfg.n_slots, ecfg.max_seq, base.cache_dtype)
 
         def make_prefill(bucket):
             return make_tp_prefill(cfg, fam, mesh, params_sh, bucket, caches_tree=base.caches)

@@ -153,6 +153,135 @@ def _dma_kernel(x8_ref, sx_ref, rs_ref, xg8_ref, rsg_ref, s_ref, v_ref,
                 + sx_ref[:] + coef_ref[0:1, :])
 
 
+def _fusedw_kernel(xcat_ref, scal_ref, w_ref, o_ref, *, ic, oc, pack_block,
+                   k_pad, dma_only):
+    """ONE-OPERAND weight side (round 5, VERDICT r4 item 4): the sign
+    planes, the sidecar codes (pre-XOR'd offset-binary, bytes packed 4/u32
+    row), and the 5 coefficient rows (f32 bitcast) ride a single u32 array
+    [ic/32 + k_pad/4 + 5, oc] — one contiguous HBM stream instead of three
+    mixed-dtype operands, attacking the floor itself.  x-side merged too:
+    xcat = [byte-permuted x8 | gathered xg8] int8, scal = (sx, rs, rsg)
+    lanes of one small f32 block."""
+    nw = ic // WORD_BITS
+    ns = k_pad // 4
+    x8 = xcat_ref[:, :ic]
+    mrows = x8.shape[0]
+    if dma_only:  # floor probe: fetch everything, trivial compute
+        w_row = jax.lax.bitcast_convert_type(w_ref[0:1, :], jnp.float32)
+        o_ref[:] = (jnp.broadcast_to(w_row, (mrows, oc))
+                    + xcat_ref[:, 0:1].astype(jnp.float32) + scal_ref[:, 0:1])
+        return
+    xg8 = xcat_ref[:, ic : ic + k_pad]
+    sx = scal_ref[:, 0:1]
+    rs = scal_ref[:, 1:2]
+    rsg = scal_ref[:, 2:3]
+    acc_b = jnp.zeros((mrows, oc), jnp.int32)
+    w_off = r_off = 0
+    for rows in packing.block_sizes(ic, pack_block):
+        g = rows // WORD_BITS
+        ws = w_ref[w_off : w_off + g, :]
+        for b in range(8):
+            xs = x8[:, r_off + b * 4 * g : r_off + (b + 1) * 4 * g]
+            acc_b += jnp.dot(xs, pallas_pb._bit_plane_bytes_int8(ws, b),
+                             preferred_element_type=jnp.int32)
+        w_off += g
+        r_off += rows
+    v_i8 = pltpu.bitcast(w_ref[nw : nw + ns, :], jnp.int8)  # offset-binary
+    acc_v = jnp.dot(xg8, v_i8, preferred_element_type=jnp.int32)
+    coef = jax.lax.bitcast_convert_type(w_ref[nw + ns : nw + ns + 5, :],
+                                        jnp.float32)
+    y = (rs * coef[1:2] + (acc_b.astype(jnp.float32) * sx) * coef[0:1]
+         + (acc_v.astype(jnp.float32) * sx) * coef[3:4]
+         + rsg * coef[2:3] + coef[4:5])
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def build_fused_w(pk, k_pad):
+    """Host-side fused weight plane from make_planes output (np arrays)."""
+    s0, s1, s2, s3, s4, s5, s6 = [np.asarray(a) for a in pk]
+    v = (s1 ^ np.uint8(0x80))                     # offset-binary pre-XOR
+    side32 = (v[0::4].astype(np.uint32) | (v[1::4].astype(np.uint32) << 8)
+              | (v[2::4].astype(np.uint32) << 16)
+              | (v[3::4].astype(np.uint32) << 24))
+    scale, mean = s3[0], s4[0]
+    alpha2 = 2.0 * scale
+    beta = mean - scale
+    gammap = -s5 * s6 - beta + 128.0 * s5
+    coef = np.stack([alpha2, beta, gammap, s5, np.zeros_like(s5)], 0).astype(np.float32)
+    return np.concatenate([s0, side32, coef.view(np.uint32)], axis=0)
+
+
+def _fusedw_call(x, wplane, pk, k_pad, pack_block, m_pad=16, out_dtype=jnp.float32,
+                 dma_only=False, interpret=False):
+    s2 = pk[2]
+    m, ic = x.shape
+    oc = OC
+    xpf = jnp.zeros((m_pad, ic), jnp.float32).at[:m].set(x)
+    absmax = jnp.max(jnp.abs(xpf), axis=1, keepdims=True)
+    sx = jnp.maximum(absmax, jnp.float32(1e-30)) / 127.0
+    xq = jnp.clip(jnp.round(xpf / sx), -127, 127).astype(jnp.int8)
+    x8 = pallas_pb.byte_permute_x(xq, ic, pack_block)
+    rs = jnp.sum(xpf, axis=1, keepdims=True)
+    idx = s2[:, 0]
+    xpad = jnp.concatenate([xpf, jnp.zeros((m_pad, 1), jnp.float32)], axis=1)
+    xg = jnp.take(xpad, jnp.where(idx == ic, jnp.int32(ic), idx), axis=1)
+    rsg = jnp.sum(xg, axis=1, keepdims=True)
+    xg8 = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
+    xcat = jnp.concatenate([x8, xg8], axis=1)            # [m_pad, ic+k_pad]
+    scal = jnp.concatenate([sx, rs, rsg], axis=1)        # [m_pad, 3]
+    n_wrows = wplane.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fusedw_kernel, ic=ic, oc=oc, pack_block=pack_block,
+                          k_pad=k_pad, dma_only=dma_only),
+        out_shape=jax.ShapeDtypeStruct((m_pad, oc), out_dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * ic * oc,
+            bytes_accessed=n_wrows * oc * 4 + m_pad * (ic + oc) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xcat, scal, wplane)
+    return out[:m].astype(jnp.float32)
+
+
+def mk_fusedw(out_dtype=jnp.float32, dma_only=False):
+    planes, wps = [], []
+    k_pad = None
+    pack_block = packing.default_pack_block(IC)
+    for s in range(K):
+        p, k_pad = make_planes(s, pack_block)
+        planes.append(p)
+        wps.append(build_fused_w(p, k_pad))
+    flat = tuple(jnp.asarray(a) for pr in zip(wps, [p[2] for p in planes])
+                 for a in pr)
+    kp = k_pad
+
+    def mk(L):
+        @jax.jit
+        def loop(x, *flat):
+            def body(c, _):
+                for kk in range(K):
+                    w, s2 = flat[kk * 2 : (kk + 1) * 2]
+                    y = _fusedw_call(c, w, (None, None, s2), kp, pack_block,
+                                     out_dtype=out_dtype, dma_only=dma_only)
+                    c = c + _fold_oc(y) * 1e-8
+                return c, ()
+            c, _ = jax.lax.scan(body, x, None, length=L // K)
+            return jnp.sum(c)
+        return loop
+
+    return (mk, flat), k_pad
+
+
 def _sc_call(x, planes, k_pad, pack_block, sidecar, m_pad, oc_tile=None,
              stream_blk=0, kernel_fn=None):
     s0, s1, s2, s3, s4, s5, s6 = planes
@@ -328,6 +457,15 @@ def main():
             continue
         if tag == "prep_once":
             arms[tag], k_pad = mk_prep_once()
+            continue
+        if tag == "fusedw":            # one-operand weight plane (r5)
+            arms[tag], k_pad = mk_fusedw()
+            continue
+        if tag == "fusedw_bf16o":      # + bf16 output
+            arms[tag], k_pad = mk_fusedw(out_dtype=jnp.bfloat16)
+            continue
+        if tag == "fusedw_dma":        # its DMA floor probe
+            arms[tag], k_pad = mk_fusedw(dma_only=True)
             continue
         if tag.startswith("dmaonly"):  # dmaonly / dmaonly@5504
             _, _, ot = tag.partition("@")
