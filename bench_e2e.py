@@ -522,15 +522,19 @@ def main():
         def arm_def(name):
             base = arm_base(name)
             if base.startswith("spec"):
-                return 0, False, int(base[4:]) + 1
+                # specN / specN_int8: γ=N verify windows; int8 prices the
+                # serving-default cache under the t>1 (XLA-window) read
+                spec, _, cache = base.partition("_")
+                return 0, cache == "int8", int(spec[4:]) + 1
             return {"strips": (0, False, 1), "strips_int8": (0, True, 1),
                     "fused": (0, False, 1),  # q|k|v + gate|up merged matmuls
+                    "fused_int8": (0, True, 1),
                     "paged": (args.paged or 64, False, 1),
                     "paged_int8": (args.paged or 64, True, 1)}[base]
 
         fused_params = None
         names = [a.strip() for a in args.arms.split(",") if a.strip()]
-        if "fused" in names:
+        if any(arm_base(n).startswith("fused") for n in names):
             from pb_llm_tpu.models.fusion import fuse_parallel_linears
 
             fused_params = fuse_parallel_linears(params, "llama")
@@ -539,7 +543,8 @@ def main():
             paged, int8, width = arm_def(name)
             arm_caches[name] = make_arm_caches(paged, int8)
             widths[name] = width
-            arm_params = fused_params if arm_base(name) == "fused" else params
+            arm_params = (fused_params if arm_base(name).startswith("fused")
+                          else params)
             tok0 = tokens0 if width == 1 else jnp.zeros((B, width), jnp.int32)
             from pb_llm_tpu.ops import kernel_config as _kc
 

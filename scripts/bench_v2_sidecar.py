@@ -442,6 +442,57 @@ def _ship(c, pk, k_pad, pack_block):
     return pallas_pb.pb_matmul_pallas_v2(c, p, decode_dot="int8")
 
 
+def interleaved_robust(arms, bytes_for, reps=14):
+    """Per-REP slopes with a physicality filter (bench.py's method): the
+    tunnel chip drifts so hard that 6-rep per-length medians can go
+    NEGATIVE.  For each rep i the (L_LONG−L_SHORT) slope is computed from
+    that rep's own pair of calls; a rep is PHYSICAL iff every arm's slope
+    is positive and implies ≤ 1.02×819 GB/s for its byte count.  Report the
+    physical rep minimizing the dense slope (all arms from that SAME rep),
+    plus per-arm medians over physical reps."""
+    import time as _t
+
+    from bench_v2_decompose import L_SHORT, L_LONG
+
+    xs = [jnp.asarray(np.random.default_rng(i).standard_normal((M, IC)).astype(np.float32))
+          for i in range(reps + 2)]
+    fns = {}
+    for tag, (mk, args) in arms.items():
+        fns[tag] = {}
+        for L in (L_SHORT, L_LONG):
+            f = mk(L)
+            t0 = _t.perf_counter()
+            float(f(xs[0], *args))
+            log(f"  [{tag}] L={L} compile+first: {_t.perf_counter()-t0:.1f}s")
+            fns[tag][L] = f
+    per_rep = {tag: [] for tag in arms}
+    for i in range(1, reps + 1):
+        for tag in arms:
+            pair = {}
+            for L in (L_SHORT, L_LONG):
+                t0 = _t.perf_counter()
+                float(fns[tag][L](xs[i], *arms[tag][1]))
+                pair[L] = _t.perf_counter() - t0
+            per_rep[tag].append((pair[L_LONG] - pair[L_SHORT]) / (L_LONG - L_SHORT))
+
+    def physical(i):
+        for tag in arms:
+            s = per_rep[tag][i]
+            if s <= 0 or bytes_for(tag) / s > 819e9 * 1.05:
+                return False
+        return True
+
+    ok = [i for i in range(reps) if physical(i)]
+    log(f"physical reps: {len(ok)}/{reps}")
+    if not ok:
+        return None, None
+    best_i = min(ok, key=lambda i: per_rep["dense"][i] if "dense" in arms
+                 else per_rep[list(arms)[0]][i])
+    best = {tag: per_rep[tag][best_i] for tag in arms}
+    med = {tag: float(np.median([per_rep[tag][i] for i in ok])) for tag in arms}
+    return best, med
+
+
 def main():
     log(f"backend: {jax.default_backend()}, M={M}")
     want = sys.argv[1:] or ["dense", "ship", "sc8", "sc8_m16", "sc8_m8",
@@ -488,16 +539,27 @@ def main():
         arms[tag], k_pad = mk_flat(
             lambda c, pk, kp, pb, sc=sidecar, mp=m_pad, ot_=oc_tile:
             _sc_call(c, pk, kp, pb, sc, mp, ot_))
-    slopes = interleaved(arms)
     pbits = IC * OC / 8 + k_pad * OC + k_pad * 4
+
+    def bytes_for(tag):
+        return IC * OC * 2 if tag == "dense" else pbits
+
+    best, med = interleaved_robust(arms, bytes_for)
+    if best is None:
+        log("NO physical rep survived — hopelessly contended run; rerun")
+        print(json.dumps({"contended": True}))
+        return
     floor = pbits / HBM_GBPS
-    for tag, t in slopes.items():
+    for tag, t in best.items():
+        m = med[tag]
         if tag == "dense":
-            log(f"dense bf16: {t*1e6:.1f} us ({IC*OC*2/t/1e9:.0f} GB/s weight stream)")
+            log(f"dense bf16: best {t*1e6:.1f} us ({IC*OC*2/t/1e9:.0f} GB/s), "
+                f"median {m*1e6:.1f} us")
             continue
-        log(f"{tag}: {t*1e6:.1f} us | packed stream {pbits/t/1e9:.0f} GB/s | "
-            f"roofline {floor/t*100:.0f}%")
-    print(json.dumps({t: round(s * 1e6, 2) for t, s in slopes.items()}))
+        log(f"{tag}: best {t*1e6:.1f} us | {pbits/t/1e9:.0f} GB/s | roofline "
+            f"{floor/t*100:.0f}% | median {m*1e6:.1f} us ({floor/m*100:.0f}%)")
+    print(json.dumps({t: [round(s * 1e6, 2), round(med[t] * 1e6, 2)]
+                      for t, s in best.items()}))
 
 
 if __name__ == "__main__":

@@ -76,6 +76,18 @@ def test_serve_synthetic(capsys):
     assert "tokens/s=" in out and "requests=3" in out
 
 
+def test_serve_kv_dtype_flag(capsys):
+    """--kv_dtype int8 forces the quantized cache off-TPU; auto resolves to
+    f32 on CPU (the serving default resolution, EngineConfig.cache_dtype)."""
+    rc = serve.main([
+        "--model_id", "facebook/opt-synth", "--synthetic",
+        "--slots", "2", "--n_requests", "2", "--max_new_tokens", "3",
+        "--kv_dtype", "int8",
+    ])
+    assert rc == 0
+    assert "tokens/s=" in capsys.readouterr().out
+
+
 def test_serve_synthetic_draft_model_spec(capsys):
     """--spec_gamma + --draft_synthetic: the draft-model speculative path
     end-to-end through the CLI (streams are exactness-tested in
