@@ -557,7 +557,7 @@ def main():
                 log(f"compiled {name} n={n_steps} in {time.time()-t0:.0f}s")
                 fns[(name, n_steps)] = (f, tok0, arm_params)
         raw = {(name, n): [] for name in names for n in (4, 12)}
-        for rep in range(5):
+        for rep in range(7):
             for name in names:
                 for n in (4, 12):
                     f, tok0, arm_params = fns[(name, n)]
@@ -566,7 +566,14 @@ def main():
                     raw[(name, n)].append(time.perf_counter() - t0)
         out = {}
         for name in names:
-            step_s = (min(raw[(name, 12)]) - min(raw[(name, 4)])) / 8
+            # per-REP slopes (the n=4 and n=12 calls of one rep are
+            # adjacent in time, so each slope sees one drift state); median
+            # over positive slopes — min() paired slopes across reps, which
+            # drift can make unphysical (round-5 lesson)
+            slopes = [(raw[(name, 12)][i] - raw[(name, 4)][i]) / 8
+                      for i in range(len(raw[(name, 4)]))]
+            pos = [s for s in slopes if s > 0] or slopes
+            step_s = float(np.median(pos))
             w = widths[name]
             out[name] = {"ms_per_step": round(step_s * 1e3, 2),
                          "tokens_per_s": round(B / step_s, 1)}

@@ -108,6 +108,9 @@ class EngineConfig:
     # keeps its own salient columns/scales as a row group of the merged
     # layer).  PBW v2 global-selection layers only; single-device serving
     # (the TP engine shards by per-name Megatron rules and rejects this).
+    # Measured e2e-NEUTRAL (round 5, clean same-run 32L arms: 0.999x on
+    # bf16 KV, 0.94x on int8 KV — the matmul-level win is an isolation
+    # artifact XLA hides in the full step); experiments only.
     fuse_linears: bool = False
 
 
