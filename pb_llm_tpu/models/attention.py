@@ -65,9 +65,22 @@ def _flash_eligible(t: int, d: int) -> bool:
     return t >= 1024 and d % 8 == 0 and jax.default_backend() == "tpu"
 
 
-def full_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale) -> jnp.ndarray:
-    """Dispatch for the no-cache (prefill/eval) path. q,k,v: [B,T,H*,D]."""
+def full_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale,
+                          window: Optional[int] = None) -> jnp.ndarray:
+    """Dispatch for the no-cache (prefill/eval) path. q,k,v: [B,T,H*,D].
+
+    ``window``: sliding-window attention (Mistral) — runs the XLA masked
+    path (the flash kernel and the SP ring assume dense causal; a windowed
+    flash variant is a roadmap item, and the window rarely binds at eval
+    seqlens anyway)."""
     b, t, hq, d = q.shape
+    if window is not None:
+        if _SP_MESH is not None:
+            raise NotImplementedError(
+                "sliding-window attention under sequence parallelism is "
+                "unsupported — evaluate without --sp or with window=None")
+        return masked_softmax_attention(
+            q, k, v, causal_allowed(0, t, t, None, window), scale)
     if _SP_MESH is not None:
         from ..parallel.ring_attention import ring_attention
 
@@ -95,22 +108,30 @@ def full_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale)
     return masked_softmax_attention(q, k, v, causal_allowed(0, t, t, None), scale)
 
 
-def causal_allowed(pos: Pos, t: int, s: int, kv_len_valid: Optional[Pos]) -> jnp.ndarray:
+def causal_allowed(pos: Pos, t: int, s: int, kv_len_valid: Optional[Pos],
+                   window: Optional[int] = None) -> jnp.ndarray:
     """Boolean [*, 1, t, s] mask of allowed attention (broadcasts over heads).
 
     Query i sits at absolute position pos(+i); keys are cache rows 0..s-1;
     rows at or before the query and inside the valid cache length attend.
+    ``window``: sliding-window attention (Mistral) — additionally require
+    the key within the last ``window`` positions (kpos > qpos - window;
+    HF semantics: the query's own position plus window-1 before it).
     """
     p = jnp.asarray(pos)
     kpos = jnp.arange(s)
     if p.ndim == 0:
         qpos = p + jnp.arange(t)
         allowed = kpos[None, :] <= qpos[:, None]              # [t, s]
+        if window is not None:
+            allowed = allowed & (kpos[None, :] > qpos[:, None] - window)
         if kv_len_valid is not None:
             allowed = allowed & (kpos[None, :] < jnp.asarray(kv_len_valid))
         return allowed[None, None]                            # [1, 1, t, s]
     qpos = p[:, None] + jnp.arange(t)[None, :]                # [B, t]
     allowed = kpos[None, None, :] <= qpos[:, :, None]         # [B, t, s]
+    if window is not None:
+        allowed = allowed & (kpos[None, None, :] > qpos[:, :, None] - window)
     if kv_len_valid is not None:
         kl = jnp.asarray(kv_len_valid)
         allowed = allowed & (kpos[None, None, :] < kl[:, None, None])
@@ -225,15 +246,22 @@ def cache_update(cache: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray, 
 
 def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
                      k_new: jnp.ndarray, v_new: jnp.ndarray, pos: Pos,
-                     scale) -> jnp.ndarray:
+                     scale, window: Optional[int] = None) -> jnp.ndarray:
     """Attention over an already-updated cache (strip or paged).
 
     q/k_new/v_new [B, t, H*, d]; returns [B, t, Hq, d].  Strip caches run
     the masked-softmax path; paged caches run the Pallas paged-attention
     decode kernel (t == 1) or plain causal attention over the fresh
-    prompt K/V (prefill: the prompt's own keys are all it can see)."""
+    prompt K/V (prefill: the prompt's own keys are all it can see).
+    ``window``: sliding-window attention (Mistral) — strip caches only
+    (the XLA masked path handles the lower bound; the Pallas decode kernel
+    and the paged pool assume a dense causal prefix)."""
     b, t, hq, d = q.shape
     if "k_pages" in kv_cache:
+        if window is not None:
+            raise NotImplementedError(
+                "sliding-window attention requires strip caches — serve "
+                "Mistral-family models without --page_size")
         from ..ops.paged_attention import paged_attention, paged_attention_multi
 
         kp, vp = kv_cache["k_pages"], kv_cache["v_pages"]
@@ -292,7 +320,7 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
         return out.astype(q.dtype)
     s = kv_cache["k"].shape[1]
     p = jnp.asarray(pos)
-    if p.ndim == 1 and t == 1:
+    if p.ndim == 1 and t == 1 and window is None:
         # batched single-token decode: the fused Pallas strip kernel
         # (ops.decode_attention) when enabled — XLA parity on bf16 strips,
         # 1.7x on int8 strips (dequant scales fold outside the
@@ -349,12 +377,12 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
         def _branch(w):
             win = {k: v[:, :w] for k, v in kv_cache.items()}
             ck, cv = cache_kv(win, q.dtype)
-            allowed = causal_allowed(pos, t, w, p + t)
+            allowed = causal_allowed(pos, t, w, p + t, window)
             return masked_softmax_attention(q, ck, cv, allowed, scale)
 
         idx = jnp.sum(jnp.asarray([needed > w for w in windows[:-1]]).astype(jnp.int32))
         return jax.lax.switch(idx, [lambda w=w: _branch(w) for w in windows])
-    allowed = causal_allowed(pos, t, s, p + t)
+    allowed = causal_allowed(pos, t, s, p + t, window)
     ck, cv = cache_kv(kv_cache, q.dtype)
     return masked_softmax_attention(q, ck, cv, allowed, scale)
 

@@ -99,7 +99,10 @@ def from_torch_model(model, dtype=jnp.float32) -> Tuple[Dict[str, Any], Any, str
     """(params, config, family) from an instantiated HF torch model."""
     sd = model.state_dict()
     name = type(model).__name__.lower()
-    if "llama" in name:
+    if "llama" in name or "mistral" in name:
+        # Mistral rides the llama family: identical state-dict layout, GQA,
+        # RoPE, SiLU MLP; the one architectural delta (sliding-window
+        # attention) arrives via LlamaConfig.sliding_window
         cfg = LlamaConfig.from_hf(model.config)
         return llama_from_state_dict(sd, cfg, dtype), cfg, "llama"
     if "opt" in name:
@@ -126,6 +129,8 @@ def from_pretrained(path_or_repo: str, dtype=jnp.float32) -> Tuple[Dict[str, Any
         model_type = "opt" if "opt" in path_or_repo.lower() else "llama"
     if model_type == "opt":
         model = transformers.OPTForCausalLM.from_pretrained(path_or_repo, torch_dtype="auto")
+    elif model_type == "mistral":
+        model = transformers.MistralForCausalLM.from_pretrained(path_or_repo, torch_dtype="auto")
     else:
         model = transformers.LlamaForCausalLM.from_pretrained(path_or_repo, torch_dtype="auto")
     return from_torch_model(model, dtype)

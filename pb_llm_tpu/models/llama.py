@@ -33,6 +33,10 @@ class LlamaConfig:
     max_position_embeddings: int = 2048
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # sliding-window attention width (Mistral family; None = dense causal).
+    # The llama module serves mistral unchanged otherwise: same state-dict
+    # layout, GQA, RoPE, SiLU MLP.
+    sliding_window: Optional[int] = None
     seqlen: int = 2048  # reference pins llama eval windows to 2048 (gptq_pb/run.py:30)
     # set when a shard-local view uses fewer heads than hidden_size implies
     head_dim_override: Optional[int] = None
@@ -57,6 +61,13 @@ class LlamaConfig:
             max_position_embeddings=hf.max_position_embeddings,
             rms_norm_eps=hf.rms_norm_eps,
             rope_theta=getattr(hf, "rope_theta", 10000.0),
+            sliding_window=getattr(hf, "sliding_window", None),
+            # some configs (mistral v0.3+, llama3) carry an explicit
+            # head_dim; honor it when it differs from hidden/heads
+            head_dim_override=(
+                getattr(hf, "head_dim", None)
+                if getattr(hf, "head_dim", None) not in
+                (None, hf.hidden_size // hf.num_attention_heads) else None),
         )
 
 
@@ -152,11 +163,12 @@ def decoder_layer(
     k = apply_rope(k, cos, sin)
 
     scale = jnp.asarray(1.0 / jnp.sqrt(jnp.float32(hd)), x.dtype)
+    win = cfg.sliding_window
     if kv_cache is not None:
         kv_cache = cache_update(kv_cache, k, v, pos)
-        attn = cached_attention(kv_cache, q, k, v, pos, scale)
+        attn = cached_attention(kv_cache, q, k, v, pos, scale, window=win)
     else:
-        attn = full_causal_attention(q, k, v, scale)
+        attn = full_causal_attention(q, k, v, scale, window=win)
     attn = attn.reshape(b, t, cfg.num_attention_heads * hd)
     x = x + lf("o_proj", lp["o_proj"], attn)
 

@@ -65,6 +65,8 @@ def family_for(model_name: str) -> Family:
     lowered = model_name.lower()
     if "opt" in lowered:
         return FAMILIES["opt"]
-    if "llama" in lowered:
+    if "llama" in lowered or "mistral" in lowered:
+        # mistral rides the llama family (models/hf_import.py) — identical
+        # linears/layout; sliding window comes from the config
         return FAMILIES["llama"]
     raise NotImplementedError(f"unknown model family for {model_name!r}")

@@ -155,8 +155,10 @@ def test_opt_kv_cache_decode(tiny_opt):
 def test_registry_dispatch():
     assert family_for("facebook/opt-125m").name == "opt"
     assert family_for("huggyllama/llama-7b").name == "llama"
+    # mistral rides the llama family since round 5 (tests/test_mistral.py)
+    assert family_for("mistralai/Mistral-7B-v0.1").name == "llama"
     with pytest.raises(NotImplementedError):
-        family_for("mistral-7b")
+        family_for("tiiuae/falcon-7b")
 
 
 def test_layerwise_equals_forward(tiny_opt):
