@@ -7,7 +7,10 @@ This module imports and EXECUTES the reference program itself
 `/root/reference/quant/outlier_quantizer.py:33-124`
 `BinaryXnorExceptOutliersLinear`) on the same random-init OPT weights /
 calibration windows / Hessians as this framework, offline (no network:
-random-init `OPTForCausalLM(OPTConfig(...))`, synthetic token streams).
+random-init `OPTForCausalLM(OPTConfig(...))` / `LlamaForCausalLM`,
+synthetic token streams).  BOTH reference family branches run: the OPT
+path (`opt_eval`, project_in/out ordering) and the "huggyllama" path
+(`llama_eval`, `quant_sequential`'s llama branch).
 
 Measured cross-framework bounds (documented, not aspirational):
   * solver on IDENTICAL (W, H): masks bit-identical, |dW| <= 1e-6 — the
@@ -408,3 +411,93 @@ def test_2bit_quantizer_documented_deviation(refmods):
                                    groupsize=-1))
     np.testing.assert_allclose(ours, ref_fixed, atol=1e-6)
     assert np.abs(ref_buggy - ref_fixed).max() > 1e-3   # the slip is real
+
+
+# --------------------------------------------------------------------------
+# LLaMA-family leg: the reference's OTHER code path ("huggyllama" branches:
+# `run.py:26-30,60-64,105-107`, `eval_ppl_utils.py:8-88` `llama_eval`).
+# --------------------------------------------------------------------------
+
+NMAP_LLAMA = {"q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+              "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+              "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+              "down_proj": "mlp.down_proj"}
+
+
+def _build_torch_llama():
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=384, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    model.seqlen = 64   # the reference pins 2048 (run.py:30); scaled down
+    # HARNESS shim (transformers-version drift, not numerics): the
+    # reference calls decoder layers directly with only attention_mask
+    # (`run.py:156`, `eval_ppl_utils.py:55-64`) — written for transformers
+    # versions whose rotary embedding lived inside the attention module.
+    # 4.57 layers require `position_embeddings`; inject exactly what
+    # `LlamaModel.forward` would compute (rotary_emb over arange positions).
+    pos_ids = torch.arange(model.seqlen)[None]
+    cos_sin = model.model.rotary_emb(
+        torch.zeros(1, model.seqlen, cfg.hidden_size), pos_ids)
+    for layer in model.model.layers:
+        orig = layer.forward
+
+        def fwd(hidden, *a, _orig=orig, **kw):
+            if kw.get("position_embeddings") is None:
+                kw["position_embeddings"] = cos_sin
+            return _orig(hidden, *a, **kw)
+
+        layer.forward = fwd
+    return model
+
+
+def test_ptq_pipeline_differential_llama(refmods, tmp_path, monkeypatch):
+    """Reference `quant_sequential` ("huggyllama" branch) + `llama_eval`
+    vs our llama-family pipeline on identical weights/windows —
+    xnor/magnitude/gptq."""
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("outputs", exist_ok=True)
+    calib, evaltok = _tokens()
+
+    model = _build_torch_llama()
+    refmods.run.args = types.SimpleNamespace(
+        model="huggyllama-ref-diff", dataset="wikitext2",
+        low_quant_method="xnor", low_frac=0.5, high_bit=8,
+        salient_metric="magnitude", groupsize=-1, blocksize=128,
+        percdamp=0.01, disable_gptq=False, minlayer=-1, maxlayer=1000,
+        quant_only="", invert=False, nsamples=calib.shape[0], plot=False)
+    dataloader = [(torch.tensor(calib[i:i + 1]), None)
+                  for i in range(calib.shape[0])]
+    from eval_ppl_utils import llama_eval
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        refmods.run.quant_sequential(model, dataloader, "cpu")
+        llama_eval(model,
+                   types.SimpleNamespace(input_ids=torch.tensor(evaltok)),
+                   "cpu", "ds")
+    # llama_eval prints "Perplexity: %3f" only (eval_ppl_utils.py:86);
+    # opt_eval additionally prints the dict line
+    ref_ppl = float(re.search(r"Perplexity: ([0-9.e+-]+)",
+                              buf.getvalue()).group(1))
+    refsd = model.state_dict()
+
+    model2 = _build_torch_llama()
+    qparams, report, ppl = _our_quantize_and_eval(
+        model2, calib, evaltok, "xnor", "magnitude", False)
+
+    assert len(report.masks) == 2 * 7   # 2 layers x 7 llama linears
+    for key, mk in report.masks.items():
+        li, name = key.split("/")
+        i = int(li.split("_")[1])
+        rm = torch.load(
+            f"outputs/mask/mask_0.5_huggyllama-ref-diff"
+            f"model.layers.{i}.{NMAP_LLAMA[name]}.pkl",
+            weights_only=True).numpy()
+        assert np.array_equal(np.asarray(mk), rm), key   # magnitude: exact
+        ours = np.asarray(qparams["layers"][i][name]["w"]).T
+        ref = refsd[f"model.layers.{i}.{NMAP_LLAMA[name]}.weight"].numpy()
+        assert float(np.abs(ours - ref).mean()) < 1e-3
+    assert ppl == pytest.approx(ref_ppl, rel=5e-4)
