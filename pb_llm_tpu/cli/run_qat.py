@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--gptq_masks", type=str, default=None, help="masks npz from run_ptq --mask_out (hessian variant)")
+    p.add_argument("--wrap_compat_8bit", action="store_true",
+                   help="freeze the sim-8bit master with the reference's "
+                        "uint8 WRAP semantics (bit-for-bit replay of "
+                        "reference QAT runs; default = documented clamp fix)")
     p.add_argument("--out_dir", type=str, default="outputs")
     p.add_argument("--save_hf", action="store_true",
                    help="also export an HF save_pretrained dir + tokenizer "
@@ -92,6 +96,7 @@ def main(argv=None) -> int:
         outlier_fraction=args.outlier_fraction,
         train_steps=args.train_steps,
         learning_rate=args.learning_rate,
+        wrap_compat_8bit=args.wrap_compat_8bit,
     )
     gptq_masks = None
     if args.gptq_masks:

@@ -42,6 +42,11 @@ class QATConfig:
     weight_decay: float = 0.0
     grad_accum: int = 1
     remat: bool = True
+    # reproduce the reference's uint8 WRAP when freezing the sim-8bit
+    # master (quant/qat.weight_quant_8bit wrap_compat — fires on all
+    # negative weights at real LLM scales); default keeps the documented
+    # clamp fix.  For replaying reference QAT runs bit-for-bit.
+    wrap_compat_8bit: bool = False
 
 
 def replace_linears(
@@ -64,6 +69,7 @@ def replace_linears(
             lp[n] = qat_layers.make_qat_linear(
                 lin["w"].T, lin.get("b"), qcfg.outlier_fraction,
                 method=qcfg.binarization_method, gptq_mask=gm,
+                wrap_compat=qcfg.wrap_compat_8bit,
             )
         new_layers.append(lp)
     params["layers"] = new_layers
