@@ -332,7 +332,7 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
         impl = _kc.current().decode_attention
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl in ("pallas", "pallas_interpret"):
+        if impl in ("pallas", "pallas_q8", "pallas_interpret"):
             from ..ops.decode_attention import decode_attention
 
             def _kcall(w):
@@ -340,7 +340,9 @@ def cached_attention(kv_cache: Dict[str, jnp.ndarray], q: jnp.ndarray,
                     q[:, 0], kv_cache["k"], kv_cache["v"], p + 1, scale,
                     k_scale=kv_cache.get("k_scale"),
                     v_scale=kv_cache.get("v_scale"),
-                    s_used=w, interpret=impl == "pallas_interpret")
+                    s_used=w,
+                    q_int8=impl == "pallas_q8" and "k_scale" in kv_cache,
+                    interpret=impl == "pallas_interpret")
                 return out[:, None].astype(q.dtype)
 
             if s <= 256:

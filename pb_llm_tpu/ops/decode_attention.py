@@ -76,8 +76,10 @@ def _expand_groups(sc, n_groups):
 
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_b: int, block_s: int,
-            n_blocks: int, n_groups: int, quantized: bool):
-    if quantized:
+            n_blocks: int, n_groups: int, quantized: bool, q_int8: bool):
+    if q_int8:
+        ks_ref, vs_ref, qs_ref, o_ref, qbd_ref, m_ref, l_ref, acc_ref = rest
+    elif quantized:
         ks_ref, vs_ref, o_ref, qbd_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, qbd_ref, m_ref, l_ref, acc_ref = rest
@@ -95,12 +97,18 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_b: int, block_s: int,
         # Qbd [Hkv*D, bb*Hq]: all bb slots' block-diagonal query matrices
         # side by side; slot kb's dot slices columns [kb*Hq, (kb+1)*Hq).
         # Column c belongs to q head c % Hq, whose kv head is (c%Hq) // G.
-        qt = q_ref[:].astype(jnp.float32).reshape(bb * hq, d).T  # [D, bb*Hq]
+        # q_int8: q arrives int8 (per-(slot, head) scale folded back into
+        # the scores outside the dot) so Qbd is int8 and the scores dot
+        # rides the int8 MXU against the UNCAST int8 key block — removing
+        # the per-block K int8->bf16 cast (ROADMAP r5 item 8).
+        acc_t = jnp.int32 if q_int8 else jnp.float32
+        qt = q_ref[:].astype(acc_t).reshape(bb * hq, d).T  # [D, bb*Hq]
         tiled = jnp.broadcast_to(qt[None], (hkv, d, bb * hq)).reshape(hd, bb * hq)
         row_h = jax.lax.broadcasted_iota(jnp.int32, (hd, bb * hq), 0) // d
         col_h = (jax.lax.broadcasted_iota(jnp.int32, (hd, bb * hq), 1)
                  % hq) // n_groups
-        qbd_ref[:] = jnp.where(row_h == col_h, tiled, 0.0).astype(qbd_ref.dtype)
+        qbd_ref[:] = jnp.where(row_h == col_h, tiled,
+                               jnp.zeros((), acc_t)).astype(qbd_ref.dtype)
 
     start = j * block_s
 
@@ -111,7 +119,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_b: int, block_s: int,
         @pl.when(start < base)
         def _(kb=kb, base=base, cs=cs, ce=ce):
             k2 = k_ref[kb].reshape(block_s, hd)                # contiguous view
-            if quantized:
+            if quantized and not q_int8:
                 k2 = k2.astype(jnp.bfloat16)
             # HIGHEST keeps the f32-cache (CPU-test) path exact; bf16
             # operands multiply exactly on the MXU anyway, and Mosaic
@@ -120,8 +128,15 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_b: int, block_s: int,
                     else jax.lax.Precision.DEFAULT)
             s = jax.lax.dot_general(                           # [S_blk, Hq]
                 k2, qbd_ref[:, cs:ce], (((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=jnp.float32)
-            if quantized:
+                precision=prec,
+                preferred_element_type=jnp.int32 if q_int8 else jnp.float32)
+            if q_int8:
+                # int32-exact scores x (K scale ⊗ q scale); both factor out
+                qrow = qs_ref[pl.dslice(i * block_b + kb, 1), :]  # [1, Hq]
+                s = (s.astype(jnp.float32)
+                     * _expand_groups(ks_ref[kb], n_groups)
+                     * qrow)
+            elif quantized:
                 # per-(token, head) K scale factors out of the D-contraction
                 ksc = ks_ref[kb]                               # [S_blk, Hkv]
                 s = s * _expand_groups(ksc, n_groups)
@@ -164,9 +179,10 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, *rest, block_b: int, block_s: int,
 
 
 @functools.partial(jax.jit, static_argnames=("s_used", "block_s", "block_b",
-                                             "interpret"))
+                                             "q_int8", "interpret"))
 def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
-                     s_used=None, block_s=256, block_b=1, interpret=False):
+                     s_used=None, block_s=256, block_b=1, q_int8=False,
+                     interpret=False):
     """Batched single-token decode attention over a strip cache.
 
     q: [B, Hq, D] (f32 or bf16) — the current step's query, NOT pre-scaled.
@@ -179,6 +195,11 @@ def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
       divisible — callers use `slots_per_block(B)`); per-step VMEM block is
       block_b * block_s cache rows, so large block_b pairs with smaller
       block_s.
+    q_int8 (int8 caches only): additionally absmax-quantize q per
+      (slot, head) so the scores dot runs int8 x int8 on the MXU against
+      the UNCAST key block — removes the per-block K int8->bf16 cast.
+      Adds q's int8 rounding (~0.4% relative per element) on top of the
+      cache's own; the V-side cast remains.
     Returns [B, Hq, D] float32.
     """
     b, hq, d = q.shape
@@ -191,8 +212,12 @@ def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
     block_s = min(block_s, s_used)
     n_blocks = (s_used + block_s - 1) // block_s
     quantized = k_scale is not None
+    q_int8 = bool(q_int8 and quantized)
     if b % block_b:
         raise ValueError(f"block_b={block_b} must divide B={b}")
+    if q_int8:
+        qsc = jnp.maximum(jnp.max(jnp.abs(q), axis=-1), 1e-30) / 127.0  # [B, Hq]
+        q = jnp.clip(jnp.round(q / qsc[..., None]), -127, 127).astype(jnp.int8)
 
     grid = (b // block_b, n_blocks)
     qspec = pl.BlockSpec((block_b, hq, d), lambda i, j, ln: (i, 0, 0))
@@ -208,10 +233,16 @@ def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
         in_specs += [scspec, scspec]
         args += [k_scale.astype(jnp.float32).reshape(b, s, hkv),
                  v_scale.astype(jnp.float32).reshape(b, s, hkv)]
+        if q_int8:
+            # full-array block (trivial window): a (block_b, hq) block
+            # violates the 8-sublane tiling rule for small block_b; the
+            # kernel row-indexes dynamically instead
+            in_specs.append(pl.BlockSpec((b, hq), lambda i, j, ln: (0, 0)))
+            args.append(qsc.astype(jnp.float32))
 
     kern = functools.partial(
         _kernel, block_b=block_b, block_s=block_s, n_blocks=n_blocks,
-        n_groups=n_groups, quantized=quantized)
+        n_groups=n_groups, quantized=quantized, q_int8=q_int8)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -222,6 +253,7 @@ def decode_attention(q, k, v, lengths, scale, *, k_scale=None, v_scale=None,
                                    lambda i, j, ln: (i, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((hkv * d, block_b * hq),
+                           jnp.int8 if q_int8 else
                            jnp.bfloat16 if quantized or k.dtype == jnp.bfloat16 else jnp.float32),
                 pltpu.VMEM((1, block_b * hq), jnp.float32),
                 pltpu.VMEM((1, block_b * hq), jnp.float32),

@@ -32,7 +32,7 @@ _VALID = {
     "prefill_gather": ("take", "dot"),
     "prefill_extract": ("pallas", "xla"),
     "attention": ("auto", "flash", "flash_interpret", "xla"),
-    "decode_attention": ("auto", "pallas", "pallas_interpret", "xla"),
+    "decode_attention": ("auto", "pallas", "pallas_q8", "pallas_interpret", "xla"),
 }
 
 
@@ -58,6 +58,10 @@ class KernelConfig:
       dequant scales outside the contractions], XLA masked softmax
       elsewhere; the kernel rounds q to bf16 in its MXU dots — the same
       precision class as XLA's default-precision f32 einsum on TPU).
+      "pallas_q8" (int8 caches only): additionally int8-quantize q per
+      (slot, head) so the scores dot rides the int8 MXU against the
+      uncast key block — removes the per-block K cast at ~0.4% extra
+      relative score rounding; bf16 caches fall back to "pallas".
     """
 
     backend: str = "auto"

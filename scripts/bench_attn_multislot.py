@@ -91,6 +91,13 @@ def main():
             [{"k": ks_i8[i], "v": vs_i8[i],
               "ks": k_sc[i][..., None], "vs": v_sc[i][..., None]}
              for i in range(L)], q0)
+        arms[f"k_i8q_{bb}x{bs}"] = (chain(lambda d, q, bb=bb, bs=bs: sum(
+            DA(q, lay["k"], lay["v"], lengths + 1, scale, s_used=S,
+               block_s=bs, block_b=bb, q_int8=True,
+               k_scale=lay["ks"], v_scale=lay["vs"]) for lay in d) / L),
+            [{"k": ks_i8[i], "v": vs_i8[i],
+              "ks": k_sc[i][..., None], "vs": v_sc[i][..., None]}
+             for i in range(L)], q0)
 
     fns, raw = {}, {}
     for name, (fn, data, a0) in arms.items():
@@ -112,7 +119,7 @@ def main():
     for name in arms:
         ms = (min(raw[(name, 12)]) - min(raw[(name, 4)])) / 8 * 1e3
         nbytes = (L * wd.shape[1] * wd.shape[2] * 2 if name == "dense"
-                  else L * 2 * B * S * H * (D + 4) if "_i8_" in name
+                  else L * 2 * B * S * H * (D + 4) if "_i8" in name
                   else L * 2 * B * S * H * D * 2)
         out[name] = round(ms, 3)
         gbps[name] = round(nbytes / (ms * 1e-3) / 1e9, 1)
